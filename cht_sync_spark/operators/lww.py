@@ -1,0 +1,60 @@
+"""Last-writer-wins dedup (SURVEY.md §2.5 I1).
+
+The reference gets LWW for free: the CouchDB feed delivers at most one change
+per doc per read (latest winning rev), and the Postgres ``ON CONFLICT DO
+UPDATE`` upsert (importer.js:19-25) makes replays converge. Spark sees raw
+event streams, so the engine resolves winners explicitly with one window:
+
+    row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY rev_height DESC, _deleted ASC, _rev DESC,
+                                seq DESC)  == 1
+
+Ordering semantics (matched against reference e2e tests):
+- higher revision height wins (CouchDB rev vector, 'N-hash');
+- at equal height a live edit beats a delete (delete-vs-edit conflict keeps
+  the live doc — tests/e2e-test.spec.js:307-328);
+- then lexicographically greater rev hash (deterministic conflict winner —
+  e2e-test.spec.js:281-305);
+- then later seq.
+
+Scale note: the window partitions by the FULL key (conv_id, turn_idx) — a hot
+conversation with 10^6 turns spreads over 10^6 window partitions, so the
+dedup itself does not skew; only per-conv_id aggregations and the merge join
+need salting/AQE (operators/upsert.py, SURVEY.md §2.5 I3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cht_sync_spark.schemas import LWW_ORDER, TRANSCRIPT_KEY
+
+
+def lww_order_cols(order: Sequence[tuple[str, bool]] = tuple(LWW_ORDER)) -> list[Column]:
+    """Window ordering columns from (name, ascending) pairs; nulls last."""
+    return [
+        (F.col(name).asc_nulls_last() if asc else F.col(name).desc_nulls_last())
+        for name, asc in order
+    ]
+
+
+def lww_dedup(
+    df: DataFrame,
+    key: Sequence[str] = tuple(TRANSCRIPT_KEY),
+    order: Sequence[tuple[str, bool]] = tuple(LWW_ORDER),
+) -> DataFrame:
+    """Keep exactly one winning row per key.
+
+    Idempotent and associative: dedup(a ∪ dedup(b ∪ c)) == dedup(a ∪ b ∪ c),
+    which is what makes micro-batch replay and merge-on-read compaction safe
+    (the same operator runs batch-level, merge-level, and read-level).
+    """
+    w = Window.partitionBy(*key).orderBy(*lww_order_cols(order))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the CDC replay workload.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]``; the same settings are
+what we would submit to a multi-executor cluster (AQE on, Arrow on, shuffle
+partitions sized to cores). Nothing here is local-mode-specific except the
+master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cht_sync_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with CDC-appropriate defaults.
+
+    - AQE + skew-join handling on: hot conversations produce skewed merge
+      joins (reference has no skew problem because Postgres upserts row-level;
+      Spark shuffles by key — see SURVEY.md §2.5 I3).
+    - Arrow on: the doc->row transform is a vectorized pandas UDF
+      (north_rule: "no per-row Python").
+    - shuffle partitions default to core count locally; on a real cluster this
+      is set to ~2-3x total executor cores and AQE coalesces from there.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

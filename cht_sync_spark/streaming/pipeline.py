@@ -1,0 +1,157 @@
+"""Micro-batch replay orchestration — the engine's main loop.
+
+Re-expresses the reference's watcher/importer loop (couch2pg/src/watcher.js:
+6-15, importer.js:142-175 — drain batches until empty, checkpoint after each
+upsert) as a checkpointed batch loop over the changes-feed source. The same
+body also runs under Structured Streaming ``foreachBatch``
+(:mod:`cht_sync_spark.streaming.stream`); this class is the deterministic
+batch form used for correctness replays, kill/resume tests and benches.
+
+Per micro-batch (epoch):
+
+1. resume state = snapshot properties of the TARGET table (watermark, epoch)
+   — the checkpoint lives inside the data table's atomic commit, so there is
+   no window where data and checkpoint disagree (SURVEY.md §7.3 #5);
+2. events = seq-range read (pushed-down filter);
+3. doc->row transform (Catalyst ``from_json`` path by default);
+4. LWW dedup + bucket-pruned MERGE (or merge-on-read append), committing
+   data + watermark + per-source checkpoints + epoch marker in ONE snapshot;
+5. lineage records appended per (epoch, source).
+
+Exactly-once: if the epoch marker in the target says epoch >= k, batch k is
+skipped on replay (and the merge is idempotent anyway — belt and braces,
+matching the reference's checkpoint-after-commit + idempotent upsert design,
+importer.js:171-172 / 19-25).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cht_sync_spark.functions.json_doc import doc_to_row, doc_to_row_arrow
+from cht_sync_spark.operators.lww import lww_dedup
+from cht_sync_spark.schemas import LINEAGE, TRANSCRIPT, TRANSCRIPT_KEY
+from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+WATERMARK_PROP = "watermark.global"
+EPOCH_PROP = "epoch.global"
+
+
+@dataclass
+class BatchResult:
+    epoch: int
+    seq_lo: int
+    seq_hi: int
+    rows: int
+    duration_ms: int
+    skipped: bool = False
+
+
+class ReplayPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed: ChangesFeedSource,
+        table_path: str,
+        *,
+        batch_size: int = 100_000,
+        num_buckets: int = 16,
+        mode: Literal["cow", "mor"] = "cow",
+        transform: Literal["catalyst", "arrow"] = "catalyst",
+        saved_ts: Literal["event", "now"] = "event",
+        lineage_path: str | None = None,
+    ):
+        self.spark = spark
+        self.feed = feed
+        self.batch_size = batch_size
+        self.mode = mode
+        self.transform = transform
+        self.saved_ts = saved_ts
+        self.table = SnapshotTable.create(
+            spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets
+        )
+        self.lineage = (
+            SnapshotTable.create(
+                spark, lineage_path, LINEAGE, ["epoch_id", "source", "partition_id"], num_buckets=1
+            )
+            if lineage_path
+            else None
+        )
+
+    # ------------------------------------------------------------------ state
+    def state(self) -> tuple[int, int]:
+        """(watermark_seq, last_epoch) from the target's snapshot properties."""
+        props = self.table.snapshot().properties
+        return int(props.get(WATERMARK_PROP, -1)), int(props.get(EPOCH_PROP, -1))
+
+    # ------------------------------------------------------------------- run
+    def _transform(self, events: DataFrame) -> DataFrame:
+        rows = doc_to_row(events) if self.transform == "catalyst" else doc_to_row_arrow(events)
+        if self.saved_ts == "event":
+            # deterministic ingest-time stand-in -> byte-identical replays
+            rows = rows.withColumn("saved_timestamp", F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)))
+        return rows
+
+    def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
+        t0 = time.monotonic()
+        wm, last_epoch = self.state()
+        if epoch <= last_epoch:
+            return BatchResult(epoch, lo, hi, 0, 0, skipped=True)
+
+        events = self.feed.batch(lo, hi)
+        rows = self._transform(events)
+        rows = lww_dedup(rows)
+
+        # per-source checkpoint props (the couchdb_progress analogue) — one
+        # small agg; committed atomically with the data
+        src_stats = (
+            events.groupBy("source").agg(F.max("seq").alias("hi"), F.count("*").alias("n")).collect()
+        )
+        props = {WATERMARK_PROP: str(hi), EPOCH_PROP: str(epoch)}
+        for r in src_stats:
+            props[f"checkpoint.{r['source']}"] = json.dumps({"seq": int(r["hi"]), "rows": int(r["n"])})
+
+        if self.mode == "mor":
+            schema = self.table.evolve_schema(rows.schema)
+            self.table.append_delta(rows, properties_update=props, new_schema=schema)
+            n = int(sum(r["n"] for r in src_stats))
+            dels = 0
+            skew = 0.0
+        else:
+            stats = merge_upsert(self.table, rows, tombstones="keep", dedup_batch=False, properties_update=props)
+            n, dels, skew = stats.rows_in_batch, stats.rows_deleted_tombstones, stats.skew_max_ratio
+
+        dur = int((time.monotonic() - t0) * 1000)
+        if self.lineage is not None:
+            recs = [
+                (epoch, r["source"], 0, lo, int(r["hi"]), int(r["n"]), dels, skew, dur)
+                for r in src_stats
+            ]
+            if recs:
+                self.lineage.append_delta(self.spark.createDataFrame(recs, LINEAGE))
+        return BatchResult(epoch, lo, hi, n, dur)
+
+    def run(self, max_batches: int | None = None) -> list[BatchResult]:
+        """Drain the feed (the reference's drain-until-empty loop,
+        watcher.js:8-14, as ``trigger(availableNow=True)`` semantics)."""
+        cuts = self.feed.plan_batches(self.batch_size)
+        results: list[BatchResult] = []
+        wm, _ = self.state()
+        lo = wm
+        for epoch, hi in enumerate(cuts):
+            if hi <= wm:
+                lo = hi
+                continue
+            if max_batches is not None and len(results) >= max_batches:
+                break
+            results.append(self.run_batch(epoch, lo, hi))
+            lo = hi
+        return results

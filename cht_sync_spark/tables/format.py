@@ -1,0 +1,392 @@
+"""SnapshotTable — a minimal ACID table layer over parquet.
+
+This sandbox ships no Iceberg/Delta runtime jar, so the engine provides its
+own lakehouse primitives with the same guarantees the design needs
+(SURVEY.md §7.2/§7.3):
+
+- **atomic commits**: one JSON manifest per snapshot, claimed with
+  ``O_CREAT|O_EXCL`` (optimistic concurrency) and finalized via POSIX
+  ``rename``; a crash mid-commit leaves only orphan data files, never a
+  half-visible snapshot. This is the analogue of Iceberg's atomic snapshot
+  swap and of the reference's reliance on single-statement Postgres
+  atomicity (importer.js:129-131).
+- **snapshot properties**: a string->string map committed atomically WITH
+  the data — carries the per-source/per-partition sequence checkpoints and
+  the exactly-once epoch markers (the analogue of stashing the commit epoch
+  in the Iceberg snapshot summary; reference: ``couchdb_progress`` row
+  updated after the upsert commits, importer.js:171-172).
+- **hash-bucket layout**: every data file belongs to one of ``num_buckets``
+  buckets of ``pmod(xxhash64(key...), num_buckets)``. MERGE rewrites only
+  the buckets a batch touches (copy-on-write), so upsert cost scales with
+  the batch's key spread, not table size. The analogue of the reference's
+  Postgres indexes (setup.js:21-31) is bucket pruning + parquet min/max
+  stats from the per-bucket ``sort_cols`` write order.
+- **merge-on-read deltas**: ``append_delta`` commits a micro-batch as pure
+  appended files (O(batch) ingest); readers reconcile with the same LWW
+  window used everywhere; ``compact()`` folds deltas into the base. This is
+  the sustained-throughput path for the 10^10-event replay target.
+- **additive schema evolution**: the manifest carries the current schema;
+  readers project old files through it (missing columns read as null) —
+  the analogue of dbt ``on_schema_change='append_new_columns'``
+  (contacts.sql:5) / ``ALTER TABLE ADD COLUMN IF NOT EXISTS``.
+
+Time travel: any committed version can be read back (``read(version=...)``),
+used by tests to diff pre/post-merge states.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SNAPDIR = "_snapshots"
+_DATADIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    key_cols: list[str]
+    num_buckets: int
+    sort_cols: list[str]
+    # LWW precedence as (column, ascending) pairs — part of the table
+    # contract so merge-time and read-time reconciliation always agree
+    lww_order: list[tuple[str, bool]]
+    # files: list of {"path": rel, "bucket": int, "level": "base"|"delta",
+    #                 "commit": str}
+    files: list[dict[str, Any]]
+    properties: dict[str, str]
+    parent: int | None
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """The bucket transform: pmod(xxhash64(key...), N). Deterministic across
+    sessions (xxhash64 seed fixed), so batch and table always agree."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+        lww_order: list[tuple[str, bool]] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = True,
+    ) -> "SnapshotTable":
+        t = cls(spark, path)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(path)
+        if lww_order is None:
+            # default: the transcript LWW spec, restricted to columns the
+            # schema actually has (append-only tables may have none — then
+            # later rows win only via explicit order, and read_current's
+            # dedup degenerates to key-uniqueness)
+            from cht_sync_spark.schemas import LWW_ORDER
+
+            names = {f.name for f in schema.fields}
+            lww_order = [(c, asc) for c, asc in LWW_ORDER if c in names]
+        os.makedirs(os.path.join(path, _SNAPDIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATADIR), exist_ok=True)
+        t._write_manifest(
+            Snapshot(
+                version=1,
+                schema=schema,
+                key_cols=list(key_cols),
+                num_buckets=num_buckets,
+                sort_cols=list(sort_cols or key_cols),
+                lww_order=[(c, bool(a)) for c, a in lww_order],
+                files=[],
+                properties=dict(properties or {}),
+                parent=None,
+            )
+        )
+        return t
+
+    def exists(self) -> bool:
+        d = os.path.join(self.path, _SNAPDIR)
+        return os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d))
+
+    # ------------------------------------------------------------- snapshots
+    def _versions(self) -> list[int]:
+        d = os.path.join(self.path, _SNAPDIR)
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_version(self) -> int:
+        return self._versions()[-1]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")) as fh:
+            m = json.load(fh)
+        return Snapshot(
+            version=m["version"],
+            schema=T.StructType.fromJson(m["schema"]),
+            key_cols=m["key_cols"],
+            num_buckets=m["num_buckets"],
+            sort_cols=m["sort_cols"],
+            lww_order=[(c, bool(a)) for c, a in m.get("lww_order", [])],
+            files=m["files"],
+            properties=m["properties"],
+            parent=m["parent"],
+        )
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in self._versions()]
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        d = os.path.join(self.path, _SNAPDIR)
+        final = os.path.join(d, f"v{snap.version:08d}.json")
+        # O_EXCL claim: a concurrent writer racing to the same version loses
+        # here and must retry on top of the new snapshot.
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {snap.version} already committed at {self.path}") from e
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "version": snap.version,
+                        "schema": snap.schema.jsonValue(),
+                        "key_cols": snap.key_cols,
+                        "num_buckets": snap.num_buckets,
+                        "sort_cols": snap.sort_cols,
+                        "lww_order": [[c, a] for c, a in snap.lww_order],
+                        "files": snap.files,
+                        "properties": snap.properties,
+                        "parent": snap.parent,
+                    },
+                    fh,
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, final)  # atomic replace of the claimed (empty) file
+        finally:
+            os.close(fd)
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        levels: tuple[str, ...] = ("base", "delta"),
+    ) -> DataFrame:
+        """Raw file-level read (no LWW reconciliation).
+
+        Old files are projected through the CURRENT snapshot schema —
+        columns added later read as null (additive evolution). Bucket
+        pruning: only files of the requested buckets are listed, so Spark
+        never opens the rest.
+        """
+        snap = self.snapshot(version)
+        files = [
+            f
+            for f in snap.files
+            if f["level"] in levels and (buckets is None or f["bucket"] in buckets)
+        ]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def read_current(self, version: int | None = None, drop_tombstones: bool = False) -> DataFrame:
+        """Reconciled current state: base ∪ deltas -> LWW winner per key.
+
+        When no delta files exist this is a plain scan (no window). The
+        dedup window is the SAME operator used batch-side, so
+        base-merge-time and read-time reconciliation can never disagree.
+        """
+        from cht_sync_spark.operators.lww import lww_dedup  # circular-safe
+
+        snap = self.snapshot(version)
+        df = self.read(version=version)
+        has_delta = any(f["level"] == "delta" for f in snap.files)
+        if has_delta:
+            # per-table LWW spec from the manifest; tables without order
+            # columns (e.g. append-only lineage) dedup to key-uniqueness only
+            order = snap.lww_order or [(snap.key_cols[0], True)]
+            df = lww_dedup(df, key=snap.key_cols, order=order)
+        if drop_tombstones and "_deleted" in df.columns:
+            df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df
+
+    # ---------------------------------------------------------------- write
+    def _write_data(
+        self, df: DataFrame, snap: Snapshot, level: str
+    ) -> list[dict[str, Any]]:
+        """Write df (must contain all snapshot schema cols) as per-bucket
+        parquet under a fresh commit dir; returns manifest file entries.
+
+        One shuffle by bucket id; within each bucket the rows are sorted by
+        ``sort_cols`` so parquet pages carry tight min/max stats for key
+        lookups (the 'write-ordered by (conv_id, turn_idx)' from SURVEY §4).
+        """
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join(_DATADIR, commit_id)
+        out = os.path.join(self.path, rel)
+        (
+            df.withColumn("__bucket", bucket_expr(snap.key_cols, snap.num_buckets))
+            .repartition(F.col("__bucket"))
+            .sortWithinPartitions(*snap.sort_cols)
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        entries: list[dict[str, Any]] = []
+        for bdir in sorted(os.listdir(out)):
+            if not bdir.startswith("__bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out, bdir))):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "path": os.path.join(rel, bdir, fn),
+                            "bucket": b,
+                            "level": level,
+                            "commit": commit_id,
+                        }
+                    )
+        return entries
+
+    def commit(
+        self,
+        *,
+        add_files: list[dict[str, Any]],
+        remove_buckets: set[int] | None = None,
+        remove_level: tuple[str, ...] = ("base", "delta"),
+        properties_update: dict[str, str] | None = None,
+        new_schema: T.StructType | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Produce snapshot N+1 = parent minus (removed buckets/levels) plus
+        ``add_files``, with properties merged in — all atomically."""
+        parent = self.snapshot()
+        if expected_version is not None and parent.version != expected_version:
+            raise CommitConflict(
+                f"expected v{expected_version}, found v{parent.version} at {self.path}"
+            )
+        keep = [
+            f
+            for f in parent.files
+            if not (
+                remove_buckets is not None
+                and f["bucket"] in remove_buckets
+                and f["level"] in remove_level
+            )
+        ]
+        props = dict(parent.properties)
+        props.update(properties_update or {})
+        snap = Snapshot(
+            version=parent.version + 1,
+            schema=new_schema or parent.schema,
+            key_cols=parent.key_cols,
+            num_buckets=parent.num_buckets,
+            sort_cols=parent.sort_cols,
+            lww_order=parent.lww_order,
+            files=keep + add_files,
+            properties=props,
+            parent=parent.version,
+        )
+        self._write_manifest(snap)
+        return snap
+
+    def append_delta(
+        self,
+        df: DataFrame,
+        properties_update: dict[str, str] | None = None,
+        new_schema: T.StructType | None = None,
+    ) -> Snapshot:
+        """Merge-on-read fast path: commit the (already LWW-deduped) batch as
+        appended delta files. O(batch) — no target read, no rewrite."""
+        snap = self.snapshot()
+        schema = new_schema or snap.schema
+        df = _conform(df, schema)
+        snap = Snapshot(**{**snap.__dict__, "schema": schema})
+        files = self._write_data(df, snap, level="delta")
+        return self.commit(
+            add_files=files,
+            remove_buckets=None,
+            properties_update=properties_update,
+            new_schema=schema,
+        )
+
+    def compact(self) -> Snapshot:
+        """Fold deltas into a fresh base (LWW winners, tombstones kept)."""
+        cur = self.read_current()
+        snap = self.snapshot()
+        files = self._write_data(cur, snap, level="base")
+        return self.commit(
+            add_files=files,
+            remove_buckets=set(range(snap.num_buckets)),
+            remove_level=("base", "delta"),
+        )
+
+    def overwrite(self, df: DataFrame, properties_update: dict[str, str] | None = None) -> Snapshot:
+        """Full rewrite (the T12 'state-diff full refresh' analogue)."""
+        snap = self.snapshot()
+        df = _conform(df, snap.schema)
+        files = self._write_data(df, snap, level="base")
+        return self.commit(
+            add_files=files,
+            remove_buckets=set(range(snap.num_buckets)),
+            properties_update=properties_update,
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # ------------------------------------------------------------ evolution
+    def evolve_schema(self, batch_schema: T.StructType) -> T.StructType:
+        """Additive evolution: current schema + any new batch fields
+        (nullable). Never drops or retypes existing columns
+        (on_schema_change='append_new_columns', contacts.sql:5)."""
+        cur = self.snapshot().schema
+        names = {f.name for f in cur.fields}
+        added = [f for f in batch_schema.fields if f.name not in names]
+        if not added:
+            return cur
+        return T.StructType(
+            cur.fields + [T.StructField(f.name, f.dataType, True) for f in added]
+        )
+
+
+def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema column order, adding missing cols as null."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,134 @@
+"""MERGE INTO over SnapshotTable — bucket-pruned copy-on-write upsert.
+
+The Spark re-expression of the reference's idempotent bulk upsert
+``INSERT ... ON CONFLICT (_id) DO UPDATE SET ... = EXCLUDED.*``
+(couch2pg/src/importer.js:18-25, 67-84) plus the dbt incremental
+``unique_key`` merge + tombstone post-hook
+(tests/dbt/package/models/contacts/contacts.sql:2-6).
+
+Algorithm (all DataFrame ops; Catalyst plans the physical side):
+
+1. LWW-dedup the batch to one row per key (precondition for idempotent
+   replay — SURVEY.md §7.3 #1).
+2. Compute each batch row's bucket; collect the distinct bucket ids (≤
+   num_buckets small ints — the only driver-side collect).
+3. Read ONLY the affected buckets of the target (file pruning via the
+   manifest; untouched buckets are carried over unchanged).
+4. Union target-slice ∪ batch and run the same LWW window again, with a
+   final "prefer existing row" tiebreak so replaying an already-applied
+   batch is a byte-level no-op (exactly-once = at-least-once + idempotent
+   apply, SURVEY.md §2.1 S3/S4).
+5. Tombstone policy:
+   - ``'keep'``  (landing table): winner tombstones remain as rows with
+     ``_deleted=true`` (e2e-test.spec.js:203-204);
+   - ``'drop'``  (typed models): winner tombstones are removed — the
+     ``WHEN MATCHED AND s._deleted THEN DELETE`` clause + suppressed
+     insert of never-seen tombstones (contacts.sql:6, SURVEY §2.3 T7).
+6. Write replacement files for affected buckets, commit atomically with
+   any property updates (checkpoints / epoch markers) in the SAME
+   snapshot.
+
+Scale: upsert cost ∝ (batch keys' bucket spread / num_buckets) × table
+size. Size ``num_buckets`` so a micro-batch touches a small fraction;
+for pure-ingest throughput use ``SnapshotTable.append_delta`` (merge-on-
+read) and compact on a cadence. Skew: the union/window shuffles by the
+full key (conv_id, turn_idx) — fine-grained — and AQE skew-join handles
+the residual (session.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cht_sync_spark.operators.lww import lww_dedup
+from cht_sync_spark.tables.format import SnapshotTable, Snapshot, _conform, bucket_expr
+
+
+@dataclass
+class MergeStats:
+    version: int
+    rows_in_batch: int
+    rows_deleted_tombstones: int
+    affected_buckets: int
+    num_buckets: int
+    skew_max_ratio: float
+
+
+def merge_upsert(
+    table: SnapshotTable,
+    batch: DataFrame,
+    *,
+    tombstones: Literal["keep", "drop"] = "keep",
+    dedup_batch: bool = True,
+    properties_update: dict[str, str] | None = None,
+    evolve: bool = True,
+) -> MergeStats:
+    snap = table.snapshot()
+    key = snap.key_cols
+
+    schema = table.evolve_schema(batch.schema) if evolve else snap.schema
+
+    lww = snap.lww_order or [(key[0], True)]
+    if dedup_batch:
+        batch = lww_dedup(batch, key=key, order=lww)
+    batch = _conform(batch, schema)
+
+    # single light aggregation for lineage + affected-bucket discovery
+    del_expr = (
+        F.sum(F.col("_deleted").cast("long")) if "_deleted" in batch.columns else F.lit(0)
+    )
+    bstats = (
+        batch.withColumn("__b", bucket_expr(key, snap.num_buckets))
+        .groupBy("__b")
+        .agg(F.count("*").alias("n"), del_expr.alias("d"))
+        .collect()
+    )
+    if not bstats:
+        if properties_update:
+            table.commit(add_files=[], properties_update=properties_update, new_schema=schema)
+        return MergeStats(table.current_version(), 0, 0, 0, snap.num_buckets, 0.0)
+
+    affected = sorted(r["__b"] for r in bstats)
+    rows_in = int(sum(r["n"] for r in bstats))
+    dels = int(sum(r["d"] or 0 for r in bstats))
+    sizes = sorted(r["n"] for r in bstats)
+    med = sizes[len(sizes) // 2]
+    skew = float(sizes[-1]) / float(med or 1)
+
+    target = table.read(buckets=affected)
+    target = _conform(target, schema).withColumn("__existing", F.lit(1))
+    batch = batch.withColumn("__existing", F.lit(0))
+
+    # LWW across old+new; at a full tie (replay) the existing row wins so
+    # re-applying a committed batch changes nothing.
+    order = list(lww) + [("__existing", False)]
+    merged = lww_dedup(target.unionByName(batch), key=key, order=order).drop("__existing")
+
+    if tombstones == "drop":
+        merged = merged.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+
+    write_snap = Snapshot(**{**snap.__dict__, "schema": schema})
+    files = table._write_data(merged, write_snap, level="base")
+    committed = table.commit(
+        add_files=files,
+        remove_buckets=set(affected),
+        properties_update=properties_update,
+        new_schema=schema,
+        expected_version=snap.version,
+    )
+    return MergeStats(committed.version, rows_in, dels, len(affected), snap.num_buckets, skew)
+
+
+def checkpoint_props(source: str, seq_hi: int, epoch_id: int, pending: int | None = None) -> dict[str, str]:
+    """Property keys for checkpoint + epoch markers, committed atomically
+    with the merge (the 'epoch marker inside the data-table snapshot' from
+    SURVEY.md §7.3 #5)."""
+    return {
+        f"checkpoint.{source}": json.dumps({"seq": seq_hi, "pending": pending}),
+        f"epoch.{source}": str(epoch_id),
+    }
