@@ -1,0 +1,216 @@
+"""Downstream typed models — the dbt transform plane, Spark-first.
+
+The reference maintains typed tables out of the raw landing table with dbt
+incremental models: type-dispatch filter + JSON projection + watermark +
+``unique_key`` merge + tombstone post-hook + model↔landing join
+(tests/dbt/package/models/contacts/{contacts,reports,persons}.sql —
+SURVEY.md §2.3 T1-T9, T12). Our models are Python transforms over
+DataFrames, maintained incrementally per micro-batch:
+
+- each model declares a transform ``f(landing_slice) -> rows`` and a key;
+- per epoch, the pipeline hands every model the batch's landing rows
+  (the micro-batch replaces the T5 watermark: the batch boundary IS the
+  watermark — which also removes the reference's couch2pg→dbt latency gap,
+  SURVEY.md §3.3);
+- aggregate models recompute only the GROUPS the batch touched, reading
+  just those keys back from the landing table (group-scoped incremental
+  aggregation — the Spark answer to dbt's row-level incremental);
+- tombstones cascade: a turn whose LWW winner is a delete produces a
+  ``_deleted`` model row, and the model merge drops it (T7/T9 — the FK
+  ``ON DELETE CASCADE`` of persons, contacts.yml:49-51);
+- each model stores a hash of its transform source in table properties;
+  a changed hash triggers a full rebuild from the landing table (T12 —
+  dbt's ``state:modified --full-refresh`` manifest diff, dbt-run.py:78-149).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+from dataclasses import dataclass, field
+from typing import Callable, Literal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+HASH_PROP = "model.transform_hash"
+EPOCH_PROP = "model.epoch"
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    key_cols: list[str]
+    schema: T.StructType
+    # transform: full-state rows for the given landing slice (live + deleted
+    # rows of the affected scope); must emit a `_deleted` column so the merge
+    # can cascade deletions.
+    transform: Callable[[DataFrame], DataFrame]
+    # group_cols: if set, the model aggregates per group; incremental runs
+    # recompute whole groups touched by the batch (reading them back from
+    # landing); if None, the model is row-wise on the batch itself.
+    group_cols: list[str] | None = None
+    num_buckets: int = 16
+    lww_order: list[tuple[str, bool]] = field(default_factory=lambda: [("seq", False)])
+
+    def transform_hash(self) -> str:
+        return hashlib.sha256(inspect.getsource(self.transform).encode()).hexdigest()[:16]
+
+
+class ModelRunner:
+    def __init__(self, spark: SparkSession, spec: ModelSpec, path: str):
+        self.spark = spark
+        self.spec = spec
+        self.table = SnapshotTable.create(
+            spark, path, spec.schema, spec.key_cols,
+            num_buckets=spec.num_buckets, lww_order=spec.lww_order,
+        )
+
+    def needs_full_refresh(self) -> bool:
+        return self.table.snapshot().properties.get(HASH_PROP) != self.spec.transform_hash()
+
+    def last_epoch(self) -> int:
+        """Per-model exactly-once marker: models commit independently of the
+        landing table, so a crash between the two replays only the model
+        side of the batch (idempotent merge makes that safe)."""
+        return int(self.table.snapshot().properties.get(EPOCH_PROP, -1))
+
+    def full_refresh(self, landing: SnapshotTable) -> None:
+        """Rebuild from scratch (T12): transform the whole reconciled
+        landing state, drop tombstone outputs, overwrite."""
+        rows = self.spec.transform(landing.read_current())
+        live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
+
+    def run_increment(self, landing: SnapshotTable, batch_rows: DataFrame, epoch: int | None = None) -> None:
+        """Incremental maintenance for one micro-batch.
+
+        ``batch_rows`` = the LWW-deduped landing-shaped rows of this epoch
+        (including tombstones). Row-wise models transform the batch
+        directly; grouped models recompute the touched groups from the
+        landing table (scoped semi-join read).
+        """
+        if epoch is not None and epoch <= self.last_epoch():
+            return
+        if self.needs_full_refresh():
+            self.full_refresh(landing)
+            if epoch is not None:
+                self.table.commit(add_files=[], properties_update={EPOCH_PROP: str(epoch)})
+            return
+        if self.spec.group_cols:
+            # touched groups + the batch's max seq per group (the seq rides
+            # on tombstones so they outrank the stale model row in LWW)
+            keys = batch_rows.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
+            # landing read scoped to touched groups; broadcast semi-join
+            # (touched-group set is micro-batch-sized)
+            scope = landing.read_current().join(
+                F.broadcast(keys.select(*self.spec.group_cols)),
+                on=self.spec.group_cols,
+                how="left_semi",
+            )
+            out = self.spec.transform(scope)
+            # stamp recomputed rows with the BATCH's max seq per group, not
+            # the transform's own seq: after a delete event the live-turn
+            # max seq can regress below the stored row's and the stale row
+            # would win the LWW merge
+            if "seq" in out.columns:
+                out = out.drop("seq").join(F.broadcast(keys), on=self.spec.group_cols, how="left")
+            # groups whose every turn is now deleted disappear from the
+            # transform output -> emit explicit tombstones for them
+            gone = keys.join(
+                out.select(*self.spec.group_cols).distinct(),
+                on=self.spec.group_cols,
+                how="left_anti",
+            ).withColumn("_deleted", F.lit(True))
+            out = out.unionByName(gone, allowMissingColumns=True)
+        else:
+            out = self.spec.transform(batch_rows)
+        props = {HASH_PROP: self.spec.transform_hash()}
+        if epoch is not None:
+            props[EPOCH_PROP] = str(epoch)
+        merge_upsert(self.table, out, tombstones="drop", properties_update=props)
+
+
+# --------------------------------------------------------------------------
+# Concrete transcript models (FIXTURES.md §5)
+# --------------------------------------------------------------------------
+
+def _conversations_transform(landing: DataFrame) -> DataFrame:
+    """conversations(conv_id, n_turns, first_ts, last_ts, has_tool_calls):
+    per-conversation rollup of LIVE turns — the contacts.sql analogue
+    (filter + project + unique-key merge + tombstone delete)."""
+    live = landing.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return (
+        live.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.max((F.col("role") == "tool").cast("boolean")).alias("has_tool_calls"),
+            F.max("seq").alias("seq"),
+        )
+        .withColumn("_deleted", F.lit(False))
+    )
+
+
+CONVERSATIONS = ModelSpec(
+    name="conversations",
+    key_cols=["conv_id"],
+    schema=T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_turns", T.LongType(), True),
+            T.StructField("first_ts", T.TimestampType(), True),
+            T.StructField("last_ts", T.TimestampType(), True),
+            T.StructField("has_tool_calls", T.BooleanType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    ),
+    transform=_conversations_transform,
+    group_cols=["conv_id"],
+)
+
+
+def _tool_calls_transform(rows: DataFrame) -> DataFrame:
+    """tool_calls(conv_id, turn_idx, tool, text, ts): row-wise filter model —
+    the persons.sql analogue (model-scoped projection with cascade delete:
+    a deleted turn deletes its tool_call row; a live non-tool winner also
+    removes any stale tool_call row for that key)."""
+    return rows.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "text",
+        "ts",
+        "seq",
+        "rev_height",
+        "_rev",
+        (F.coalesce(F.col("_deleted"), F.lit(False)) | (F.col("role") != "tool")).alias("_deleted"),
+    )
+
+
+TOOL_CALLS = ModelSpec(
+    name="tool_calls",
+    key_cols=["conv_id", "turn_idx"],
+    schema=T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("rev_height", T.LongType(), True),
+            T.StructField("_rev", T.StringType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    ),
+    transform=_tool_calls_transform,
+    group_cols=None,
+    lww_order=[("rev_height", False), ("_deleted", True), ("_rev", False), ("seq", False)],
+)

@@ -68,6 +68,7 @@ class ReplayPipeline:
         transform: Literal["catalyst", "arrow"] = "catalyst",
         saved_ts: Literal["event", "now"] = "event",
         lineage_path: str | None = None,
+        models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
     ):
         self.spark = spark
         self.feed = feed
@@ -85,6 +86,9 @@ class ReplayPipeline:
             if lineage_path
             else None
         )
+        from cht_sync_spark.operators.models import ModelRunner
+
+        self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
 
     # ------------------------------------------------------------------ state
     def state(self) -> tuple[int, int]:
@@ -103,12 +107,21 @@ class ReplayPipeline:
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
         wm, last_epoch = self.state()
-        if epoch <= last_epoch:
+        landing_done = epoch <= last_epoch
+        models_done = all(m.last_epoch() >= epoch for m in self.models)
+        if landing_done and models_done:
             return BatchResult(epoch, lo, hi, 0, 0, skipped=True)
 
         events = self.feed.batch(lo, hi)
         rows = self._transform(events)
         rows = lww_dedup(rows)
+
+        if landing_done:
+            # crash happened between landing commit and model commit last
+            # run: replay only the model side of this batch
+            for m in self.models:
+                m.run_increment(self.table, rows, epoch=epoch)
+            return BatchResult(epoch, lo, hi, 0, int((time.monotonic() - t0) * 1000))
 
         # per-source checkpoint props (the couchdb_progress analogue) — one
         # small agg; committed atomically with the data
@@ -129,6 +142,9 @@ class ReplayPipeline:
             stats = merge_upsert(self.table, rows, tombstones="keep", dedup_batch=False, properties_update=props)
             n, dels, skew = stats.rows_in_batch, stats.rows_deleted_tombstones, stats.skew_max_ratio
 
+        for m in self.models:
+            m.run_increment(self.table, rows, epoch=epoch)
+
         dur = int((time.monotonic() - t0) * 1000)
         if self.lineage is not None:
             recs = [
@@ -144,14 +160,15 @@ class ReplayPipeline:
         watcher.js:8-14, as ``trigger(availableNow=True)`` semantics)."""
         cuts = self.feed.plan_batches(self.batch_size)
         results: list[BatchResult] = []
-        wm, _ = self.state()
-        lo = wm
+        lo = -(2**62)
         for epoch, hi in enumerate(cuts):
-            if hi <= wm:
-                lo = hi
-                continue
-            if max_batches is not None and len(results) >= max_batches:
+            if max_batches is not None and len([r for r in results if not r.skipped]) >= max_batches:
                 break
-            results.append(self.run_batch(epoch, lo, hi))
+            # run_batch itself decides skip per component (landing watermark
+            # vs per-model epoch markers), so lagging models catch up even
+            # when the landing table is already past this range
+            r = self.run_batch(epoch, lo, hi)
+            if not r.skipped:
+                results.append(r)
             lo = hi
         return results

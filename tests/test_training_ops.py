@@ -1,0 +1,116 @@
+"""Training-data operators: recall of approximate methods vs exact
+baselines, multimodal plumbing, text-function invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """LSH candidates must recover most true near-dup pairs (j >= 0.7)."""
+    from cht_sync_spark.functions.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, n=2, threshold=0.7).collect()
+    }
+    assert exact, "corpus must contain near-dups at j>=0.7"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, n=2, threshold=0.7).collect()
+    }
+    assert approx <= exact or all(p in exact for p in approx), "verified pairs must be true pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"minhash-LSH recall {recall:.2f} < 0.8"
+
+
+def test_simhash_flags_known_near_dups(spark, docs):
+    from cht_sync_spark.functions.dedup import jaccard_pairs, simhash_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, n=2, threshold=0.9).collect()}
+    sim = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=10).collect()}
+    if exact:
+        hit = len(exact & sim) / len(exact)
+        assert hit >= 0.5, f"simhash found only {hit:.2f} of j>=0.9 pairs"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    from cht_sync_spark.functions.similarity import ann_lsh_topk, cosine_topk
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(rest, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_lsh_topk(rest, qvec, k=10, n_planes=6).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"ANN recall@10 {recall} too low"
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from cht_sync_spark.functions.similarity import cosine_topk, ivf_topk
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(rest, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(rest, qvec, k=10, n_cells=8, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"IVF recall@10 {recall} too low"
+
+
+def test_multimodal_plumbing(spark, docs):
+    from cht_sync_spark.functions.multimodal import (
+        decode_media,
+        documents_as_media,
+        frame_sample_plan,
+        resize_plan,
+    )
+
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    dec = decode_media(media, mode="fake").cache()
+    n = dec.count()
+    assert n == docs.count()
+    # deterministic fake decode: re-run equals first run
+    again = decode_media(media, mode="fake")
+    assert dec.exceptAll(again).count() == 0
+    rp = resize_plan(dec, target=224)
+    bad = rp.where(
+        (F.least("out_w", "out_h") != 224)
+        & (F.abs(F.least("out_w", "out_h") - 224) > 1)  # rounding slack
+    ).count()
+    assert bad == 0
+    fs = frame_sample_plan(dec, every_ms=500)
+    assert fs.where(F.col("frame_ms") % 500 != 0).count() == 0
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media, mode="real").collect()
+
+
+def test_simhash_similar_texts_close(spark):
+    from cht_sync_spark.functions.text import hamming64, simhash64
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "completely unrelated words about spark shuffles and parquet file statistics"),
+        ],
+        ["id", "text"],
+    )
+    s = {r["id"]: r["sh"] for r in df.select("id", simhash64(F.col("text")).alias("sh")).collect()}
+    d12 = bin(s[1] ^ s[2]).count("1")
+    d13 = bin(s[1] ^ s[3]).count("1")
+    assert d12 < d13, f"similar texts not closer: {d12} vs {d13}"
+    assert all(v >= 0 for v in s.values()), "sign bit must stay clear"
