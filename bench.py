@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two workload groups:
+
+1. **CDC replay** (the BASELINE.json north-star metric): a deterministic
+   synthetic CouchDB-changes feed, sized proportionally to the scale factor,
+   replayed through the full pipeline (seq-range source -> Catalyst doc->row
+   transform -> LWW dedup -> snapshot-committed upsert) in both merge-on-read
+   (sustained-ingest path) and copy-on-write (bucket-pruned MERGE) modes.
+   Feed generation/writing is NOT timed; `events_per_sec` extras report
+   sustained change-events/sec. Scaling-efficiency evidence (local[8] vs
+   local[32]) lives in scripts/bench_scaling.py -> BENCH/BASELINE.md.
+
+2. **Driver-table queries**: representative operators from
+   __spark_entry__.queries() over the driver parquet tables, forced with the
+   noop sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/cht_sync_bench")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> None:
+    """Run the full plan with no result transfer (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_feed(spark, sf: float) -> tuple[str, int]:
+    """Deterministic bench feed sized ~10M events/sf unit, cached on disk.
+
+    Cache key includes all gen params, so identical across rounds/runs.
+    """
+    from cht_sync_spark.sources.feedgen import synth_changes, write_feed
+
+    n_convs = max(200, int(80_000 * sf / 0.1))
+    params = f"v2_{n_convs}_6_8_4_2500_2_42"
+    path = os.path.join(BENCH_TMP, f"feed_{params}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        feed = synth_changes(
+            spark, n_convs=n_convs, base_turns=6, turns_jitter=8,
+            hot_convs=4, hot_turns=2500, n_sources=2, seed=42,
+        )
+        write_feed(feed, path, n_files=32)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n = spark.read.parquet(path).count()
+    return path, n
+
+
+def bench_replay(spark, feed_path: str, n_events: int, mode: str, num_buckets: int) -> float:
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    out = os.path.join(BENCH_TMP, f"replay_{mode}")
+    shutil.rmtree(out, ignore_errors=True)
+    feed = ChangesFeedSource(spark, feed_path)
+    pipe = ReplayPipeline(
+        spark, feed, os.path.join(out, "landing"),
+        batch_size=max(200_000, n_events // 4),
+        num_buckets=num_buckets, mode=mode,
+    )
+    t0 = time.monotonic()
+    pipe.run()
+    if mode == "mor":
+        pipe.table.compact()  # sustained path pays compaction too
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from cht_sync_spark.session import get_spark
+
+    spark = get_spark("cht_sync_bench")
+    os.makedirs(BENCH_TMP, exist_ok=True)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- group 1: CDC replay (north-star workload) --------------------
+    feed_path, n_events = ensure_feed(spark, sf)
+    extras["feed_events"] = n_events
+    for mode in ("mor", "cow"):
+        sec = bench_replay(spark, feed_path, n_events, mode, num_buckets=64)
+        timings[f"replay_{mode}"] = round(sec, 3)
+        extras[f"replay_{mode}_events_per_sec"] = round(n_events / sec, 1)
+
+    # ---- group 2: driver-table operator queries -----------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "i1_seq_lww_dedup",
+        "t6_merge_upsert_lww",
+        "t8_inner_equijoin",
+        "t9_cascade_delete_antijoin",
+        "a3_count_by_status",
+        "p3_doc_row_transform",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_stats",
+        "similarity_topk",
+    ):
+        t0 = time.monotonic()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Structured Streaming form of the replay pipeline.
+
+The batch loop in :mod:`cht_sync_spark.streaming.pipeline` is the
+deterministic form used for correctness replays; this module runs the SAME
+per-batch body under Spark Structured Streaming — the idiomatic shape the
+engine deploys with on a real cluster:
+
+    spark.readStream (file source over the seq-ordered feed directory)
+      -> foreachBatch(apply)     # MERGE is not a raw streaming sink
+      -> trigger(availableNow=True)   # drain-and-stop (watcher.js:8-14)
+         or trigger(processingTime=...)  # tailing mode (DELAY=5s poll,
+                                         # couch2pg/src/watcher.js:4)
+
+Exactly-once composition (SURVEY.md §2.5 I2):
+
+- Spark's streaming checkpoint (WAL of file offsets) guarantees each batch
+  id is replayed with the same input files after a crash — at-least-once
+  with stable batch ids;
+- the engine's epoch marker (``epoch.stream`` in the target's snapshot
+  properties, committed atomically WITH the data) + the idempotent LWW
+  MERGE turn that into exactly-once: a replayed batch is either skipped
+  (marker already past it) or merges to a byte-identical state.
+
+This mirrors the reference's design: checkpoint written after the upsert
+commits (importer.js:171-172), upsert idempotent by key (importer.js:19-25),
+so the crash window replays one batch harmlessly.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Literal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cht_sync_spark.functions.json_doc import doc_to_row
+from cht_sync_spark.operators.lww import lww_dedup
+from cht_sync_spark.schemas import CHANGE_EVENT, TRANSCRIPT, TRANSCRIPT_KEY
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+EPOCH_PROP = "epoch.stream"
+
+
+class StreamingReplay:
+    """Replay/tail a changes-feed directory with Structured Streaming."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_path: str,
+        table_path: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int = 4,
+        num_buckets: int = 16,
+        mode: Literal["cow", "mor"] = "cow",
+        fail_after_batches: int | None = None,  # test hook: crash injection
+    ):
+        self.spark = spark
+        self.feed_path = feed_path
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.mode = mode
+        self.fail_after_batches = fail_after_batches
+        self._applied = 0
+        self.table = SnapshotTable.create(
+            spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets
+        )
+
+    # ------------------------------------------------------------- batch body
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        if self.fail_after_batches is not None and self._applied >= self.fail_after_batches:
+            raise RuntimeError("injected crash (test hook)")
+
+        last = int(self.table.snapshot().properties.get(EPOCH_PROP, -1))
+        if epoch_id <= last:
+            return  # replayed batch already fully committed -> exactly-once skip
+
+        rows = doc_to_row(batch)
+        # deterministic ingest timestamp -> byte-identical resumed replays
+        rows = rows.withColumn(
+            "saved_timestamp",
+            F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)),
+        )
+        rows = lww_dedup(rows)
+
+        src_stats = (
+            batch.groupBy("source")
+            .agg(F.max("seq").alias("hi"), F.count("*").alias("n"))
+            .collect()
+        )
+        props = {EPOCH_PROP: str(epoch_id)}
+        for r in src_stats:
+            props[f"checkpoint.{r['source']}"] = json.dumps(
+                {"seq": int(r["hi"]), "rows": int(r["n"])}
+            )
+
+        if self.mode == "mor":
+            schema = self.table.evolve_schema(rows.schema)
+            self.table.append_delta(rows, properties_update=props, new_schema=schema)
+        else:
+            merge_upsert(
+                self.table, rows, tombstones="keep", dedup_batch=False,
+                properties_update=props,
+            )
+        self._applied += 1
+
+    # ------------------------------------------------------------------ runs
+    def _stream(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(CHANGE_EVENT)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.feed_path)
+        )
+
+    def run_available_now(self, timeout_sec: int = 3600) -> None:
+        """Drain everything currently in the feed, then stop
+        (trigger(availableNow) — the reference's drain-until-empty loop)."""
+        q = (
+            self._stream()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+
+    def run_tailing(self, processing_time: str = "5 seconds"):
+        """Continuous tailing (the 5s poll loop, watcher.js:4); returns the
+        StreamingQuery for the caller to manage."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )

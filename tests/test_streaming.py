@@ -1,0 +1,86 @@
+"""Structured Streaming replay: parity with the batch pipeline, exactly-once
+across crash/resume, idempotent re-run.
+
+The streaming form must land the IDENTICAL final table state as the batch
+replay (the reference's downtime-convergence e2e tests,
+tests/e2e-test.spec.js:358-419, re-expressed as crash injection inside
+foreachBatch + resume from the Spark checkpoint).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.streaming.pipeline import ReplayPipeline
+from cht_sync_spark.streaming.stream import StreamingReplay
+
+from tests.oracle import COMPARE_COLS, table_to_state
+
+
+def _state(table):
+    return table_to_state([r.asDict() for r in table.read_current().collect()])
+
+
+def _assert_equal(got, want):
+    assert set(got) == set(want)
+    for _id in want:
+        for c in COMPARE_COLS:
+            assert got[_id][c] == want[_id][c], f"{_id}.{c}"
+
+
+@pytest.fixture(scope="module")
+def batch_state(spark, feed_path, tmp_path_factory):
+    p = tmp_path_factory.mktemp("sbatch")
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, feed_path), str(p / "t"),
+        batch_size=300, num_buckets=8,
+    )
+    pipe.run()
+    return _state(pipe.table)
+
+
+def test_streaming_available_now_matches_batch(spark, feed_path, tmp_path, batch_state):
+    sr = StreamingReplay(
+        spark, feed_path, str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8,
+    )
+    sr.run_available_now()
+    _assert_equal(_state(sr.table), batch_state)
+    # multiple micro-batches actually ran (4 feed files, 1 per trigger)
+    assert int(sr.table.snapshot().properties["epoch.stream"]) >= 1
+
+
+def test_streaming_crash_resume_exactly_once(spark, feed_path, tmp_path, batch_state):
+    """Kill the query mid-replay; resuming from the Spark checkpoint must
+    converge to the same final state with no duplicate effects."""
+    table_path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    crashing = StreamingReplay(
+        spark, feed_path, table_path, ckpt,
+        max_files_per_trigger=1, num_buckets=8, fail_after_batches=2,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        crashing.run_available_now()
+    v_crashed = crashing.table.current_version()
+    assert v_crashed > 1  # some batches landed before the crash
+
+    resumed = StreamingReplay(
+        spark, feed_path, table_path, ckpt, max_files_per_trigger=1, num_buckets=8
+    )
+    resumed.run_available_now()
+    _assert_equal(_state(resumed.table), batch_state)
+
+
+def test_streaming_rerun_is_noop(spark, feed_path, tmp_path, batch_state):
+    """Re-starting a fully drained stream commits nothing new."""
+    sr = StreamingReplay(
+        spark, feed_path, str(tmp_path / "t"), str(tmp_path / "ckpt"), num_buckets=8
+    )
+    sr.run_available_now()
+    v1 = sr.table.current_version()
+    again = StreamingReplay(
+        spark, feed_path, str(tmp_path / "t"), str(tmp_path / "ckpt"), num_buckets=8
+    )
+    again.run_available_now()
+    assert again.table.current_version() == v1
+    _assert_equal(_state(again.table), batch_state)
