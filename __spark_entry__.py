@@ -275,12 +275,13 @@ def q_dedup_minhash_lsh(spark, sf):
 
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs (bit-majority fingerprint; chunk-bucketed
-    candidate join). Bit-level hash composition is not expressible in
+    candidate join). max_hamming=3 keeps the 4x16-bit pigeonhole recall
+    guarantee exact. Bit-level hash composition is not expressible in
     portable SQL — rows-only."""
     from cht_sync_spark.functions.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=10)
+    return simhash_pairs(d, max_hamming=3)
 
 
 def q_dedup_embedding_cosine(spark, sf):

@@ -67,45 +67,80 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs via an inverted-index self-join.
+    """EXACT n-gram Jaccard similar pairs (no misses at >= threshold), at
+    inverted-index cost bounded by prefix filtering (AllPairs/PPJoin-style).
 
-    shingle -> postings; pairs sharing >=1 shingle get |A∩B| by a grouped
-    count; |A∪B| = |A|+|B|-|A∩B|. Shuffles by shingle then by pair — both
-    keyed, no cross join. (This is also the verifier for LSH candidates.)
+    Why not the naive postings self-join: with a skewed token distribution
+    the per-token posting lists explode the join (sum over tokens of
+    |postings|^2). Prefix filtering is the standard fix: order each doc's
+    distinct shingle hashes by global document frequency (rarest first) and
+    index only the first ``|A| - ceil(t*|A|) + 1``; any pair with
+    J >= t must share >= ceil(t*|A|) shingles, hence shares at least one
+    PREFIX shingle — so joining prefixes only loses nothing, and the
+    high-frequency tokens that caused the blowup never enter the join.
+    Verification then computes exact Jaccard per deduped candidate pair
+    from compact int64 shingle-hash arrays.
+
+    Shuffles: postings by token (freq join), by id (rank window), prefix
+    join by token, verify joins by id — all keyed; AQE handles residual
+    token skew.
     """
-    sh = df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("sh"))
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    post = sh.select("id", F.explode("sh").alias("s"))
-    a, b = post.alias("a"), post.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+    from pyspark.sql import Window
+
+    base = (
+        df.select(F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    post = base.select("id", "n_sh", F.explode("hs").alias("h"))
+    freq = post.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = post.join(freq, "h").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "h")),
+    )
+    prefix = ranked.where(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    ).select("id", "h")
+    x, y = prefix.alias("x"), prefix.alias("y")
+    cand = (
+        x.join(y, (F.col("x.h") == F.col("y.h")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a, b = base.alias("sa"), base.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    union = F.col("sa.n_sh") + F.col("sb.n_sh") - inter
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
-        )
+        cand.join(a, F.col("id_a") == F.col("sa.id"))
+        .join(b, F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
 
 # ------------------------------------------------------------- MinHash + LSH
+def shingle_hashes(col, n: int = 3):
+    """Distinct shingles -> distinct int64 hashes. Each shingle string is
+    hashed EXACTLY ONCE; every downstream minhash permutation hashes these
+    fixed-width longs (the hash-once trick: string hashing is O(shingle
+    bytes), the per-permutation re-hash is O(1) per shingle)."""
+    return F.transform(word_ngrams(col, n), lambda s: F.xxhash64(s))
+
+
 def minhash_signature(col, num_hashes: int = 32, n: int = 3):
-    """MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
-    One transform over seeds of an array_min over shingle hashes — columnar."""
-    sh = word_ngrams(col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    """MinHash signature over pre-hashed shingles: sig[j] = min over
+    shingle hashes h of xxhash64(h, j). Columnar; long-input hashes only
+    (no per-permutation string re-hash, and no ANSI overflow — Spark 4
+    rejects wrapping long arithmetic, so a*h+b permutations are out)."""
+    hs = shingle_hashes(col, n)
+    return _signature_from_hashes(hs, num_hashes)
+
+
+def _signature_from_hashes(hs, num_hashes: int):
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(j))))
+            for j in range(num_hashes)
+        ]
     )
 
 
@@ -121,22 +156,41 @@ def minhash_lsh_pairs(
     """MinHash -> band -> bucket-join candidates -> exact Jaccard verify.
 
     Candidates = pairs agreeing on at least one band hash (classic banding:
-    P[candidate] ≈ 1-(1-j^r)^b). The bucket join shuffles on (band, hash) —
-    small keys, skew-safe under AQE. Verification reuses jaccard_pairs'
-    math on the candidate set only.
+    P[candidate] ≈ 1-(1-j^r)^b). Scale discipline:
+
+    - shingles are hashed to int64 ONCE (:func:`shingle_hashes`); signatures
+      are integer permutations of that array;
+    - the band self-join carries ONLY (id, band, bandhash) — candidate pairs
+      are deduped as bare id pairs before any text/array is attached;
+    - verification joins the deduped pairs back to a compact
+      (id, shingle-hash array) side, so exact Jaccard runs on int arrays for
+      candidate pairs only, never on texts.
+
+    The bucket join shuffles on (band, bandhash) — small keys, skew-safe
+    under AQE.
     """
     r = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"), minhash_signature(F.col(text_col), num_hashes, n).alias("sig"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), n).alias("hs"),
+    )
+    sig = base.select("id", "hs", _signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
     banded = sig.select(
         "id",
-        "__t",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")))).alias("bh")),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))
+                        )
+                    ).alias("bh"),
+                ),
             )
         ).alias("bb"),
-    ).select("id", "__t", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -145,21 +199,19 @@ def minhash_lsh_pairs(
             & (F.col("x.bh") == F.col("y.bh"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.__t").alias("ta"),
-            F.col("y.__t").alias("tb"),
-        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify on candidates only (columnar set ops on shingle arrays)
-    sa, sb = word_ngrams(F.col("ta"), n), word_ngrams(F.col("tb"), n)
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(sa) + F.size(sb) - inter
-    return cand.select(
-        "id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    sides = base.select("id", "hs", F.size("hs").alias("n_sh"))
+    a, b = sides.alias("sa"), sides.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    union = F.col("sa.n_sh") + F.col("sb.n_sh") - inter
+    return (
+        cand.join(a, F.col("id_a") == F.col("sa.id"))
+        .join(b, F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ----------------------------------------------------------------- SimHash
@@ -196,8 +248,8 @@ def simhash_pairs(
             F.col("y.id").alias("id_b"),
             hamming64(F.col("x.sh"), F.col("y.sh")).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)  # filter BEFORE the pair dedup
         .dropDuplicates(["id_a", "id_b"])
-        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -41,6 +41,29 @@ def lww_order_cols(order: Sequence[tuple[str, bool]] = tuple(LWW_ORDER)) -> list
     ]
 
 
+def _max_wins_exprs(df: DataFrame, order: Sequence[tuple[str, bool]]) -> list[Column] | None:
+    """Rewrite an (asc/desc, nulls-last) order spec into columns whose
+    STRUCT MAX picks the same winner, or None if not expressible.
+
+    desc_nulls_last == max with null-smallest struct ordering directly;
+    asc needs inversion, possible for booleans (~) and numerics (negate).
+    Timestamps/strings ascending have no cheap inversion -> window fallback.
+    """
+    types = dict(df.dtypes)
+    out: list[Column] = []
+    for name, asc in order:
+        c = F.col(name)
+        if not asc:
+            out.append(c)
+        elif types.get(name) == "boolean":
+            out.append(~c)  # ~null = null -> loses, matching asc_nulls_last
+        elif types.get(name) in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+            out.append(-c)
+        else:
+            return None
+    return out
+
+
 def lww_dedup(
     df: DataFrame,
     key: Sequence[str] = tuple(TRANSCRIPT_KEY),
@@ -51,7 +74,20 @@ def lww_dedup(
     Idempotent and associative: dedup(a ∪ dedup(b ∪ c)) == dedup(a ∪ b ∪ c),
     which is what makes micro-batch replay and merge-on-read compaction safe
     (the same operator runs batch-level, merge-level, and read-level).
+
+    Physical strategy: when the order spec can be expressed as a struct MAX
+    (all columns desc, or asc on invertible types), the winner is computed
+    with ``groupBy(key).agg(max_by(row, order_struct))`` — a hash aggregate
+    with MAP-SIDE PARTIAL COMBINE, so duplicate-heavy feeds shrink before
+    the shuffle and no per-partition sort happens at all. Otherwise falls
+    back to the row_number window (full sort per key partition). Both paths
+    implement identical winner semantics (asserted equal in tests).
     """
+    exprs = _max_wins_exprs(df, order)
+    if exprs is not None:
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        winner = F.max_by(payload, F.struct(*exprs)).alias("__w")
+        return df.groupBy(*[F.col(k) for k in key]).agg(winner).select("__w.*")
     w = Window.partitionBy(*key).orderBy(*lww_order_cols(order))
     return (
         df.withColumn("__rn", F.row_number().over(w))

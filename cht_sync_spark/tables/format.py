@@ -246,17 +246,21 @@ class SnapshotTable:
         """Write df (must contain all snapshot schema cols) as per-bucket
         parquet under a fresh commit dir; returns manifest file entries.
 
-        One shuffle by bucket id; within each bucket the rows are sorted by
-        ``sort_cols`` so parquet pages carry tight min/max stats for key
-        lookups (the 'write-ordered by (conv_id, turn_idx)' from SURVEY §4).
+        One shuffle by bucket id into EXACTLY num_buckets tasks (each bucket
+        lands wholly in one task), so a commit produces ~one file per
+        touched bucket — not tasks×buckets small files. Within each bucket
+        the rows are sorted by ``sort_cols`` so parquet pages carry tight
+        min/max stats for key lookups (the 'write-ordered by (conv_id,
+        turn_idx)' from SURVEY §4). num_buckets is the write-parallelism
+        knob: size it to O(cluster cores) at scale.
         """
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join(_DATADIR, commit_id)
         out = os.path.join(self.path, rel)
         (
             df.withColumn("__bucket", bucket_expr(snap.key_cols, snap.num_buckets))
-            .repartition(F.col("__bucket"))
-            .sortWithinPartitions(*snap.sort_cols)
+            .repartition(snap.num_buckets, F.col("__bucket"))
+            .sortWithinPartitions("__bucket", *snap.sort_cols)
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out)
