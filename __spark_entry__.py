@@ -178,6 +178,29 @@ def q_t9_cascade_delete_antijoin(spark, sf):
     )
 
 
+def q_t11_extras_overflow(spark, sf):
+    """Additive-evolution overflow capture: fields not yet in the typed
+    payload schema land in an _extras map (from_json to map + map_filter,
+    pure Catalyst). Docs are assembled with conditionally-present fields so
+    the unknown-key set varies per row."""
+    from cht_sync_spark.functions.json_doc import doc_extras
+
+    d = _t(spark, sf, "documents")
+    doc = F.to_json(
+        F.struct(
+            F.col("text"),
+            F.when(F.col("lang") == "en", F.col("lang")).alias("lang"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("source")).alias("source"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(doc_extras(doc, known_fields=["text"])))).alias(
+            "extra_keys"
+        ),
+    )
+
+
 def q_t13_batched_incremental(spark, sf):
     return _t(spark, sf, "events").orderBy("event_id").limit(500).select("event_id", "user_id")
 
@@ -359,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_tombstone_delete": q_t7_tombstone_delete,
         "t8_inner_equijoin": q_t8_inner_equijoin,
         "t9_cascade_delete_antijoin": q_t9_cascade_delete_antijoin,
+        "t11_extras_overflow": q_t11_extras_overflow,
         "t13_batched_incremental": q_t13_batched_incremental,
         "a1_max_watermark": q_a1_max_watermark,
         "a2_lag_metric": q_a2_lag_metric,
@@ -453,6 +477,12 @@ def oracle_sql() -> dict[str, str]:
         "t9_cascade_delete_antijoin": (
             f"SELECT user_id, count(*) AS n_events FROM events WHERE user_id NOT IN "
             f"(SELECT user_id FROM ({lww}) WHERE last_event_type = 'error') GROUP BY user_id"
+        ),
+        "t11_extras_overflow": (
+            "SELECT doc_id, coalesce(array_to_string(list_sort(list_concat("
+            "CASE WHEN lang = 'en' THEN ['lang'] ELSE [] END, "
+            "CASE WHEN doc_id % 2 = 0 THEN ['source'] ELSE [] END)), ','), '') AS extra_keys "
+            "FROM documents"
         ),
         "t13_batched_incremental": (
             "SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 500"

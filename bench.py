@@ -26,7 +26,12 @@ import shutil
 import sys
 import time
 
-BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/cht_sync_bench")
+# mutable bench state on tmpfs when available (the VM's one virtual disk
+# is shared and noisy; see BENCH/BASELINE.md), feed cache included
+_default_tmp = "/dev/shm/cht_sync_bench" if os.path.isdir("/dev/shm") else "/tmp/cht_sync_bench"
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", _default_tmp)
+# page-zero the heap at JVM startup, outside the timed sections
+os.environ.setdefault("SPARK_GRAFT_JVM_OPTS", "-Xms16g -XX:+AlwaysPreTouch")
 
 
 def _sf_of(sf_dir: str) -> float:

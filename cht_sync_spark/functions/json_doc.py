@@ -126,6 +126,23 @@ def doc_to_row(
     )
 
 
+def doc_extras(doc_col: Column, known_fields: list[str] | None = None) -> Column:
+    """Unknown-field overflow map (SURVEY.md §7.3 #3 / T11).
+
+    Parses the raw JSON into ``map<string,string>`` (scalars coerced to
+    their JSON text) and drops every key the typed payload schema already
+    owns — what remains are fields that appeared before their ALTER/
+    promotion landed. Committed alongside the typed columns, so additive
+    evolution never loses data mid-stream. Pure Catalyst (from_json +
+    map_filter), no Python.
+    """
+    if known_fields is None:
+        known_fields = [f.name for f in DOC_PAYLOAD.fields]
+    m = F.from_json(sanitise(doc_col), T.MapType(T.StringType(), T.StringType()))
+    known = F.array(*[F.lit(k) for k in known_fields])
+    return F.map_filter(m, lambda k, _v: ~F.array_contains(known, k))
+
+
 def doc_to_row_arrow(events: DataFrame) -> DataFrame:
     """Arrow-vectorized doc->row over raw JSON strings (north_rule I5).
 

@@ -33,6 +33,17 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Executor-style resource isolation (what YARN/K8s cgroups do for real
+    # executors): cap the JVM's perceived CPU count so GC / netty / fork-join
+    # pools are sized to the worker's share, not the whole machine. Without
+    # this, several local-mode JVMs on one host each spawn machine-sized
+    # thread pools and the kernel scheduler thrashes (observed 70%+ system
+    # CPU with 4 concurrent workers).
+    active = os.environ.get("SPARK_GRAFT_ACTIVE_PROCS")
+    jvm_extra = f"-XX:ActiveProcessorCount={active}" if active else ""
+    # extra verbatim JVM flags (benches use -Xms + AlwaysPreTouch so heap
+    # page-zeroing happens at JVM startup, not inside the timed region)
+    jvm_extra = (jvm_extra + " " + os.environ.get("SPARK_GRAFT_JVM_OPTS", "")).strip()
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -41,9 +52,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # max_by/min_by (the LWW dedup fast path) run as ObjectHashAggregate,
+        # whose sort-based fallback triggers at a tiny default map size (128
+        # entries); keys per task are micro-batch-sized, so keep it hashing.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", jvm_extra)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )

@@ -27,13 +27,24 @@ from pyspark.sql import functions as F
 
 
 class ChangesFeedSource:
-    def __init__(self, spark: SparkSession, feed_path: str, sources: list[str] | None = None):
+    """``feed_path`` may be one directory or a list of them — a partitioned
+    feed (one directory per feed partition, the Kafka-partition / CouchDB-
+    per-database analogue, reference S8 multi-source fan-out) reads as the
+    union of its slices."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_path: str | list[str],
+        sources: list[str] | None = None,
+    ):
         self.spark = spark
         self.feed_path = feed_path
         self._sources = sources
 
     def df(self) -> DataFrame:
-        d = self.spark.read.parquet(self.feed_path)
+        paths = self.feed_path if isinstance(self.feed_path, list) else [self.feed_path]
+        d = self.spark.read.parquet(*paths)
         if self._sources:
             d = d.where(F.col("source").isin(self._sources))
         return d
@@ -53,20 +64,20 @@ class ChangesFeedSource:
         """Seq cut points [c0, c1, ..., cK] (c0 = -inf marker) such that each
         (c_i, c_{i+1}] range holds ~batch_size events.
 
-        One approxQuantile job over the seq column only (column-pruned scan).
-        Deterministic per feed+batch_size -> resumable epoch numbering.
+        One combined (count, max) agg job + (for multi-batch feeds) one
+        approxQuantile job, both over the seq column only (column-pruned
+        scan). Deterministic per feed+batch_size -> resumable epoch
+        numbering.
         """
         d = self.df()
-        n = d.count()
-        if n == 0:
+        n, hi = d.agg(F.count("*"), F.max("seq")).first()
+        if not n:
             return []
         k = max(1, -(-n // batch_size))  # ceil
         if k == 1:
-            hi = d.agg(F.max("seq")).first()[0]
             return [int(hi)]
         probs = [i / k for i in range(1, k)]
         cuts = d.approxQuantile("seq", probs, 0.001)
-        hi = d.agg(F.max("seq")).first()[0]
         uniq: list[int] = []
         for c in [int(c) for c in cuts] + [int(hi)]:
             if not uniq or c > uniq[-1]:

@@ -123,24 +123,50 @@ class ReplayPipeline:
                 m.run_increment(self.table, rows, epoch=epoch)
             return BatchResult(epoch, lo, hi, 0, int((time.monotonic() - t0) * 1000))
 
-        # per-source checkpoint props (the couchdb_progress analogue) — one
-        # small agg; committed atomically with the data
-        src_stats = (
-            events.groupBy("source").agg(F.max("seq").alias("hi"), F.count("*").alias("n")).collect()
-        )
-        props = {WATERMARK_PROP: str(hi), EPOCH_PROP: str(epoch)}
-        for r in src_stats:
-            props[f"checkpoint.{r['source']}"] = json.dumps({"seq": int(r["hi"]), "rows": int(r["n"])})
+        # Per-source checkpoint stats (the couchdb_progress analogue) ride
+        # the write job as Observation metrics — conditional aggregates per
+        # known source, collected DURING the write, zero extra pass over the
+        # batch. Committed atomically with the data.
+        from pyspark.sql import Observation
 
+        sources = self.feed.sources()
+        obs = Observation(f"batch{epoch}")
+        metrics = []
+        for i, s in enumerate(sources):
+            hit = F.when(F.col("source") == s, F.col("seq"))
+            metrics += [F.max(hit).alias(f"hi{i}"), F.count(hit).alias(f"n{i}")]
+        rows = rows.observe(obs, *metrics)
+
+        src_stats: list[dict] = []
+
+        def _ckpt_props() -> dict[str, str]:
+            # runs post-write / pre-commit: metrics from the write job land
+            # in the SAME atomic snapshot as the data they describe
+            got = obs.get
+            out = {}
+            for i, s in enumerate(sources):
+                if got[f"n{i}"]:
+                    src_stats.append({"source": s, "hi": got[f"hi{i}"], "n": got[f"n{i}"]})
+                    out[f"checkpoint.{s}"] = json.dumps(
+                        {"seq": int(got[f"hi{i}"]), "rows": int(got[f"n{i}"])}
+                    )
+            return out
+
+        props = {WATERMARK_PROP: str(hi), EPOCH_PROP: str(epoch)}
         if self.mode == "mor":
             schema = self.table.evolve_schema(rows.schema)
-            self.table.append_delta(rows, properties_update=props, new_schema=schema)
-            n = int(sum(r["n"] for r in src_stats))
+            self.table.append_delta(
+                rows, properties_update=props, new_schema=schema, properties_fn=_ckpt_props
+            )
             dels = 0
             skew = 0.0
         else:
-            stats = merge_upsert(self.table, rows, tombstones="keep", dedup_batch=False, properties_update=props)
-            n, dels, skew = stats.rows_in_batch, stats.rows_deleted_tombstones, stats.skew_max_ratio
+            stats = merge_upsert(
+                self.table, rows, tombstones="keep", dedup_batch=False,
+                properties_update=props, properties_fn=_ckpt_props,
+            )
+            dels, skew = stats.rows_deleted_tombstones, stats.skew_max_ratio
+        n = int(sum(r["n"] for r in src_stats))
 
         for m in self.models:
             m.run_increment(self.table, rows, epoch=epoch)

@@ -329,18 +329,27 @@ class SnapshotTable:
         df: DataFrame,
         properties_update: dict[str, str] | None = None,
         new_schema: T.StructType | None = None,
+        properties_fn=None,
     ) -> Snapshot:
         """Merge-on-read fast path: commit the (already LWW-deduped) batch as
-        appended delta files. O(batch) — no target read, no rewrite."""
+        appended delta files. O(batch) — no target read, no rewrite.
+
+        ``properties_fn`` is called AFTER the data write and BEFORE the
+        manifest commit — the hook for checkpoint stats gathered as
+        Observation metrics during the write job, committed atomically with
+        the data they describe."""
         snap = self.snapshot()
         schema = new_schema or snap.schema
         df = _conform(df, schema)
         snap = Snapshot(**{**snap.__dict__, "schema": schema})
         files = self._write_data(df, snap, level="delta")
+        props = dict(properties_update or {})
+        if properties_fn is not None:
+            props.update(properties_fn())
         return self.commit(
             add_files=files,
             remove_buckets=None,
-            properties_update=properties_update,
+            properties_update=props,
             new_schema=schema,
         )
 

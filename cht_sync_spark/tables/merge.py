@@ -67,6 +67,7 @@ def merge_upsert(
     dedup_batch: bool = True,
     properties_update: dict[str, str] | None = None,
     evolve: bool = True,
+    properties_fn=None,
 ) -> MergeStats:
     snap = table.snapshot()
     key = snap.key_cols
@@ -114,10 +115,15 @@ def merge_upsert(
 
     write_snap = Snapshot(**{**snap.__dict__, "schema": schema})
     files = table._write_data(merged, write_snap, level="base")
+    props = dict(properties_update or {})
+    if properties_fn is not None:
+        # post-write, pre-commit: Observation metrics from the write job
+        # land in the SAME atomic snapshot as the data
+        props.update(properties_fn())
     committed = table.commit(
         add_files=files,
         remove_buckets=set(affected),
-        properties_update=properties_update,
+        properties_update=props,
         new_schema=schema,
         expected_version=snap.version,
     )

@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Executor-style scaling bench: N vs 4N worker PROCESSES.
+
+The single-JVM protocol (scripts/bench_scaling.py) scales threads inside
+one JVM — but a real cluster grows from N to 4N executors by adding whole
+JVMs, each with its own heap, GC, shuffle manager and write path. This
+bench simulates exactly that: the change feed is split by
+``pmod(xxhash64(conv_id), P)`` — the engine's own partitioning rule
+(SURVEY.md §4: same-key events always co-partition, so per-partition
+replay is order-correct and the union of the per-partition tables is the
+partitioned table) — and each partition is replayed by an independent
+``local[8]`` worker process into its own table shard.
+
+  N  = 1 worker  x local[8]  (replays the whole feed)
+  4N = 4 workers x local[8]  (each replays its hash quarter, concurrently)
+
+  efficiency = (events_per_sec@4N / events_per_sec@N) / 4
+
+Trials are interleaved and the best trial per level is kept (this host is
+a shared VM with double-digit hypervisor steal; see BENCH/BASELINE.md).
+
+Usage: python -m scripts.bench_fanout [--trials 3] [--events 3000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/cht_sync_bench")
+# Mutable benchmark state (tables, shuffle) lives on tmpfs: on a real
+# cluster every added executor brings its own local disk, so disk bandwidth
+# scales with N — on this single box the one virtual disk does NOT scale
+# and would masquerade as an engine bottleneck. The input feed stays on
+# disk (read-only, page-cached after first touch).
+STATE = os.environ.get("SPARK_GRAFT_BENCH_STATE", "/dev/shm/cht_sync_bench")
+CORES_PER_WORKER = int(os.environ.get("SPARK_GRAFT_FANOUT_CORES", "8"))
+FEED_PARTS = 4  # fixed feed partition count, assigned round-robin to workers
+
+
+def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> None:
+    """One simulated executor: replays its assigned feed partitions.
+
+    The feed is pre-split into FEED_PARTS directories by
+    ``pmod(xxhash64(conv_id), FEED_PARTS)`` (same-conv events co-partition,
+    so per-slice LWW replay is exact — SURVEY.md §4); a worker is assigned
+    FEED_PARTS/nparts of them, the way Kafka partitions or the reference's
+    per-database watchers (S8) are assigned to consumers.
+    """
+    sys.path.insert(0, REPO)
+    from cht_sync_spark.session import get_spark
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    os.makedirs(os.path.join(STATE, "local"), exist_ok=True)
+    spark = get_spark(
+        f"fanout{part}", cores=CORES_PER_WORKER,
+        extra_conf={"spark.local.dir": os.path.join(STATE, "local", f"w{part}")},
+    )
+    my_slices = [
+        os.path.join(feed_root, f"part={s}")
+        for s in range(FEED_PARTS)
+        if s % nparts == part
+    ]
+
+    # warmup replay on a small feed (JIT/codegen)
+    wdir = os.path.join(STATE, f"fw_{run_id}_{part}")
+    shutil.rmtree(wdir, ignore_errors=True)
+    warm = [p for p in os.listdir(TMP) if p.startswith("scalefeed_warm")][0]
+    wp = ReplayPipeline(
+        spark, ChangesFeedSource(spark, os.path.join(TMP, warm)),
+        os.path.join(wdir, "t"), batch_size=30_000, num_buckets=16, mode=mode,
+    )
+    wp.run()
+    if mode == "mor":
+        wp.table.compact()
+
+    tdir = os.path.join(STATE, f"f_{run_id}_{part}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, my_slices), os.path.join(tdir, "t"),
+        batch_size=1_000_000, num_buckets=16, mode=mode,
+    )
+    print(f"READY {part}", flush=True)
+    # wait for the coordinator's go signal so warmup never overlaps timing
+    for line in sys.stdin:
+        if line.strip() == "GO":
+            break
+    t0 = time.monotonic()
+    res = pipe.run()
+    if mode == "mor":
+        pipe.table.compact()
+    sec = time.monotonic() - t0
+    n = sum(r.rows for r in res)
+    print(f"WORKER_DONE {json.dumps({'part': part, 'rows': n, 'sec': round(sec, 2)})}", flush=True)
+    shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(wdir, ignore_errors=True)
+
+
+def _cpu_ticks() -> list[int]:
+    return [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+
+
+def run_level(nparts: int, feed_path: str, mode: str, run_id: str) -> dict:
+    procs = []
+    for p in range(nparts):
+        # cgroup-style isolation per simulated executor: pin to its own 8
+        # CPUs and size the JVM's internal pools to them
+        lo = p * CORES_PER_WORKER
+        env = dict(os.environ,
+                   SPARK_GRAFT_ACTIVE_PROCS=str(CORES_PER_WORKER),
+                   SPARK_GRAFT_DRIVER_MEM="12g",
+                   SPARK_GRAFT_JVM_OPTS="-Xms12g -XX:+AlwaysPreTouch")
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", f"{lo}-{lo + CORES_PER_WORKER - 1}",
+                 sys.executable, "-m", "scripts.bench_fanout", "--worker",
+                 str(nparts), str(p), feed_path, mode, run_id],
+                cwd=REPO, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, text=True, env=env,
+            )
+        )
+    # wait until every worker is warmed and parked at the barrier
+    for pr in procs:
+        for line in pr.stdout:
+            if line.startswith("READY"):
+                break
+    t0 = time.monotonic()
+    ticks0 = _cpu_ticks()
+    for pr in procs:
+        pr.stdin.write("GO\n")
+        pr.stdin.flush()
+    results = []
+    for pr in procs:
+        for line in pr.stdout:
+            if line.startswith("WORKER_DONE "):
+                results.append(json.loads(line.removeprefix("WORKER_DONE ")))
+                break
+        pr.wait(timeout=600)
+    wall = time.monotonic() - t0
+    d = [a - b for a, b in zip(_cpu_ticks(), ticks0)]
+    # hypervisor steal share of the level's non-idle CPU time: this is host
+    # oversubscription (a shared-VM artifact), not engine serialization —
+    # reported so the efficiency numbers can be read against it
+    nonidle = sum(d) - d[3]
+    steal_share = round(d[7] / nonidle, 3) if nonidle else 0.0
+    if len(results) != nparts or any(pr.returncode != 0 for pr in procs):
+        raise RuntimeError(f"fanout level {nparts} failed: {results}")
+    rows = sum(r["rows"] for r in results)
+    return {"workers": nparts, "rows": rows, "wall_sec": round(wall, 2),
+            "events_per_sec": round(rows / wall, 1), "steal_share": steal_share,
+            "per_worker": results}
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5], sys.argv[6])
+        return
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--events", type=int, default=3_000_000)
+    ap.add_argument("--mode", type=str, default="mor")
+    args = ap.parse_args()
+
+    # materialize the warm feed + the hash-partitioned main feed (untimed)
+    from scripts.bench_scaling import _feed  # noqa: E402
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from cht_sync_spark.session import get_spark
+
+    spark = get_spark("fanout_gen", cores=8)
+    _feed(spark, 60_000, "warm")
+    flat_path, n_events = _feed(spark, args.events, "main")
+    feed_path = f"{flat_path}_p{FEED_PARTS}"
+    marker = os.path.join(feed_path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(feed_path, ignore_errors=True)
+        flat = spark.read.parquet(flat_path)
+        conv = F.substring_index(F.col("id"), ":", 1)
+        for p in range(FEED_PARTS):
+            (
+                flat.where(F.pmod(F.xxhash64(conv), F.lit(FEED_PARTS)) == p)
+                .repartitionByRange(8, "seq")
+                .sortWithinPartitions("seq")
+                .write.mode("overwrite")
+                .parquet(os.path.join(feed_path, f"part={p}"))
+            )
+        open(marker, "w").write("ok")
+    spark.stop()
+
+    trials: dict[int, list[dict]] = {1: [], 4: []}
+    for t in range(args.trials):
+        for nparts in (1, 4):
+            print(f"=== trial {t}: {nparts} worker(s) x local[{CORES_PER_WORKER}] ===", flush=True)
+            r = run_level(nparts, feed_path, args.mode, f"t{t}")
+            trials[nparts].append(r)
+            print(json.dumps(r), flush=True)
+
+    best = {k: max(v, key=lambda r: r["events_per_sec"]) for k, v in trials.items()}
+    eff = round((best[4]["events_per_sec"] / best[1]["events_per_sec"]) / 4, 3)
+    report = {
+        "protocol": f"worker processes x local[{CORES_PER_WORKER}], feed hash-partitioned by conv_id",
+        "mode": args.mode,
+        "events": n_events,
+        "N": best[1],
+        "4N": best[4],
+        "all_trials": {str(k): [r["events_per_sec"] for r in v] for k, v in trials.items()},
+        "efficiency": eff,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "fanout.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps({"efficiency": eff, "N_eps": best[1]["events_per_sec"],
+                      "4N_eps": best[4]["events_per_sec"]}))
+
+
+if __name__ == "__main__":
+    main()
