@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -251,6 +252,27 @@ def q_i1_seq_lww_dedup(spark, sf):
     )
 
 
+def q_i5_arrow_doc_transform(spark, sf):
+    """Arrow-vectorized doc->row transform (SURVEY §2.5 I5): the pandas-UDF
+    escape hatch of the doc->row plane, crossing the JVM<->Python boundary
+    once per Arrow batch. Must agree with the Catalyst path (p3) — the
+    oracle is the same SQL extraction."""
+    import json
+
+    @F.pandas_udf("int")
+    def _k(props: pd.Series) -> pd.Series:
+        def get(p):
+            if p is None:
+                return None
+            v = json.loads(p).get("k")
+            return int(v) if v is not None else None
+
+        return props.map(get).astype("Int64")
+
+    ev = _t(spark, sf, "events")
+    return ev.select("event_id", _k(F.col("props")).alias("k"))
+
+
 def q_i3_salted_aggregation(spark, sf):
     """Two-stage salted aggregation (skew defusal): partial agg per
     (key, salt), then final re-agg per key — result identical to a plain
@@ -390,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_split_case_projection": q_a4_split_case_projection,
         "i1_seq_lww_dedup": q_i1_seq_lww_dedup,
         "i3_salted_aggregation": q_i3_salted_aggregation,
+        "i5_arrow_doc_transform": q_i5_arrow_doc_transform,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -504,6 +527,9 @@ def oracle_sql() -> dict[str, str]:
         "i1_seq_lww_dedup": (
             "SELECT user_id, event_id AS winner_seq FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1"
+        ),
+        "i5_arrow_doc_transform": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"
         ),
         "i3_salted_aggregation": (
             "SELECT event_type, count(*) AS n, "

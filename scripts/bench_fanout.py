@@ -69,13 +69,16 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
         if s % nparts == part
     ]
 
-    # warmup replay on a small feed (JIT/codegen)
+    # warm pass: replay the worker's own first slice end-to-end into a
+    # throwaway table (full-size batches -> every plan shape reaches JIT
+    # steady state), so the timed pass measures warm throughput at BOTH
+    # levels equally
     wdir = os.path.join(STATE, f"fw_{run_id}_{part}")
     shutil.rmtree(wdir, ignore_errors=True)
-    warm = [p for p in os.listdir(TMP) if p.startswith("scalefeed_warm")][0]
     wp = ReplayPipeline(
-        spark, ChangesFeedSource(spark, os.path.join(TMP, warm)),
-        os.path.join(wdir, "t"), batch_size=30_000, num_buckets=16, mode=mode,
+        spark,
+        ChangesFeedSource(spark, os.path.join(feed_root, f"part={part % FEED_PARTS}")),
+        os.path.join(wdir, "t"), batch_size=500_000, num_buckets=16, mode=mode,
     )
     wp.run()
     if mode == "mor":
@@ -83,22 +86,48 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
 
     tdir = os.path.join(STATE, f"f_{run_id}_{part}")
     shutil.rmtree(tdir, ignore_errors=True)
-    pipe = ReplayPipeline(
-        spark, ChangesFeedSource(spark, my_slices), os.path.join(tdir, "t"),
-        batch_size=1_000_000, num_buckets=16, mode=mode,
-    )
+    # The unit of work is a FEED-PARTITION REPLAY: one pipeline + one table
+    # shard per feed partition (per-partition sequence checkpoints,
+    # SURVEY.md §4; the union of shards is the partitioned table). A worker
+    # drains its assigned partitions sequentially — so the N=1 level
+    # executes EXACTLY the same work units as the 4N level, one at a time,
+    # and efficiency measures parallel execution alone (strong scaling over
+    # an identical task queue, the way one executor vs four drain four
+    # Kafka partitions / the reference's per-database watchers, S8).
+    pipes = [
+        ReplayPipeline(
+            spark, ChangesFeedSource(spark, s), os.path.join(tdir, f"shard{i}"),
+            batch_size=500_000, num_buckets=16, mode=mode,
+        )
+        for i, s in enumerate(my_slices)
+    ]
     print(f"READY {part}", flush=True)
     # wait for the coordinator's go signal so warmup never overlaps timing
     for line in sys.stdin:
         if line.strip() == "GO":
             break
     t0 = time.monotonic()
-    res = pipe.run()
-    if mode == "mor":
-        pipe.table.compact()
+    n = 0
+    batch_s = 0.0
+    nbatches = 0
+    for pipe in pipes:
+        res = pipe.run()
+        if mode == "mor":
+            pipe.table.compact()
+        n += sum(r.rows for r in res)
+        batch_s += sum(r.duration_ms for r in res) / 1000
+        nbatches += len(res)
     sec = time.monotonic() - t0
-    n = sum(r.rows for r in res)
-    print(f"WORKER_DONE {json.dumps({'part': part, 'rows': n, 'sec': round(sec, 2)})}", flush=True)
+    print(
+        "WORKER_DONE "
+        + json.dumps({
+            "part": part, "rows": n, "sec": round(sec, 2),
+            "slices": len(pipes), "batches": nbatches,
+            "batch_s": round(batch_s, 2),        # time inside run_batch
+            "other_s": round(sec - batch_s, 2),  # plan + compact + gaps
+        }),
+        flush=True,
+    )
     shutil.rmtree(tdir, ignore_errors=True)
     shutil.rmtree(wdir, ignore_errors=True)
 
@@ -107,7 +136,7 @@ def _cpu_ticks() -> list[int]:
     return [int(x) for x in open("/proc/stat").readline().split()[1:9]]
 
 
-def run_level(nparts: int, feed_path: str, mode: str, run_id: str) -> dict:
+def run_level(nparts: int, feed_path: str, mode: str, run_id: str, n_events: int) -> dict:
     procs = []
     for p in range(nparts):
         # cgroup-style isolation per simulated executor: pin to its own 8
@@ -152,10 +181,11 @@ def run_level(nparts: int, feed_path: str, mode: str, run_id: str) -> dict:
     steal_share = round(d[7] / nonidle, 3) if nonidle else 0.0
     if len(results) != nparts or any(pr.returncode != 0 for pr in procs):
         raise RuntimeError(f"fanout level {nparts} failed: {results}")
-    rows = sum(r["rows"] for r in results)
-    return {"workers": nparts, "rows": rows, "wall_sec": round(wall, 2),
-            "events_per_sec": round(rows / wall, 1), "steal_share": steal_share,
-            "per_worker": results}
+    # throughput numerator = RAW feed events (identical at every level);
+    # per-worker "rows" are post-LWW upserts and vary with batch layout
+    return {"workers": nparts, "events": n_events, "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1), "steal_share": steal_share,
+            "rows_upserted": sum(r["rows"] for r in results), "per_worker": results}
 
 
 def main() -> None:
@@ -200,11 +230,20 @@ def main() -> None:
     for t in range(args.trials):
         for nparts in (1, 4):
             print(f"=== trial {t}: {nparts} worker(s) x local[{CORES_PER_WORKER}] ===", flush=True)
-            r = run_level(nparts, feed_path, args.mode, f"t{t}")
+            r = run_level(nparts, feed_path, args.mode, f"t{t}", n_events)
             trials[nparts].append(r)
             print(json.dumps(r), flush=True)
 
     best = {k: max(v, key=lambda r: r["events_per_sec"]) for k, v in trials.items()}
+    # Per-trial pairing: each trial's N and 4N run back-to-back, so slow
+    # hypervisor windows hit both sides of a pair; the median of per-trial
+    # efficiencies is the robust estimate on this shared host. Best-of
+    # throughputs are reported alongside as the peak-capacity numbers.
+    per_trial_eff = [
+        round((b["events_per_sec"] / a["events_per_sec"]) / 4, 3)
+        for a, b in zip(trials[1], trials[4])
+    ]
+    med = sorted(per_trial_eff)[len(per_trial_eff) // 2]
     eff = round((best[4]["events_per_sec"] / best[1]["events_per_sec"]) / 4, 3)
     report = {
         "protocol": f"worker processes x local[{CORES_PER_WORKER}], feed hash-partitioned by conv_id",
@@ -213,6 +252,8 @@ def main() -> None:
         "N": best[1],
         "4N": best[4],
         "all_trials": {str(k): [r["events_per_sec"] for r in v] for k, v in trials.items()},
+        "per_trial_efficiency": per_trial_eff,
+        "efficiency_median": med,
         "efficiency": eff,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
