@@ -56,6 +56,7 @@ class StreamingReplay:
         max_files_per_trigger: int = 4,
         num_buckets: int = 16,
         mode: Literal["cow", "mor"] = "cow",
+        sources: list[str] | None = None,  # declared feed sources (db.js:45)
         fail_after_batches: int | None = None,  # test hook: crash injection
     ):
         self.spark = spark
@@ -63,6 +64,7 @@ class StreamingReplay:
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.mode = mode
+        self.sources = sources
         self.fail_after_batches = fail_after_batches
         self._applied = 0
         self.table = SnapshotTable.create(
@@ -86,24 +88,56 @@ class StreamingReplay:
         )
         rows = lww_dedup(rows)
 
-        src_stats = (
-            batch.groupBy("source")
-            .agg(F.max("seq").alias("hi"), F.count("*").alias("n"))
-            .collect()
-        )
-        props = {EPOCH_PROP: str(epoch_id)}
-        for r in src_stats:
-            props[f"checkpoint.{r['source']}"] = json.dumps(
-                {"seq": int(r["hi"]), "rows": int(r["n"])}
+        # Per-source checkpoint stats: when the source list is declared
+        # (the reference configures its DB list statically via env,
+        # couch2pg/src/db.js:45), they ride the write job as Observation
+        # metrics — zero extra pass, committed atomically via the
+        # properties callback. Undeclared sources fall back to one
+        # aggregation pass per batch.
+        from pyspark.sql import Observation
+
+        if self.sources is not None:
+            obs = Observation(f"stream{epoch_id}")
+            metrics = []
+            for i, s in enumerate(self.sources):
+                hit = F.when(F.col("source") == s, F.col("seq"))
+                metrics += [F.max(hit).alias(f"hi{i}"), F.count(hit).alias(f"n{i}")]
+            rows = rows.observe(obs, *metrics)
+
+            def _ckpt_props() -> dict[str, str]:
+                got = obs.get
+                return {
+                    f"checkpoint.{s}": json.dumps(
+                        {"seq": int(got[f"hi{i}"]), "rows": int(got[f"n{i}"])}
+                    )
+                    for i, s in enumerate(self.sources)
+                    if got[f"n{i}"]
+                }
+        else:
+            src_stats = (
+                batch.groupBy("source")
+                .agg(F.max("seq").alias("hi"), F.count("*").alias("n"))
+                .collect()
             )
 
+            def _ckpt_props() -> dict[str, str]:
+                return {
+                    f"checkpoint.{r['source']}": json.dumps(
+                        {"seq": int(r["hi"]), "rows": int(r["n"])}
+                    )
+                    for r in src_stats
+                }
+
+        props = {EPOCH_PROP: str(epoch_id)}
         if self.mode == "mor":
             schema = self.table.evolve_schema(rows.schema)
-            self.table.append_delta(rows, properties_update=props, new_schema=schema)
+            self.table.append_delta(
+                rows, properties_update=props, new_schema=schema, properties_fn=_ckpt_props
+            )
         else:
             merge_upsert(
                 self.table, rows, tombstones="keep", dedup_batch=False,
-                properties_update=props,
+                properties_update=props, properties_fn=_ckpt_props,
             )
         self._applied += 1
 

@@ -41,14 +41,19 @@ def batch_state(spark, feed_path, tmp_path_factory):
 
 
 def test_streaming_available_now_matches_batch(spark, feed_path, tmp_path, batch_state):
+    # declared sources -> checkpoint stats ride the write as Observation
+    # metrics (the reference's statically-configured DB list, db.js:45)
     sr = StreamingReplay(
         spark, feed_path, str(tmp_path / "t"), str(tmp_path / "ckpt"),
         max_files_per_trigger=1, num_buckets=8,
+        sources=["synthhost/db0", "synthhost/db1"],
     )
     sr.run_available_now()
     _assert_equal(_state(sr.table), batch_state)
     # multiple micro-batches actually ran (4 feed files, 1 per trigger)
-    assert int(sr.table.snapshot().properties["epoch.stream"]) >= 1
+    props = sr.table.snapshot().properties
+    assert int(props["epoch.stream"]) >= 1
+    assert "checkpoint.synthhost/db0" in props and "checkpoint.synthhost/db1" in props
 
 
 def test_streaming_crash_resume_exactly_once(spark, feed_path, tmp_path, batch_state):
