@@ -257,7 +257,8 @@ def main() -> None:
         "efficiency": eff,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "fanout.json"), "w") as fh:
+    suffix = "" if args.mode == "mor" else f"_{args.mode}"
+    with open(os.path.join(REPO, "BENCH", f"fanout{suffix}.json"), "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps({"efficiency": eff, "N_eps": best[1]["events_per_sec"],
                       "4N_eps": best[4]["events_per_sec"]}))
