@@ -46,8 +46,12 @@ def _max_wins_exprs(df: DataFrame, order: Sequence[tuple[str, bool]]) -> list[Co
     STRUCT MAX picks the same winner, or None if not expressible.
 
     desc_nulls_last == max with null-smallest struct ordering directly;
-    asc needs inversion, possible for booleans (~) and numerics (negate).
-    Timestamps/strings ascending have no cheap inversion -> window fallback.
+    asc is invertible only for booleans (~). Numeric negation is NOT safe:
+    -NaN flips float/double ordering vs the asc_nulls_last window, and under
+    Spark 4 ANSI mode negating an integral MIN_VALUE throws
+    ARITHMETIC_OVERFLOW — so any non-boolean ascending column falls back to
+    the row_number window (max_by/window parity is property-tested in
+    tests/test_lww_parity.py).
     """
     types = dict(df.dtypes)
     out: list[Column] = []
@@ -57,8 +61,6 @@ def _max_wins_exprs(df: DataFrame, order: Sequence[tuple[str, bool]]) -> list[Co
             out.append(c)
         elif types.get(name) == "boolean":
             out.append(~c)  # ~null = null -> loses, matching asc_nulls_last
-        elif types.get(name) in ("tinyint", "smallint", "int", "bigint", "float", "double"):
-            out.append(-c)
         else:
             return None
     return out

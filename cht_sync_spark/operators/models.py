@@ -56,6 +56,14 @@ class ModelSpec:
     group_cols: list[str] | None = None
     num_buckets: int = 16
     lww_order: list[tuple[str, bool]] = field(default_factory=lambda: [("seq", False)])
+    # T10 contract enforcement (contacts.yml:7-15): `enforced` strictly
+    # validates the transform's output schema against the declared one
+    # (raises SchemaContractError on drift — no silent cast/null-fill);
+    # `unique_test` + `not_null` run dbt-style data tests on the touched
+    # slice after every merge (raise ContractViolation).
+    enforced: bool = False
+    unique_test: bool = False
+    not_null: list[str] = field(default_factory=list)
 
     def transform_hash(self) -> str:
         return hashlib.sha256(inspect.getsource(self.transform).encode()).hexdigest()[:16]
@@ -83,8 +91,35 @@ class ModelRunner:
         """Rebuild from scratch (T12): transform the whole reconciled
         landing state, drop tombstone outputs, overwrite."""
         rows = self.spec.transform(landing.read_current())
+        self._enforce_schema(rows)
         live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
+        self._run_data_tests(buckets=None)
+
+    def _enforce_schema(self, out: DataFrame) -> None:
+        """Strict contract on the transform output (T10, contacts.yml:7-8):
+        plan-time column/type comparison, raises on drift. Validation only —
+        the relaxed conform inside merge still handles internal plumbing
+        rows (tombstone stubs) that legitimately carry a column subset."""
+        if self.spec.enforced:
+            from cht_sync_spark.tables.format import _conform
+
+            _conform(out, self.spec.schema, strict=True)
+
+    def _run_data_tests(self, buckets: list[int] | None) -> None:
+        """dbt-style unique/not_null tests (contacts.yml:10-15) on the
+        reconciled live state, scoped to the buckets the batch touched
+        (O(touched slice), like the merge itself)."""
+        if not (self.spec.unique_test or self.spec.not_null):
+            return
+        from cht_sync_spark.operators.contracts import check_contract
+
+        cur = self.table.read_current(buckets=buckets, drop_tombstones=True)
+        check_contract(
+            cur,
+            unique_key=self.spec.key_cols if self.spec.unique_test else None,
+            not_null=self.spec.not_null,
+        )
 
     def run_increment(self, landing: SnapshotTable, batch_rows: DataFrame, epoch: int | None = None) -> None:
         """Incremental maintenance for one micro-batch.
@@ -105,14 +140,37 @@ class ModelRunner:
             # touched groups + the batch's max seq per group (the seq rides
             # on tombstones so they outrank the stale model row in LWW)
             keys = batch_rows.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
-            # landing read scoped to touched groups; broadcast semi-join
-            # (touched-group set is micro-batch-sized)
-            scope = landing.read_current().join(
+            # Landing read scoped to touched groups. Two-level pruning:
+            # (1) FILE level — when the landing table's hash layout is a
+            #     function of the group key (bucket_cols ⊆ group_cols, e.g.
+            #     transcripts bucketed by conv_id for a conv_id-grouped
+            #     model), compute the buckets the touched groups hash into
+            #     (collect of ≤ num_buckets small ints) and reconcile ONLY
+            #     those buckets: per-batch cost is O(touched buckets), not
+            #     O(table) — the difference between this model plane
+            #     surviving 10^10 rows or rescanning them every micro-batch;
+            # (2) ROW level — broadcast semi-join on the touched-group set
+            #     (micro-batch-sized) inside those buckets.
+            from cht_sync_spark.tables.format import bucket_expr
+
+            lsnap = landing.snapshot()
+            buckets = None
+            if set(lsnap.bucket_cols) <= set(self.spec.group_cols):
+                buckets = sorted(
+                    r["__b"]
+                    for r in keys.select(
+                        bucket_expr(lsnap.bucket_cols, lsnap.num_buckets).alias("__b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            scope = landing.read_current(buckets=buckets).join(
                 F.broadcast(keys.select(*self.spec.group_cols)),
                 on=self.spec.group_cols,
                 how="left_semi",
             )
             out = self.spec.transform(scope)
+            self._enforce_schema(out)
             # stamp recomputed rows with the BATCH's max seq per group, not
             # the transform's own seq: after a delete event the live-turn
             # max seq can regress below the stored row's and the stale row
@@ -129,10 +187,24 @@ class ModelRunner:
             out = out.unionByName(gone, allowMissingColumns=True)
         else:
             out = self.spec.transform(batch_rows)
+            self._enforce_schema(out)
         props = {HASH_PROP: self.spec.transform_hash()}
         if epoch is not None:
             props[EPOCH_PROP] = str(epoch)
         merge_upsert(self.table, out, tombstones="drop", properties_update=props)
+        if self.spec.unique_test or self.spec.not_null:
+            # scope the data tests to the model-table buckets this batch's
+            # keys hash into (micro-batch-sized collect of bucket ids)
+            msnap = self.table.snapshot()
+            from cht_sync_spark.tables.format import bucket_expr as _be
+
+            touched = sorted(
+                r["__b"]
+                for r in out.select(_be(msnap.bucket_cols, msnap.num_buckets).alias("__b"))
+                .distinct()
+                .collect()
+            )
+            self._run_data_tests(buckets=touched)
 
 
 # --------------------------------------------------------------------------
@@ -173,6 +245,10 @@ CONVERSATIONS = ModelSpec(
     ),
     transform=_conversations_transform,
     group_cols=["conv_id"],
+    # contract: enforced + key tests (contacts.yml:7-15 parity)
+    enforced=True,
+    unique_test=True,
+    not_null=["conv_id"],
 )
 
 
@@ -213,4 +289,7 @@ TOOL_CALLS = ModelSpec(
     transform=_tool_calls_transform,
     group_cols=None,
     lww_order=[("rev_height", False), ("_deleted", True), ("_rev", False), ("seq", False)],
+    enforced=True,
+    unique_test=True,
+    not_null=["conv_id", "turn_idx"],
 )

@@ -43,11 +43,25 @@ class ChangesFeedSource:
         self._sources = sources
 
     def df(self) -> DataFrame:
+        """Feed rows + ``_feed_partition`` (the index of the slice directory
+        the row came from — the Kafka-partition id analogue). Per-slice reads
+        union with a literal partition id, so range predicates still push
+        into each branch's parquet scan; the column feeds the per-(source,
+        partition) checkpoints and lineage (north_rule I4)."""
         paths = self.feed_path if isinstance(self.feed_path, list) else [self.feed_path]
-        d = self.spark.read.parquet(*paths)
+        parts = [
+            self.spark.read.parquet(p).withColumn("_feed_partition", F.lit(i))
+            for i, p in enumerate(paths)
+        ]
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
         if self._sources:
             d = d.where(F.col("source").isin(self._sources))
         return d
+
+    def num_partitions(self) -> int:
+        return len(self.feed_path) if isinstance(self.feed_path, list) else 1
 
     def sources(self) -> list[str]:
         if self._sources is None:

@@ -15,8 +15,21 @@ Per micro-batch (epoch):
 2. events = seq-range read (pushed-down filter);
 3. doc->row transform (Catalyst ``from_json`` path by default);
 4. LWW dedup + bucket-pruned MERGE (or merge-on-read append), committing
-   data + watermark + per-source checkpoints + epoch marker in ONE snapshot;
-5. lineage records appended per (epoch, source).
+   data + watermark + per-(source, partition) checkpoints + epoch marker in
+   ONE snapshot;
+5. lineage records appended per (epoch, source, partition);
+6. downstream models maintained incrementally — CONCURRENTLY when there is
+   more than one (T14: the reference splits dbt models across daemons by
+   selector, docker-compose.yml:40-62 / profiles.yml:5; here each model is
+   an independent Spark job submitted from its own thread, so Spark
+   schedules their stages in parallel; each model commits its own epoch
+   marker to its own table, preserving per-model exactly-once).
+
+Checkpoint semantics: the per-source/per-partition stats are observed on the
+PRE-dedup event stream (raw ingested events), so ``checkpoint.*.seq`` is a
+true resume cursor — a high-seq event that loses LWW still advances it —
+and ``rows`` counts events processed, matching the reference's
+``couchdb_progress`` bookkeeping (importer.js:171-172).
 
 Exactly-once: if the epoch marker in the target says epoch >= k, batch k is
 skipped on replay (and the merge is idempotent anyway — belt and braces,
@@ -28,6 +41,7 @@ from __future__ import annotations
 
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Literal
 
@@ -36,7 +50,7 @@ from pyspark.sql import functions as F
 
 from cht_sync_spark.functions.json_doc import doc_to_row, doc_to_row_arrow
 from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.schemas import LINEAGE, TRANSCRIPT, TRANSCRIPT_KEY
+from cht_sync_spark.schemas import CHECKPOINT, LINEAGE, TRANSCRIPT, TRANSCRIPT_KEY
 from cht_sync_spark.sources.changes import ChangesFeedSource
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import merge_upsert
@@ -50,7 +64,7 @@ class BatchResult:
     epoch: int
     seq_lo: int
     seq_hi: int
-    rows: int
+    rows: int  # raw change events processed (pre-dedup)
     duration_ms: int
     skipped: bool = False
 
@@ -69,6 +83,8 @@ class ReplayPipeline:
         saved_ts: Literal["event", "now"] = "event",
         lineage_path: str | None = None,
         models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
+        bucket_cols: list[str] | None = None,
+        model_parallelism: int | None = None,
     ):
         self.spark = spark
         self.feed = feed
@@ -76,8 +92,16 @@ class ReplayPipeline:
         self.mode = mode
         self.transform = transform
         self.saved_ts = saved_ts
+        # Landing layout: bucket by conv_id (a PREFIX of the key) rather than
+        # the full (conv_id, turn_idx) key — every conversation lives in one
+        # bucket, so conv_id-grouped incremental models prune their landing
+        # read to the touched buckets (O(touched groups), not O(table)).
+        # Tradeoff: a pathologically hot conversation concentrates in one
+        # bucket's write task; pass bucket_cols=TRANSCRIPT_KEY to spread it
+        # if no grouped models need pruning.
         self.table = SnapshotTable.create(
-            spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets
+            spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY,
+            num_buckets=num_buckets, bucket_cols=bucket_cols or ["conv_id"],
         )
         self.lineage = (
             SnapshotTable.create(
@@ -89,12 +113,30 @@ class ReplayPipeline:
         from cht_sync_spark.operators.models import ModelRunner
 
         self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
+        self.model_parallelism = model_parallelism
 
     # ------------------------------------------------------------------ state
     def state(self) -> tuple[int, int]:
         """(watermark_seq, last_epoch) from the target's snapshot properties."""
         props = self.table.snapshot().properties
         return int(props.get(WATERMARK_PROP, -1)), int(props.get(EPOCH_PROP, -1))
+
+    def checkpoints(self) -> DataFrame:
+        """Per-(source, partition) checkpoint state as a CHECKPOINT-schema
+        DataFrame — the queryable form of the ``couchdb_progress`` analogue
+        (reference setup.js:13-19), decoded from the atomic snapshot
+        properties."""
+        rows = []
+        for k, v in self.table.snapshot().properties.items():
+            if not k.startswith("checkpoint."):
+                continue
+            rest = k[len("checkpoint."):]
+            base, sep, pid = rest.rpartition(".p")
+            if not sep or not pid.isdigit():
+                continue  # aggregate per-source key, skip
+            d = json.loads(v)
+            rows.append((base, int(pid), int(d["seq"]), None, int(d.get("epoch", -1)), None))
+        return self.spark.createDataFrame(rows, CHECKPOINT)
 
     # ------------------------------------------------------------------- run
     def _transform(self, events: DataFrame) -> DataFrame:
@@ -103,6 +145,28 @@ class ReplayPipeline:
             # deterministic ingest-time stand-in -> byte-identical replays
             rows = rows.withColumn("saved_timestamp", F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)))
         return rows
+
+    def _run_models(self, batch_rows: DataFrame, epoch: int) -> None:
+        """T14 model-level parallelism: each model's incremental update is an
+        independent Spark job chain on its own table; submit them from a
+        thread pool so stages interleave on the cluster instead of
+        serializing model-by-model. Exactly-once holds per model (own epoch
+        marker, idempotent merge), so a crash mid-pool replays only the
+        models that hadn't committed."""
+        if not self.models:
+            return
+        par = self.model_parallelism or len(self.models)
+        if par <= 1 or len(self.models) == 1:
+            for m in self.models:
+                m.run_increment(self.table, batch_rows, epoch=epoch)
+            return
+        with ThreadPoolExecutor(max_workers=par, thread_name_prefix="model") as pool:
+            futs = [
+                pool.submit(m.run_increment, self.table, batch_rows, epoch)
+                for m in self.models
+            ]
+            for f in futs:
+                f.result()  # propagate the first failure
 
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
@@ -113,29 +177,34 @@ class ReplayPipeline:
             return BatchResult(epoch, lo, hi, 0, 0, skipped=True)
 
         events = self.feed.batch(lo, hi)
-        rows = self._transform(events)
-        rows = lww_dedup(rows)
 
         if landing_done:
             # crash happened between landing commit and model commit last
             # run: replay only the model side of this batch
-            for m in self.models:
-                m.run_increment(self.table, rows, epoch=epoch)
+            rows = lww_dedup(self._transform(events))
+            self._run_models(rows, epoch)
             return BatchResult(epoch, lo, hi, 0, int((time.monotonic() - t0) * 1000))
 
-        # Per-source checkpoint stats (the couchdb_progress analogue) ride
-        # the write job as Observation metrics — conditional aggregates per
-        # known source, collected DURING the write, zero extra pass over the
-        # batch. Committed atomically with the data.
+        # Per-(source, partition) checkpoint stats (the couchdb_progress
+        # analogue) ride the write job as Observation metrics on the
+        # PRE-dedup event stream — conditional aggregates collected DURING
+        # the write, zero extra pass, committed atomically with the data.
         from pyspark.sql import Observation
 
         sources = self.feed.sources()
+        n_parts = self.feed.num_partitions()
         obs = Observation(f"batch{epoch}")
         metrics = []
         for i, s in enumerate(sources):
-            hit = F.when(F.col("source") == s, F.col("seq"))
-            metrics += [F.max(hit).alias(f"hi{i}"), F.count(hit).alias(f"n{i}")]
-        rows = rows.observe(obs, *metrics)
+            for p in range(n_parts):
+                hit = F.when(
+                    (F.col("source") == s) & (F.col("_feed_partition") == p), F.col("seq")
+                )
+                metrics += [F.max(hit).alias(f"hi{i}_{p}"), F.count(hit).alias(f"n{i}_{p}")]
+        events = events.observe(obs, *metrics)
+
+        rows = self._transform(events)
+        rows = lww_dedup(rows)
 
         src_stats: list[dict] = []
 
@@ -145,11 +214,20 @@ class ReplayPipeline:
             got = obs.get
             out = {}
             for i, s in enumerate(sources):
-                if got[f"n{i}"]:
-                    src_stats.append({"source": s, "hi": got[f"hi{i}"], "n": got[f"n{i}"]})
-                    out[f"checkpoint.{s}"] = json.dumps(
-                        {"seq": int(got[f"hi{i}"]), "rows": int(got[f"n{i}"])}
+                tot, s_hi = 0, None
+                for p in range(n_parts):
+                    n = got[f"n{i}_{p}"]
+                    if not n:
+                        continue
+                    hi_sp = int(got[f"hi{i}_{p}"])
+                    src_stats.append({"source": s, "partition": p, "hi": hi_sp, "n": int(n)})
+                    out[f"checkpoint.{s}.p{p}"] = json.dumps(
+                        {"seq": hi_sp, "rows": int(n), "epoch": epoch}
                     )
+                    tot += int(n)
+                    s_hi = hi_sp if s_hi is None else max(s_hi, hi_sp)
+                if tot:
+                    out[f"checkpoint.{s}"] = json.dumps({"seq": s_hi, "rows": tot})
             return out
 
         props = {WATERMARK_PROP: str(hi), EPOCH_PROP: str(epoch)}
@@ -168,13 +246,15 @@ class ReplayPipeline:
             dels, skew = stats.rows_deleted_tombstones, stats.skew_max_ratio
         n = int(sum(r["n"] for r in src_stats))
 
-        for m in self.models:
-            m.run_increment(self.table, rows, epoch=epoch)
+        self._run_models(rows, epoch)
 
         dur = int((time.monotonic() - t0) * 1000)
         if self.lineage is not None:
             recs = [
-                (epoch, r["source"], 0, lo, int(r["hi"]), int(r["n"]), dels, skew, dur)
+                (
+                    epoch, r["source"], r["partition"], lo, int(r["hi"]), int(r["n"]),
+                    dels, skew, dur,
+                )
                 for r in src_stats
             ]
             if recs:

@@ -80,20 +80,20 @@ class StreamingReplay:
         if epoch_id <= last:
             return  # replayed batch already fully committed -> exactly-once skip
 
-        rows = doc_to_row(batch)
-        # deterministic ingest timestamp -> byte-identical resumed replays
-        rows = rows.withColumn(
-            "saved_timestamp",
-            F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)),
-        )
-        rows = lww_dedup(rows)
+        if self.sources is not None:
+            # a declared source list FILTERS the feed (matching
+            # ChangesFeedSource and the reference's static DB list,
+            # couch2pg/src/db.js:45) — undeclared rows are not ingested,
+            # so data and checkpoints always cover the same set
+            batch = batch.where(F.col("source").isin(self.sources))
 
-        # Per-source checkpoint stats: when the source list is declared
-        # (the reference configures its DB list statically via env,
-        # couch2pg/src/db.js:45), they ride the write job as Observation
-        # metrics — zero extra pass, committed atomically via the
-        # properties callback. Undeclared sources fall back to one
-        # aggregation pass per batch.
+        # Per-source checkpoint stats, observed on the PRE-dedup event
+        # stream (raw ingested counts — a true resume cursor even when a
+        # high-seq event loses LWW). When the source list is declared they
+        # ride the write job as Observation metrics — zero extra pass,
+        # committed atomically via the properties callback. Undeclared
+        # sources fall back to one aggregation pass over the same pre-dedup
+        # batch, so both branches have identical checkpoint semantics.
         from pyspark.sql import Observation
 
         if self.sources is not None:
@@ -102,7 +102,7 @@ class StreamingReplay:
             for i, s in enumerate(self.sources):
                 hit = F.when(F.col("source") == s, F.col("seq"))
                 metrics += [F.max(hit).alias(f"hi{i}"), F.count(hit).alias(f"n{i}")]
-            rows = rows.observe(obs, *metrics)
+            batch = batch.observe(obs, *metrics)
 
             def _ckpt_props() -> dict[str, str]:
                 got = obs.get
@@ -127,6 +127,14 @@ class StreamingReplay:
                     )
                     for r in src_stats
                 }
+
+        rows = doc_to_row(batch)
+        # deterministic ingest timestamp -> byte-identical resumed replays
+        rows = rows.withColumn(
+            "saved_timestamp",
+            F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)),
+        )
+        rows = lww_dedup(rows)
 
         props = {EPOCH_PROP: str(epoch_id)}
         if self.mode == "mor":
@@ -160,12 +168,19 @@ class StreamingReplay:
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
         finally:
             if q.isActive:
                 q.stop()
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # the drain did NOT complete in time — a partial ingest must be
+            # an error, not indistinguishable from success (the streaming
+            # checkpoint makes the retry safe)
+            raise TimeoutError(
+                f"availableNow drain incomplete after {timeout_sec}s at {self.feed_path}"
+            )
 
     def run_tailing(self, processing_time: str = "5 seconds"):
         """Continuous tailing (the 5s poll loop, watcher.js:4); returns the

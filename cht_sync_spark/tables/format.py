@@ -16,11 +16,15 @@ own lakehouse primitives with the same guarantees the design needs
   in the Iceberg snapshot summary; reference: ``couchdb_progress`` row
   updated after the upsert commits, importer.js:171-172).
 - **hash-bucket layout**: every data file belongs to one of ``num_buckets``
-  buckets of ``pmod(xxhash64(key...), num_buckets)``. MERGE rewrites only
-  the buckets a batch touches (copy-on-write), so upsert cost scales with
-  the batch's key spread, not table size. The analogue of the reference's
-  Postgres indexes (setup.js:21-31) is bucket pruning + parquet min/max
-  stats from the per-bucket ``sort_cols`` write order.
+  buckets of ``pmod(xxhash64(bucket_cols...), num_buckets)``. MERGE rewrites
+  only the buckets a batch touches (copy-on-write), so upsert cost scales
+  with the batch's key spread, not table size. ``bucket_cols`` defaults to
+  the key but may be a PREFIX of it (e.g. bucket transcripts by ``conv_id``
+  alone): every row of a key still lands in exactly one bucket, and
+  group-scoped readers (incremental models keyed by ``conv_id``) prune to
+  the touched buckets instead of scanning the table. The analogue of the
+  reference's Postgres indexes (setup.js:21-31) is bucket pruning + parquet
+  min/max stats from the per-bucket ``sort_cols`` write order.
 - **merge-on-read deltas**: ``append_delta`` commits a micro-batch as pure
   appended files (O(batch) ingest); readers reconcile with the same LWW
   window used everywhere; ``compact()`` folds deltas into the base. This is
@@ -55,11 +59,21 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first (optimistic concurrency)."""
 
 
+class SchemaContractError(ValueError):
+    """Strict-contract violation: batch schema is incompatible with the table
+    contract (missing column, type mismatch, or undeclared extra column).
+    The analogue of dbt ``contract: enforced: true`` (contacts.yml:7-8),
+    which FAILS the run instead of silently coercing."""
+
+
 @dataclass
 class Snapshot:
     version: int
     schema: T.StructType
     key_cols: list[str]
+    # bucket_cols ⊆ key_cols (usually the key or its prefix): the hash-layout
+    # columns. Bucketing by a key prefix lets group-scoped readers prune.
+    bucket_cols: list[str]
     num_buckets: int
     sort_cols: list[str]
     # LWW precedence as (column, ascending) pairs — part of the table
@@ -82,6 +96,7 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self.last_scan_files = 0  # files opened by the most recent read()
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -96,6 +111,7 @@ class SnapshotTable:
         lww_order: list[tuple[str, bool]] | None = None,
         properties: dict[str, str] | None = None,
         if_not_exists: bool = True,
+        bucket_cols: list[str] | None = None,
     ) -> "SnapshotTable":
         t = cls(spark, path)
         if t.exists():
@@ -118,6 +134,7 @@ class SnapshotTable:
                 version=1,
                 schema=schema,
                 key_cols=list(key_cols),
+                bucket_cols=list(bucket_cols or key_cols),
                 num_buckets=num_buckets,
                 sort_cols=list(sort_cols or key_cols),
                 lww_order=[(c, bool(a)) for c, a in lww_order],
@@ -150,6 +167,7 @@ class SnapshotTable:
             version=m["version"],
             schema=T.StructType.fromJson(m["schema"]),
             key_cols=m["key_cols"],
+            bucket_cols=m.get("bucket_cols", m["key_cols"]),
             num_buckets=m["num_buckets"],
             sort_cols=m["sort_cols"],
             lww_order=[(c, bool(a)) for c, a in m.get("lww_order", [])],
@@ -178,6 +196,7 @@ class SnapshotTable:
                         "version": snap.version,
                         "schema": snap.schema.jsonValue(),
                         "key_cols": snap.key_cols,
+                        "bucket_cols": snap.bucket_cols,
                         "num_buckets": snap.num_buckets,
                         "sort_cols": snap.sort_cols,
                         "lww_order": [[c, a] for c, a in snap.lww_order],
@@ -213,23 +232,40 @@ class SnapshotTable:
             for f in snap.files
             if f["level"] in levels and (buckets is None or f["bucket"] in buckets)
         ]
+        # scan-size instrumentation: tests assert pruned reads open fewer
+        # files than the table holds (the file-count analogue of Iceberg's
+        # scan-planning metrics)
+        self.last_scan_files = len(files)
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f["path"]) for f in files]
         return self.spark.read.schema(snap.schema).parquet(*paths)
 
-    def read_current(self, version: int | None = None, drop_tombstones: bool = False) -> DataFrame:
+    def read_current(
+        self,
+        version: int | None = None,
+        drop_tombstones: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
         """Reconciled current state: base ∪ deltas -> LWW winner per key.
 
         When no delta files exist this is a plain scan (no window). The
         dedup window is the SAME operator used batch-side, so
         base-merge-time and read-time reconciliation can never disagree.
+
+        ``buckets`` prunes the scan BEFORE reconciliation: because bucketing
+        is a pure function of ``bucket_cols`` ⊆ key, every row of a key
+        lives in one bucket, so per-bucket LWW equals global LWW restricted
+        to those buckets — pruning is semantics-preserving.
         """
         from cht_sync_spark.operators.lww import lww_dedup  # circular-safe
 
         snap = self.snapshot(version)
-        df = self.read(version=version)
-        has_delta = any(f["level"] == "delta" for f in snap.files)
+        df = self.read(version=version, buckets=buckets)
+        has_delta = any(
+            f["level"] == "delta" and (buckets is None or f["bucket"] in buckets)
+            for f in snap.files
+        )
         if has_delta:
             # per-table LWW spec from the manifest; tables without order
             # columns (e.g. append-only lineage) dedup to key-uniqueness only
@@ -258,7 +294,7 @@ class SnapshotTable:
         rel = os.path.join(_DATADIR, commit_id)
         out = os.path.join(self.path, rel)
         (
-            df.withColumn("__bucket", bucket_expr(snap.key_cols, snap.num_buckets))
+            df.withColumn("__bucket", bucket_expr(snap.bucket_cols, snap.num_buckets))
             .repartition(snap.num_buckets, F.col("__bucket"))
             .sortWithinPartitions("__bucket", *snap.sort_cols)
             .write.partitionBy("__bucket")
@@ -291,38 +327,59 @@ class SnapshotTable:
         properties_update: dict[str, str] | None = None,
         new_schema: T.StructType | None = None,
         expected_version: int | None = None,
+        max_retries: int = 5,
     ) -> Snapshot:
         """Produce snapshot N+1 = parent minus (removed buckets/levels) plus
-        ``add_files``, with properties merged in — all atomically."""
-        parent = self.snapshot()
-        if expected_version is not None and parent.version != expected_version:
-            raise CommitConflict(
-                f"expected v{expected_version}, found v{parent.version} at {self.path}"
+        ``add_files``, with properties merged in — all atomically.
+
+        Concurrency (S4, reference importer.js:132-138 deadlock retry):
+        a PURE-APPEND commit (``remove_buckets is None`` and no
+        ``expected_version`` pin) composes with any concurrent commit, so a
+        lost manifest race is retried here automatically on top of the new
+        parent. Commits that REMOVE files (merge/compact/overwrite) must pin
+        ``expected_version`` — on conflict the caller re-reads and redoes
+        the work (see :func:`cht_sync_spark.tables.merge.merge_upsert` and
+        :meth:`compact`), because the removed set was computed against a
+        snapshot that no longer is the tip.
+        """
+        retriable = remove_buckets is None and expected_version is None
+        attempts = max_retries if retriable else 1
+        last_err: CommitConflict | None = None
+        for _ in range(attempts):
+            parent = self.snapshot()
+            if expected_version is not None and parent.version != expected_version:
+                raise CommitConflict(
+                    f"expected v{expected_version}, found v{parent.version} at {self.path}"
+                )
+            keep = [
+                f
+                for f in parent.files
+                if not (
+                    remove_buckets is not None
+                    and f["bucket"] in remove_buckets
+                    and f["level"] in remove_level
+                )
+            ]
+            props = dict(parent.properties)
+            props.update(properties_update or {})
+            snap = Snapshot(
+                version=parent.version + 1,
+                schema=new_schema or parent.schema,
+                key_cols=parent.key_cols,
+                bucket_cols=parent.bucket_cols,
+                num_buckets=parent.num_buckets,
+                sort_cols=parent.sort_cols,
+                lww_order=parent.lww_order,
+                files=keep + add_files,
+                properties=props,
+                parent=parent.version,
             )
-        keep = [
-            f
-            for f in parent.files
-            if not (
-                remove_buckets is not None
-                and f["bucket"] in remove_buckets
-                and f["level"] in remove_level
-            )
-        ]
-        props = dict(parent.properties)
-        props.update(properties_update or {})
-        snap = Snapshot(
-            version=parent.version + 1,
-            schema=new_schema or parent.schema,
-            key_cols=parent.key_cols,
-            num_buckets=parent.num_buckets,
-            sort_cols=parent.sort_cols,
-            lww_order=parent.lww_order,
-            files=keep + add_files,
-            properties=props,
-            parent=parent.version,
-        )
-        self._write_manifest(snap)
-        return snap
+            try:
+                self._write_manifest(snap)
+                return snap
+            except CommitConflict as e:
+                last_err = e  # another writer took this version: rebase
+        raise last_err  # type: ignore[misc]
 
     def append_delta(
         self,
@@ -353,19 +410,33 @@ class SnapshotTable:
             new_schema=schema,
         )
 
-    def compact(self) -> Snapshot:
-        """Fold deltas into a fresh base (LWW winners, tombstones kept)."""
-        cur = self.read_current()
-        snap = self.snapshot()
-        files = self._write_data(cur, snap, level="base")
-        return self.commit(
-            add_files=files,
-            remove_buckets=set(range(snap.num_buckets)),
-            remove_level=("base", "delta"),
-        )
+    def compact(self, max_retries: int = 5) -> Snapshot:
+        """Fold deltas into a fresh base (LWW winners, tombstones kept).
+
+        Pinned to the snapshot it read (``expected_version``): a delta
+        appended concurrently between the fold-read and the commit would
+        otherwise be REMOVED without having been folded — silent data loss.
+        On conflict the fold is redone from the new tip (S4 retry)."""
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            cur = self.read_current()
+            files = self._write_data(cur, snap, level="base")
+            try:
+                return self.commit(
+                    add_files=files,
+                    remove_buckets=set(range(snap.num_buckets)),
+                    remove_level=("base", "delta"),
+                    expected_version=snap.version,
+                )
+            except CommitConflict as e:
+                last_err = e  # concurrent append landed: refold from tip
+        raise last_err  # type: ignore[misc]
 
     def overwrite(self, df: DataFrame, properties_update: dict[str, str] | None = None) -> Snapshot:
-        """Full rewrite (the T12 'state-diff full refresh' analogue)."""
+        """Full rewrite (the T12 'state-diff full refresh' analogue).
+        Pinned like :meth:`compact` — a concurrent append must not be
+        silently swallowed by the bucket removal."""
         snap = self.snapshot()
         df = _conform(df, snap.schema)
         files = self._write_data(df, snap, level="base")
@@ -373,6 +444,7 @@ class SnapshotTable:
             add_files=files,
             remove_buckets=set(range(snap.num_buckets)),
             properties_update=properties_update,
+            expected_version=snap.version,
         )
 
     def drop(self) -> None:
@@ -393,8 +465,34 @@ class SnapshotTable:
         )
 
 
-def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project df onto schema column order, adding missing cols as null."""
+def _conform(df: DataFrame, schema: T.StructType, strict: bool = False) -> DataFrame:
+    """Project df onto schema column order.
+
+    Relaxed (default): silently casts and null-fills — the landing-table
+    behavior, where additive evolution owns schema drift.
+
+    Strict (``contract: enforced``, contacts.yml:7-8): any drift FAILS —
+    a missing column, a type that differs from the declared one, or an
+    undeclared extra column all raise :class:`SchemaContractError` instead
+    of coercing. Plan-time only (no data pass); row-level not_null/unique
+    checks live in :mod:`cht_sync_spark.operators.contracts`.
+    """
+    if strict:
+        declared = {f.name: f for f in schema.fields}
+        have = dict(df.dtypes)
+        missing = [n for n in declared if n not in have]
+        extra = [n for n in have if n not in declared]
+        wrong = [
+            (n, have[n], f.dataType.simpleString())
+            for n, f in declared.items()
+            if n in have and have[n] != f.dataType.simpleString()
+        ]
+        if missing or extra or wrong:
+            raise SchemaContractError(
+                f"contract violation: missing={missing} extra={extra} "
+                f"retyped={[f'{n}: {got} != {want}' for n, got, want in wrong]}"
+            )
+        return df.select(*[F.col(f.name) for f in schema.fields])
     cols = []
     have = set(df.columns)
     for f in schema.fields:

@@ -46,7 +46,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.tables.format import SnapshotTable, Snapshot, _conform, bucket_expr
+from cht_sync_spark.tables.format import (
+    CommitConflict,
+    SnapshotTable,
+    Snapshot,
+    _conform,
+    bucket_expr,
+)
 
 
 @dataclass
@@ -57,6 +63,7 @@ class MergeStats:
     affected_buckets: int
     num_buckets: int
     skew_max_ratio: float
+    retries: int = 0
 
 
 def merge_upsert(
@@ -68,6 +75,39 @@ def merge_upsert(
     properties_update: dict[str, str] | None = None,
     evolve: bool = True,
     properties_fn=None,
+    max_retries: int = 5,
+) -> MergeStats:
+    """See module docstring. Concurrency (S4): the commit pins the snapshot
+    the merge READ (``expected_version``); losing the race to another writer
+    (e.g. a concurrent compaction or second source stream) redoes the
+    read-merge-write against the new tip — the reference's deadlock
+    rollback-and-retry (importer.js:132-138) in optimistic-concurrency form.
+    The failed attempt's files become unreferenced orphans (same class as
+    crash leftovers; cleaned by vacuum, never visible)."""
+    last_err: CommitConflict | None = None
+    for attempt in range(max_retries):
+        try:
+            stats = _merge_once(
+                table, batch, tombstones=tombstones, dedup_batch=dedup_batch,
+                properties_update=properties_update, evolve=evolve,
+                properties_fn=properties_fn,
+            )
+            stats.retries = attempt
+            return stats
+        except CommitConflict as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]
+
+
+def _merge_once(
+    table: SnapshotTable,
+    batch: DataFrame,
+    *,
+    tombstones: Literal["keep", "drop"],
+    dedup_batch: bool,
+    properties_update: dict[str, str] | None,
+    evolve: bool,
+    properties_fn,
 ) -> MergeStats:
     snap = table.snapshot()
     key = snap.key_cols
@@ -84,7 +124,7 @@ def merge_upsert(
         F.sum(F.col("_deleted").cast("long")) if "_deleted" in batch.columns else F.lit(0)
     )
     bstats = (
-        batch.withColumn("__b", bucket_expr(key, snap.num_buckets))
+        batch.withColumn("__b", bucket_expr(snap.bucket_cols, snap.num_buckets))
         .groupBy("__b")
         .agg(F.count("*").alias("n"), del_expr.alias("d"))
         .collect()
