@@ -28,22 +28,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # LWW winner per key (T6/I1), tombstone delete (T7), per-key rollup.
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
+    # ONE hash aggregate does all of it (VERDICT r1 perf #5): the LWW
+    # winner via max_by (map-side partial combine — no window sort), the
+    # rollup in the same pass, tombstone filter on the result. One shuffle
+    # on user_id, no join.
     ev = _t(spark, SF0001, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
-    final = (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-        .where(F.col("event_type") != "error")  # tombstone winners deleted
-    )
-    rollup = ev.groupBy("user_id").agg(
+    winner = F.max_by(F.struct("event_id", "event_type"), F.col("event_id")).alias("__w")
+    agg = ev.groupBy("user_id").agg(
+        winner,
         F.count("*").alias("n_events"),
         F.max("ts").alias("last_ts"),
     )
-    return final.join(rollup, "user_id").select(
+    return agg.where(F.col("__w.event_type") != "error").select(
         "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.col("event_type").alias("last_event_type"),
+        F.col("__w.event_id").alias("last_event_id"),
+        F.col("__w.event_type").alias("last_event_type"),
         "n_events",
         "last_ts",
     )
@@ -156,9 +155,11 @@ def q_t7_tombstone_delete(spark, sf):
 
 
 def q_t8_inner_equijoin(spark, sf):
+    # no forced broadcast hint: customer grows with SF — let AQE pick
+    # broadcast vs shuffled hash from runtime stats (VERDICT r1 t8 nit)
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -288,6 +289,84 @@ def q_i3_salted_aggregation(spark, sf):
     )
 
 
+def q_t10_contract_check(spark, sf):
+    """T10 data-test pass (contacts.yml:10-15): one aggregation computing
+    the key-uniqueness defect and all not_null violation counts over the
+    merged (LWW) state — the dbt `unique` + `not_null` tests as a single
+    conditional-count job."""
+    from cht_sync_spark.operators.contracts import contract_report
+
+    lww = q_t6_merge_upsert_lww(spark, sf)
+    return contract_report(lww, unique_key=["user_id"], not_null=["user_id", "last_event_id"])
+
+
+def q_p6_source_naming(spark, sf):
+    """P6 source naming (importer.js:186-187): hostname + pathname from the
+    origin URL, credentials/scheme/port/query dropped — pure Catalyst
+    regexp, same pattern the oracle runs."""
+    from cht_sync_spark.sources.naming import source_name_col
+
+    ev = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://admin:pw@h"),
+        F.pmod(F.col("user_id"), F.lit(3)),
+        F.lit(".example.com:5984/db_"),
+        F.col("event_type"),
+        F.lit("/"),
+    )
+    return ev.select("event_id", source_name_col(url).alias("source_name"))
+
+
+def q_i4_lineage_agg(spark, sf):
+    """I4 end-to-end: replay the events table AS a 2-partition change feed
+    through the real pipeline (doc->row, LWW, snapshot merge) and return
+    the lineage table it emitted. The oracle recomputes every lineage cell
+    — epoch assignment, per-(source, partition) raw counts and max seq —
+    from the same events with plain SQL, so this checks the actual
+    pipeline bookkeeping, not a reimplementation."""
+    import tempfile
+
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    ev = _t(spark, sf, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("db"), F.pmod(F.col("user_id"), F.lit(2))).alias("source"),
+        F.lit("insert").alias("op"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("event_id").cast("string")
+        ).alias("id"),
+        F.lit("1-aaaa").alias("rev"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.col("event_id").cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.col("event_type").alias("text"),
+                (F.col("event_id") * 1000).alias("ts"),
+            )
+        ).alias("doc"),
+    )
+    work = tempfile.mkdtemp(prefix="lineage_q_")
+    dirs = []
+    for p in range(2):
+        d = f"{work}/part{p}"
+        feed.where(F.pmod(F.col("user_id"), F.lit(2)) == p).write.mode("overwrite").parquet(d)
+        dirs.append(d)
+    hi = ev.agg(F.max("event_id")).first()[0]
+    cut = hi // 2  # deterministic 2-batch split, SQL-recomputable
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, dirs), f"{work}/t",
+        num_buckets=8, mode="mor", lineage_path=f"{work}/lineage",
+    )
+    pipe.run_batch(0, -(2**62), cut)
+    pipe.run_batch(1, cut, int(hi))
+    return pipe.lineage.read_current().select(
+        "epoch_id", "source", "partition_id", "seq_hi", "rows_upserted"
+    )
+
+
 # ----------------------------- training-data ops ---------------------------
 
 def q_dedup_exact(spark, sf):
@@ -330,14 +409,14 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_embedding_cosine(spark, sf):
-    """Embedding near-dup pairs, LSH-bucketed + exact cosine verify —
-    bucket recall is probabilistic: rows-only."""
+    """Embedding near-dup pairs: banded hyperplane LSH (OR-amplified
+    candidates) + exact cosine verify — band recall is probabilistic:
+    rows-only (recall tested in pytest on planted near-dups)."""
     from cht_sync_spark.functions.dedup import embedding_dup_pairs
-    from cht_sync_spark.functions.similarity import make_planes
 
     e = _t(spark, sf, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return embedding_dup_pairs(e, threshold=0.2, n_planes=4, planes=make_planes(dim, 4)).select(
+    return embedding_dup_pairs(e, threshold=0.2, bands=4, band_bits=3, dim=dim).select(
         "id_a", "id_b", F.round("cos", 4).alias("cos")
     )
 
@@ -412,7 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_split_case_projection": q_a4_split_case_projection,
         "i1_seq_lww_dedup": q_i1_seq_lww_dedup,
         "i3_salted_aggregation": q_i3_salted_aggregation,
+        "i4_lineage_agg": q_i4_lineage_agg,
         "i5_arrow_doc_transform": q_i5_arrow_doc_transform,
+        "t10_contract_check": q_t10_contract_check,
+        "p6_source_naming": q_p6_source_naming,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -535,6 +617,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n, "
             "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value "
             "FROM events GROUP BY event_type"
+        ),
+        "t10_contract_check": (
+            f"SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_keys, "
+            f"count(*) FILTER (WHERE user_id IS NULL) AS nulls_user_id, "
+            f"count(*) FILTER (WHERE last_event_id IS NULL) AS nulls_last_event_id, "
+            f"count(*) - count(DISTINCT user_id) AS dup_keys FROM ({lww})"
+        ),
+        "p6_source_naming": (
+            "SELECT event_id, "
+            "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) || "
+            "regexp_replace(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/?#]*(/[^?#]*)', 1), '/+$', '') "
+            "AS source_name FROM (SELECT event_id, "
+            "'https://admin:pw@h' || CAST(user_id % 3 AS VARCHAR) || "
+            "'.example.com:5984/db_' || event_type || '/' AS url FROM events)"
+        ),
+        "i4_lineage_agg": (
+            "WITH cut AS (SELECT max(event_id) // 2 AS c FROM events) "
+            "SELECT CAST(CASE WHEN event_id <= (SELECT c FROM cut) THEN 0 ELSE 1 END AS BIGINT) AS epoch_id, "
+            "'db' || CAST(user_id % 2 AS VARCHAR) AS source, "
+            "CAST(user_id % 2 AS INTEGER) AS partition_id, "
+            "max(event_id) AS seq_hi, count(*) AS rows_upserted "
+            "FROM events GROUP BY 1, 2, 3"
         ),
         "dedup_exact": (
             "SELECT md5(array_to_string(list_sort(list_distinct(str_split("

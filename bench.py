@@ -124,6 +124,8 @@ def main() -> None:
         "p3_doc_row_transform",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
         "text_stats",
         "similarity_topk",
     ):

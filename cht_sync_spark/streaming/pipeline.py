@@ -85,6 +85,7 @@ class ReplayPipeline:
         models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
         bucket_cols: list[str] | None = None,
         model_parallelism: int | None = None,
+        marker: str = "global",
     ):
         self.spark = spark
         self.feed = feed
@@ -92,6 +93,15 @@ class ReplayPipeline:
         self.mode = mode
         self.transform = transform
         self.saved_ts = saved_ts
+        # S8 in-process fan-out: several pipelines (one per source/watcher,
+        # reference couch2pg/src/index.js:7-11) may ingest into the SAME
+        # landing table concurrently. Each keeps its own watermark/epoch
+        # marker namespace so one worker's progress never masks another's;
+        # the idempotent LWW merge + commit retries make the interleaving
+        # safe.
+        self.marker = marker
+        self._wm_prop = f"watermark.{marker}"
+        self._epoch_prop = f"epoch.{marker}"
         # Landing layout: bucket by conv_id (a PREFIX of the key) rather than
         # the full (conv_id, turn_idx) key — every conversation lives in one
         # bucket, so conv_id-grouped incremental models prune their landing
@@ -119,7 +129,7 @@ class ReplayPipeline:
     def state(self) -> tuple[int, int]:
         """(watermark_seq, last_epoch) from the target's snapshot properties."""
         props = self.table.snapshot().properties
-        return int(props.get(WATERMARK_PROP, -1)), int(props.get(EPOCH_PROP, -1))
+        return int(props.get(self._wm_prop, -1)), int(props.get(self._epoch_prop, -1))
 
     def checkpoints(self) -> DataFrame:
         """Per-(source, partition) checkpoint state as a CHECKPOINT-schema
@@ -230,7 +240,7 @@ class ReplayPipeline:
                     out[f"checkpoint.{s}"] = json.dumps({"seq": s_hi, "rows": tot})
             return out
 
-        props = {WATERMARK_PROP: str(hi), EPOCH_PROP: str(epoch)}
+        props = {self._wm_prop: str(hi), self._epoch_prop: str(epoch)}
         if self.mode == "mor":
             schema = self.table.evolve_schema(rows.schema)
             self.table.append_delta(

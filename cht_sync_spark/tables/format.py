@@ -129,7 +129,8 @@ class SnapshotTable:
             lww_order = [(c, asc) for c, asc in LWW_ORDER if c in names]
         os.makedirs(os.path.join(path, _SNAPDIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATADIR), exist_ok=True)
-        t._write_manifest(
+        try:
+            t._write_manifest(
             Snapshot(
                 version=1,
                 schema=schema,
@@ -142,7 +143,12 @@ class SnapshotTable:
                 properties=dict(properties or {}),
                 parent=None,
             )
-        )
+            )
+        except CommitConflict:
+            # two writers raced CREATE TABLE IF NOT EXISTS: the loser adopts
+            # the winner's table (S8 concurrent watchers share one landing)
+            if not if_not_exists:
+                raise
         return t
 
     def exists(self) -> bool:
