@@ -28,10 +28,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # LWW winner per key (T6/I1), tombstone delete (T7), per-key rollup.
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    # ONE hash aggregate does all of it (VERDICT r1 perf #5): the LWW
-    # winner via max_by (map-side partial combine — no window sort), the
-    # rollup in the same pass, tombstone filter on the result. One shuffle
-    # on user_id, no join.
+    # ONE aggregate does all of it (VERDICT r1 perf #5): the LWW winner via
+    # max_by, the rollup in the same pass (partial combine map-side),
+    # tombstone filter on the result. One shuffle on user_id — vs the old
+    # window + rollup + join (two passes over the scan plus a join).
     ev = _t(spark, SF0001, "events")
     winner = F.max_by(F.struct("event_id", "event_type"), F.col("event_id")).alias("__w")
     agg = ev.groupBy("user_id").agg(

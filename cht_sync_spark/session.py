@@ -44,26 +44,13 @@ def get_spark(
     # extra verbatim JVM flags (benches use -Xms + AlwaysPreTouch so heap
     # page-zeroing happens at JVM startup, not inside the timed region)
     jvm_extra = (jvm_extra + " " + os.environ.get("SPARK_GRAFT_JVM_OPTS", "")).strip()
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    # max_by/min_by (the LWW dedup fast path) run as ObjectHashAggregate,
-    # whose sort-based fallback triggers at a tiny default map size (128
-    # entries). Size the in-memory map bound to the JVM heap instead of a
-    # fixed constant: ~250k wide struct entries per GiB across concurrent
-    # tasks keeps the aggregate hashing for micro-batch key cardinalities
-    # while still spilling (sort fallback) before heap exhaustion when a
-    # task sees an unexpectedly huge key set. Tunable per deployment via
-    # SPARK_GRAFT_OHA_FALLBACK.
-    m = driver_mem.lower().rstrip("b")
-    try:
-        if m.endswith("g"):
-            mem_gb = int(m[:-1])
-        elif m.endswith("m"):
-            mem_gb = max(1, int(m[:-1]) // 1024)
-        else:
-            mem_gb = int(m)
-    except ValueError:
-        mem_gb = 16
-    oha_fallback = int(os.environ.get("SPARK_GRAFT_OHA_FALLBACK", str(max(250_000, mem_gb * 250_000))))
+    # NOTE: no objectHashAggregate fallback tuning here anymore. The LWW
+    # winner selection is a row_number window whose rank-limit pushdown
+    # (WindowGroupLimit) gives map-side pruning natively; the earlier
+    # max_by-aggregate fast path (which motivated a raised global
+    # sort-fallback threshold — an executor-heap hazard for huge per-task
+    # key sets) was measured slower-or-equal in Spark 4 and removed
+    # (operators/lww.py docstring has the numbers).
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -72,7 +59,6 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(oha_fallback))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,3 +1,4 @@
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
+from cht_sync_spark.streaming.stream import StreamingReplay
 
-__all__ = ["ReplayPipeline"]
+__all__ = ["ReplayPipeline", "StreamingReplay"]

@@ -86,6 +86,7 @@ class ReplayPipeline:
         bucket_cols: list[str] | None = None,
         model_parallelism: int | None = None,
         marker: str = "global",
+        probe_pending: bool = False,
     ):
         self.spark = spark
         self.feed = feed
@@ -102,6 +103,11 @@ class ReplayPipeline:
         self.marker = marker
         self._wm_prop = f"watermark.{marker}"
         self._epoch_prop = f"epoch.{marker}"
+        # S2 lag probe: when on, each batch's checkpoint also records the
+        # per-source events still pending past the batch's high seq (the
+        # reference's `_changes?limit=0&since=seq -> pending`,
+        # importer.js:147-153) — one pruned count per batch, opt-in.
+        self.probe_pending = probe_pending
         # Landing layout: bucket by conv_id (a PREFIX of the key) rather than
         # the full (conv_id, turn_idx) key — every conversation lives in one
         # bucket, so conv_id-grouped incremental models prune their landing
@@ -145,7 +151,14 @@ class ReplayPipeline:
             if not sep or not pid.isdigit():
                 continue  # aggregate per-source key, skip
             d = json.loads(v)
-            rows.append((base, int(pid), int(d["seq"]), None, int(d.get("epoch", -1)), None))
+            pend = d.get("pending")
+            rows.append(
+                (
+                    base, int(pid), int(d["seq"]),
+                    int(pend) if pend is not None else None,
+                    int(d.get("epoch", -1)), None,
+                )
+            )
         return self.spark.createDataFrame(rows, CHECKPOINT)
 
     # ------------------------------------------------------------------- run
@@ -221,6 +234,16 @@ class ReplayPipeline:
         def _ckpt_props() -> dict[str, str]:
             # runs post-write / pre-commit: metrics from the write job land
             # in the SAME atomic snapshot as the data they describe
+            pending: dict[tuple[str, int], int] = {}
+            if self.probe_pending:
+                pending = {
+                    (r["source"], r["_feed_partition"]): r["n"]
+                    for r in self.feed.df()
+                    .where(F.col("seq") > hi)
+                    .groupBy("source", "_feed_partition")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
             got = obs.get
             out = {}
             for i, s in enumerate(sources):
@@ -231,9 +254,10 @@ class ReplayPipeline:
                         continue
                     hi_sp = int(got[f"hi{i}_{p}"])
                     src_stats.append({"source": s, "partition": p, "hi": hi_sp, "n": int(n)})
-                    out[f"checkpoint.{s}.p{p}"] = json.dumps(
-                        {"seq": hi_sp, "rows": int(n), "epoch": epoch}
-                    )
+                    ck = {"seq": hi_sp, "rows": int(n), "epoch": epoch}
+                    if self.probe_pending:
+                        ck["pending"] = int(pending.get((s, p), 0))
+                    out[f"checkpoint.{s}.p{p}"] = json.dumps(ck)
                     tot += int(n)
                     s_hi = hi_sp if s_hi is None else max(s_hi, hi_sp)
                 if tot:

@@ -40,7 +40,7 @@ from cht_sync_spark.schemas import CHANGE_EVENT, TRANSCRIPT, TRANSCRIPT_KEY
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import merge_upsert
 
-EPOCH_PROP = "epoch.stream"
+EPOCH_PROP = "epoch.stream"  # default marker namespace (see `marker` param)
 
 
 class StreamingReplay:
@@ -58,6 +58,7 @@ class StreamingReplay:
         mode: Literal["cow", "mor"] = "cow",
         sources: list[str] | None = None,  # declared feed sources (db.js:45)
         fail_after_batches: int | None = None,  # test hook: crash injection
+        marker: str = "stream",
     ):
         self.spark = spark
         self.feed_path = feed_path
@@ -67,6 +68,10 @@ class StreamingReplay:
         self.sources = sources
         self.fail_after_batches = fail_after_batches
         self._applied = 0
+        # S8: several streaming queries (one per source/watcher, own Spark
+        # checkpoint dir) may share one landing table; each keeps its own
+        # epoch-marker namespace, like ReplayPipeline's `marker`.
+        self._epoch_prop = f"epoch.{marker}"
         self.table = SnapshotTable.create(
             spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets
         )
@@ -76,7 +81,7 @@ class StreamingReplay:
         if self.fail_after_batches is not None and self._applied >= self.fail_after_batches:
             raise RuntimeError("injected crash (test hook)")
 
-        last = int(self.table.snapshot().properties.get(EPOCH_PROP, -1))
+        last = int(self.table.snapshot().properties.get(self._epoch_prop, -1))
         if epoch_id <= last:
             return  # replayed batch already fully committed -> exactly-once skip
 
@@ -136,7 +141,7 @@ class StreamingReplay:
         )
         rows = lww_dedup(rows)
 
-        props = {EPOCH_PROP: str(epoch_id)}
+        props = {self._epoch_prop: str(epoch_id)}
         if self.mode == "mor":
             schema = self.table.evolve_schema(rows.schema)
             self.table.append_delta(

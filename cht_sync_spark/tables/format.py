@@ -456,6 +456,45 @@ class SnapshotTable:
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
+    # ---------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Remove manifests older than the last ``keep_last`` snapshots
+        (Iceberg's expire_snapshots analogue). Bounds driver-side metadata:
+        with a compaction cadence the live file list stays O(num_buckets +
+        deltas-since-compaction), and expiry keeps the manifest DIRECTORY
+        from growing O(commits) over a long replay. Returns the number of
+        manifests removed. Time travel remains available across the kept
+        window only."""
+        versions = self._versions()
+        expired = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        d = os.path.join(self.path, _SNAPDIR)
+        for v in expired:
+            os.remove(os.path.join(d, f"v{v:08d}.json"))
+        return len(expired)
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by ANY retained snapshot —
+        crash leftovers and files orphaned by losing commit races (S4
+        retries write before they win). Safe because commits only ever
+        ADD whole new commit-directories; a file absent from every live
+        manifest can never become visible again. Returns files removed."""
+        live: set[str] = set()
+        for v in self._versions():
+            for f in self.snapshot(v).files:
+                live.add(os.path.normpath(f["path"]))
+        data_root = os.path.join(self.path, _DATADIR)
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.normpath(os.path.relpath(full, self.path))
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed += 1
+            if not os.listdir(dirpath) and dirpath != data_root:
+                os.rmdir(dirpath)
+        return removed
+
     # ------------------------------------------------------------ evolution
     def evolve_schema(self, batch_schema: T.StructType) -> T.StructType:
         """Additive evolution: current schema + any new batch fields

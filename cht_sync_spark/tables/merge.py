@@ -38,7 +38,6 @@ the residual (session.py).
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 from typing import Literal
 
@@ -170,11 +169,3 @@ def _merge_once(
     return MergeStats(committed.version, rows_in, dels, len(affected), snap.num_buckets, skew)
 
 
-def checkpoint_props(source: str, seq_hi: int, epoch_id: int, pending: int | None = None) -> dict[str, str]:
-    """Property keys for checkpoint + epoch markers, committed atomically
-    with the merge (the 'epoch marker inside the data-table snapshot' from
-    SURVEY.md §7.3 #5)."""
-    return {
-        f"checkpoint.{source}": json.dumps({"seq": seq_hi, "pending": pending}),
-        f"epoch.{source}": str(epoch_id),
-    }

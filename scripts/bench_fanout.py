@@ -226,6 +226,20 @@ def main() -> None:
         open(marker, "w").write("ok")
     spark.stop()
 
+    # Serve the (read-only) feed from tmpfs for the timed levels: the 4N
+    # level's JVM teardown (4 x 12g AlwaysPreTouch heaps) evicts the feed
+    # from the page cache, so disk-backed N trials that follow a 4N trial
+    # read cold from the single shared virtual disk — a host artifact that
+    # depressed N and made per-trial "efficiency" exceed 1. On a real
+    # cluster the input comes from distributed storage whose bandwidth
+    # scales with the executor count; pinning the input in memory is the
+    # faithful equivalent (same argument as table state on tmpfs above).
+    shm_feed = os.path.join(STATE, os.path.basename(feed_path))
+    if not os.path.exists(os.path.join(shm_feed, "_DONE")):
+        shutil.rmtree(shm_feed, ignore_errors=True)
+        shutil.copytree(feed_path, shm_feed)
+    feed_path = shm_feed
+
     trials: dict[int, list[dict]] = {1: [], 4: []}
     for t in range(args.trials):
         for nparts in (1, 4):

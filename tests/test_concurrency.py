@@ -146,6 +146,51 @@ def test_concurrent_multi_source_ingest(spark, feed_df, tmp_path, mode):
         assert f"checkpoint.{s}" in props
 
 
+def test_concurrent_streaming_queries_one_table(spark, feed_df, tmp_path):
+    """S8, streaming form: one Structured Streaming query per source
+    (own Spark checkpoint, own epoch-marker namespace), both draining into
+    the SAME landing table concurrently."""
+    from cht_sync_spark.streaming.stream import StreamingReplay
+
+    sources = sorted(r["source"] for r in feed_df.select("source").distinct().collect())
+    dirs = []
+    for i, s in enumerate(sources):
+        p = str(tmp_path / f"sfeed{i}")
+        feed_df.where(F.col("source") == s).repartition(4).write.mode("overwrite").parquet(p)
+        dirs.append(p)
+
+    table_path = str(tmp_path / "slanding")
+    replays = [
+        StreamingReplay(
+            spark, dirs[i], table_path, str(tmp_path / f"ckpt{i}"),
+            max_files_per_trigger=2, mode="mor", sources=[s], marker=f"w{i}",
+        )
+        for i, s in enumerate(sources)
+    ]
+    qs = [
+        r._stream()
+        .writeStream.foreachBatch(r._apply_batch)
+        .option("checkpointLocation", r.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        for r in replays
+    ]
+    for q in qs:
+        assert q.awaitTermination(600)
+        if q.exception() is not None:
+            raise q.exception()
+
+    t = SnapshotTable(spark, table_path)
+    got = table_to_state([r.asDict() for r in t.read_current().collect()])
+    want = expected_state([r.asDict() for r in feed_df.collect()])
+    assert set(got) == set(want)
+    for _id in want:
+        for c in COMPARE_COLS:
+            assert got[_id][c] == want[_id][c], f"{_id}.{c}"
+    props = t.snapshot().properties
+    assert "epoch.w0" in props and "epoch.w1" in props
+
+
 def test_parallel_models_match_sequential(spark, feed_path, tmp_path):
     """T14: concurrent model maintenance must produce byte-identical model
     tables to the sequential run, with per-model epoch markers isolated."""

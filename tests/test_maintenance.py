@@ -1,0 +1,106 @@
+"""Table maintenance: snapshot expiry, orphan vacuum, pending probe."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.streaming.pipeline import ReplayPipeline
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+KV = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _kv(spark, lo, hi, v, seq):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(v).alias("v"), F.lit(seq).cast("long").alias("seq")
+    )
+
+
+def _disk_parquets(path):
+    out = []
+    for dirpath, _d, files in os.walk(os.path.join(path, "data")):
+        out += [f for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_expire_and_vacuum_reclaim_space(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, KV, ["k"], num_buckets=4)
+    for i in range(4):
+        t.append_delta(_kv(spark, i * 50, (i + 1) * 50, f"v{i}", i))
+    t.compact()
+    versions_before = len(t.history())
+    files_before = len(_disk_parquets(path))
+    live_files = len(t.snapshot().files)
+    assert files_before > live_files  # pre-compact deltas still on disk
+
+    # vacuum WITHOUT expiry keeps everything (old snapshots still reference
+    # the deltas — time travel must not break)
+    assert t.vacuum() == 0
+    assert len(_disk_parquets(path)) == files_before
+
+    removed_manifests = t.expire_snapshots(keep_last=1)
+    assert removed_manifests == versions_before - 1
+    removed_files = t.vacuum()
+    assert removed_files == files_before - live_files
+    assert len(_disk_parquets(path)) == live_files
+
+    got = {r["k"]: r["v"] for r in t.read_current().collect()}
+    assert len(got) == 200 and got[199] == "v3"
+
+
+def test_vacuum_removes_losing_race_orphans(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    t = SnapshotTable.create(spark, path, KV, ["k"], num_buckets=4)
+    merge_upsert(t, _kv(spark, 0, 100, "a", 1))
+    # simulate a failed/crashed commit attempt: data written, never committed
+    snap = t.snapshot()
+    t._write_data(_kv(spark, 0, 10, "orphan", 9), snap, level="base")
+    n_live = len(t.snapshot().files)
+    assert len(_disk_parquets(path)) > n_live
+    removed = t.vacuum()
+    assert removed >= 1
+    assert len(_disk_parquets(path)) == n_live
+    got = {r["k"]: r["v"] for r in t.read_current().collect()}
+    assert len(got) == 100 and got[5] == "a"  # orphan rows never visible
+
+
+def test_pending_probe_in_checkpoints(spark, feed_df, tmp_path):
+    dirs = []
+    for p in range(2):
+        d = str(tmp_path / f"part{p}")
+        feed_df.where(F.pmod(F.xxhash64("id"), F.lit(2)) == p).write.parquet(d)
+        dirs.append(d)
+    feed = ChangesFeedSource(spark, dirs)
+    pipe = ReplayPipeline(
+        spark, feed, str(tmp_path / "t"), num_buckets=8, mode="mor", probe_pending=True
+    )
+    cuts = feed.plan_batches(400)
+    pipe.run_batch(0, -(2**62), cuts[0])
+
+    want = {
+        (r["source"], r["p"]): r["n"]
+        for r in feed_df.withColumn("p", F.pmod(F.xxhash64("id"), F.lit(2)).cast("int"))
+        .where(F.col("seq") > cuts[0])
+        .groupBy("source", "p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["source"], r["partition_id"]): r["pending"]
+        for r in pipe.checkpoints().collect()
+    }
+    assert got == want
+    assert all(v > 0 for v in got.values())  # first batch leaves a backlog
