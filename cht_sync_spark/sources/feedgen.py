@@ -107,11 +107,30 @@ def synth_changes(
             ),
         )
     )
-    # dense per-turn index: cumulative turns before this conv + turn_idx.
-    # The window runs over n_convs rows (not events) — cheap even at 10^7
-    # conversations; everything per-event stays shuffle-free.
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
-    conv = conv.withColumn("turn_offset", F.coalesce(F.sum("n_turns").over(w), F.lit(0)))
+    # dense per-turn index: cumulative turns before this conv + turn_idx,
+    # via a TWO-LEVEL prefix sum so no stage is single-partition at scale:
+    # (1) running sum WITHIN each 64k-conv block (window partitioned by
+    #     block id — parallel across blocks);
+    # (2) block offsets = running sum over the per-block totals (a window
+    #     over n_convs/64k rows — trivial), broadcast-joined back.
+    # Identical values to a global ORDER BY id running sum for any block
+    # size; deterministic at any parallelism.
+    blk = F.floor(F.col("id") / F.lit(65536)).alias("__blk")
+    conv = conv.withColumn("__blk", blk)
+    w_in = Window.partitionBy("__blk").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    conv = conv.withColumn("__intra", F.coalesce(F.sum("n_turns").over(w_in), F.lit(0)))
+    w_blk = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = (
+        conv.groupBy("__blk")
+        .agg(F.sum("n_turns").alias("__bt"))
+        .withColumn("__bo", F.coalesce(F.sum("__bt").over(w_blk), F.lit(0)))
+        .select("__blk", "__bo")
+    )
+    conv = (
+        conv.join(F.broadcast(blk_off), "__blk")
+        .withColumn("turn_offset", F.col("__bo") + F.col("__intra"))
+        .drop("__blk", "__intra", "__bo")
+    )
 
     turns = conv.select(
         "conv_id",
