@@ -41,24 +41,38 @@ class ChangesFeedSource:
         self.spark = spark
         self.feed_path = feed_path
         self._sources = sources
+        self._df: DataFrame | None = None
 
     def df(self) -> DataFrame:
         """Feed rows + ``_feed_partition`` (the index of the slice directory
         the row came from — the Kafka-partition id analogue). Per-slice reads
         union with a literal partition id, so range predicates still push
         into each branch's parquet scan; the column feeds the per-(source,
-        partition) checkpoints and lineage (north_rule I4)."""
-        paths = self.feed_path if isinstance(self.feed_path, list) else [self.feed_path]
-        parts = [
-            self.spark.read.parquet(p).withColumn("_feed_partition", F.lit(i))
-            for i, p in enumerate(paths)
-        ]
-        d = parts[0]
-        for p in parts[1:]:
-            d = d.unionByName(p)
-        if self._sources:
-            d = d.where(F.col("source").isin(self._sources))
-        return d
+        partition) checkpoints and lineage (north_rule I4).
+
+        The DataFrame (and with it the driver-side file listing) is built
+        ONCE per source instance and reused by every batch — re-listing the
+        feed per micro-batch was measurable fixed overhead. Tailing callers
+        that expect NEW files to appear must call :meth:`refresh` per poll
+        cycle (the batch replay form reads a static feed)."""
+        if self._df is None:
+            paths = self.feed_path if isinstance(self.feed_path, list) else [self.feed_path]
+            parts = [
+                self.spark.read.parquet(p).withColumn("_feed_partition", F.lit(i))
+                for i, p in enumerate(paths)
+            ]
+            d = parts[0]
+            for p in parts[1:]:
+                d = d.unionByName(p)
+            if self._sources:
+                d = d.where(F.col("source").isin(self._sources))
+            self._df = d
+        return self._df
+
+    def refresh(self) -> None:
+        """Drop the cached plan so the next read re-lists the feed (for
+        polling/tailing over a growing directory)."""
+        self._df = None
 
     def num_partitions(self) -> int:
         return len(self.feed_path) if isinstance(self.feed_path, list) else 1

@@ -16,7 +16,7 @@ times a full drain replay of the main feed in both table modes:
   path for the 10^10-event target;
 - ``cow``: bucket-pruned copy-on-write MERGE per batch.
 
-Usage:  python -m scripts.bench_scaling            # writes BENCH/BASELINE.md
+Usage:  python -m scripts.bench_scaling            # writes BENCH/scaling.md
         python -m scripts.bench_scaling --events 3000000
 """
 
@@ -165,7 +165,7 @@ def _write_md(report: dict, lo: int, hi: int, results: dict) -> None:
             f"| {b['sec']} s / {b['events_per_sec']:.0f} ev/s "
             f"| **{report['efficiency'][mode]:.3f}** |"
         )
-    md = f"""# BENCH/BASELINE — measured scaling evidence
+    md = f"""# BENCH/scaling — single-JVM thread-scaling protocol (secondary)
 
 Workload: full drain replay of the deterministic synthetic CouchDB-changes
 feed ({n:,} events: inserts, edits, conflicts, deletes, delete-vs-edit
@@ -186,9 +186,10 @@ criterion; target >= 0.8).
   path for the 10^10-event target; `cow` is the per-batch bucket-pruned
   copy-on-write MERGE.
 - Reproduce: `python -m scripts.bench_scaling` (writes this file and
-  BENCH/scaling.json).
+  BENCH/scaling.json). The HEADLINE executor-style protocol and curated
+  results live in BENCH/BASELINE.md (scripts/bench_fanout.py).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "scaling.md"), "w") as fh:
         fh.write(md)
 
 
