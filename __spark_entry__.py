@@ -458,6 +458,18 @@ def q_text_stats(spark, sf):
     return text_stats(_t(spark, sf, "documents"))
 
 
+def q_text_fingerprint_winnow(spark, sf):
+    """Winnowing (rolling-hash window-minima) fingerprint near-dup pairs —
+    substring-level dedup. xxhash64 has no DuckDB twin: rows-only; the
+    winnowing guarantee is pinned in pytest."""
+    from cht_sync_spark.functions.text import fingerprint_pairs
+
+    # min_shared high-ish: the synthetic corpus is templated (small word
+    # pool), so short shared phrases are everywhere; demanding many shared
+    # fingerprints keeps the pairs at copied-passage strength
+    return fingerprint_pairs(_t(spark, sf, "documents"), min_shared=8)
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -504,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ivf": q_similarity_ivf,
         "text_stats": q_text_stats,
+        "text_fingerprint_winnow": q_text_fingerprint_winnow,
         "multimodal_meta": q_multimodal_meta,
     }
 

@@ -146,6 +146,77 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's public
+    local fingerprinting algorithm): hash every character k-gram of the
+    normalized text, keep the MINIMUM hash of each sliding window of ``w``
+    consecutive k-gram hashes — the distinct minima are the document
+    fingerprint set, guaranteeing any shared substring of length >= w+k-1
+    yields a shared fingerprint. Returns ``(id, fp)`` rows.
+
+    Physical shape: ONE linear ``transform`` computes the k-gram hash array
+    (the lambda only touches bound attributes — nesting a second transform
+    for the window minima would re-evaluate the whole hash array per
+    window, O(n²), because Catalyst does not CSE through lambda bodies);
+    the sliding minima then run as a ``min OVER (PARTITION BY id ORDER BY
+    pos ROWS BETWEEN CURRENT AND w-1 FOLLOWING)`` window after a
+    posexplode — linear, shuffled by id only. Per-k-gram hashing is
+    xxhash64 on the substring — a fixed-width stand-in for the Rabin-Karp
+    rolling hash (whose wrapping arithmetic Spark 4 ANSI rejects); the
+    fingerprints are a valid winnowing either way.
+    """
+    from pyspark.sql import Window
+
+    # normalize ONCE into a bound column: it is referenced both by the
+    # position range and inside the per-element lambda, and a >1-referenced
+    # non-trivial alias is exactly what CollapseProject keeps materialized
+    # (inlining it would re-run the regex per k-gram)
+    base = spread(df).select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t")
+    ).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col("__t")) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(k))),
+        ).alias("hs"),
+    )
+    grams = base.select("id", F.size("hs").alias("n"), F.posexplode("hs").alias("pos", "h"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = grams.withColumn("m", F.min("h").over(win))
+    # valid window starts: pos in [0, n-w]; short docs (n < w) keep pos 0,
+    # whose partial window is the global min — the winnowing of the whole
+    valid = (F.col("pos") <= F.col("n") - w) | ((F.col("n") < w) & (F.col("pos") == 0))
+    return mins.where(valid).select("id", F.col("m").alias("fp")).distinct()
+
+
+def fingerprint_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Pairs of documents sharing >= ``min_shared`` winnowing fingerprints
+    (substring-level near-dup detection — catches copied PASSAGES that
+    whole-document measures dilute). Inverted-index self-join on the
+    fingerprint hash (keyed shuffle, no cross join), counted per pair."""
+    post = winnow_fingerprints(df, text_col, id_col, k, w)
+    x, y = post.alias("x"), post.alias("y")
+    return (
+        x.join(y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = F.col(text_col)
     return df.select(

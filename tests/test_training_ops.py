@@ -196,6 +196,32 @@ def test_multimodal_plumbing(spark, docs):
         decode_media(media, mode="real").collect()
 
 
+def test_winnowing_fingerprint_guarantee(spark):
+    """Winnowing guarantee: documents sharing a passage of length >= w+k-1
+    chars MUST share at least one fingerprint; unrelated documents share
+    (essentially) none. k=5, w=8 -> guarantee threshold 12 chars."""
+    from cht_sync_spark.functions.text import fingerprint_pairs, winnow_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog by the riverbank"
+    rows = [
+        (1, passage + " and that was the end of it all, truly and completely"),
+        (2, "in a wholly different beginning there was " + passage),
+        (3, "unrelated words about parquet statistics shuffle partitions and executor heap sizing"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in fingerprint_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2, "shared passage must share fingerprints"
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # determinism + per-doc distinctness of the fingerprint rows
+    fps = winnow_fingerprints(df).collect()
+    seen = {(r["id"], r["fp"]) for r in fps}
+    assert len(seen) == len(fps) and len(fps) > 0
+
+
 def test_simhash_similar_texts_close(spark):
     from cht_sync_spark.functions.text import hamming64, simhash64
 
