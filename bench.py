@@ -52,7 +52,7 @@ def ensure_feed(spark, sf: float) -> tuple[str, int]:
 
     Cache key includes all gen params, so identical across rounds/runs.
     """
-    from cht_sync_spark.sources.feedgen import synth_changes, write_feed
+    from cht_sync_spark.sources.feedgen import feed_sources, synth_changes, write_feed
 
     n_convs = max(200, int(80_000 * sf / 0.1))
     params = f"v2_{n_convs}_6_8_4_2500_2_42"
@@ -71,17 +71,30 @@ def ensure_feed(spark, sf: float) -> tuple[str, int]:
     return path, n
 
 
-def bench_replay(spark, feed_path: str, n_events: int, mode: str, num_buckets: int) -> float:
+def bench_replay(
+    spark, feed_path: str, n_events: int, mode: str, num_buckets: int,
+    with_models: bool = False,
+) -> float:
     from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
     from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
-    out = os.path.join(BENCH_TMP, f"replay_{mode}")
+    tag = f"replay_{mode}" + ("_models" if with_models else "")
+    out = os.path.join(BENCH_TMP, tag)
     shutil.rmtree(out, ignore_errors=True)
-    feed = ChangesFeedSource(spark, feed_path)
+    models = []
+    if with_models:
+        from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+
+        models = [
+            (CONVERSATIONS, os.path.join(out, "conversations")),
+            (CONV_PROFILES, os.path.join(out, "conv_profiles")),
+        ]
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     pipe = ReplayPipeline(
         spark, feed, os.path.join(out, "landing"),
         batch_size=max(200_000, n_events // 4),
-        num_buckets=num_buckets, mode=mode,
+        num_buckets=num_buckets, mode=mode, models=models,
     )
     t0 = time.monotonic()
     pipe.run()
@@ -110,6 +123,11 @@ def main() -> None:
         sec = bench_replay(spark, feed_path, n_events, mode, num_buckets=64)
         timings[f"replay_{mode}"] = round(sec, 3)
         extras[f"replay_{mode}_events_per_sec"] = round(n_events / sec, 1)
+    # full model DAG maintained incrementally alongside the ingest
+    # (conversations -> conv_profiles, the persons.sql-analogue chain)
+    sec = bench_replay(spark, feed_path, n_events, "mor", num_buckets=64, with_models=True)
+    timings["replay_mor_models"] = round(sec, 3)
+    extras["replay_mor_models_events_per_sec"] = round(n_events / sec, 1)
 
     # ---- group 2: driver-table operator queries -----------------------
     import __spark_entry__ as entrymod
@@ -128,6 +146,7 @@ def main() -> None:
         "dedup_simhash",
         "text_stats",
         "similarity_topk",
+        "text_fingerprint_winnow",
     ):
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))

@@ -20,6 +20,31 @@ from pyspark.sql import functions as F
 from cht_sync_spark.functions.text import normalize_text, simhash64, hamming64, spread, words
 
 
+def _materialize_sigs(base: DataFrame, sig_table_path: str | None, num_buckets: int = 16):
+    """Make the shingle-hash base table reusable across its 3-4 plan
+    consumers (postings, frequency, both verify sides).
+
+    Default: ``persist(MEMORY_AND_DISK)`` — right for single-job corpora
+    (the cache manager dedupes by logical plan across reruns). At true
+    100 TB the executor-memory cache is the wrong home for an
+    all-documents intermediate, so ``sig_table_path`` WRITES the signatures
+    once as a SnapshotTable and every consumer scans that storage-backed
+    table instead — the shingle/normalize stage runs exactly once, and the
+    intermediate survives for later jobs (incremental re-dedup) too."""
+    if sig_table_path is None:
+        from pyspark.storagelevel import StorageLevel
+
+        return base.persist(StorageLevel.MEMORY_AND_DISK)
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    t = SnapshotTable.create(
+        base.sparkSession, sig_table_path, base.schema, key_cols=["id"],
+        num_buckets=num_buckets,
+    )
+    t.overwrite(base)
+    return t.read()
+
+
 
 
 # --------------------------------------------------------------- exact dedup
@@ -68,6 +93,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    sig_table_path: str | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs (no misses at >= threshold), at
     inverted-index cost bounded by prefix filtering (AllPairs/PPJoin-style).
@@ -107,11 +133,10 @@ def jaccard_pairs(
     # base fans out to 4+ consumers (postings, freq, both verify sides) and
     # prefix to 2 (the self-join) — without materialization Catalyst
     # recomputes the shingle stage once per consumer (measured 4x wall
-    # time). MEMORY_AND_DISK persist; the cache manager keys on the logical
-    # plan, so repeated runs share one entry. At true 100 TB scale swap the
-    # persist for a written intermediate (signature table) — same plan
-    # shape, storage-backed.
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # time). Default: MEMORY_AND_DISK persist; with ``sig_table_path`` the
+    # signatures are WRITTEN once (storage-backed, the 100 TB form) and
+    # every consumer scans that table.
+    base = _materialize_sigs(base, sig_table_path)
     post = base.select("id", "n_sh", F.explode("hs").alias("h"))
     freq = post.groupBy("h").agg(F.count("*").alias("df"))
     ranked = post.join(freq, "h").withColumn(
@@ -175,10 +200,16 @@ def _signature_from_hashes(hs, num_hashes: int):
     permutation vector (``aggregate`` + ``zip_with(least)``). Same values
     as the per-permutation ``array_min`` form (xxhash64(h, j) both ways),
     but one pass instead of ``num_hashes`` passes — this was the slowest
-    bench query's hot loop (VERDICT r1 perf #4)."""
+    bench query's hot loop (VERDICT r1 perf #4).
+
+    Empty/null shingle arrays yield a NULL signature (matching the old
+    per-permutation ``array_min`` semantics): without the guard the fold
+    would return its all-maxlong init for EVERY empty doc, landing them all
+    in identical LSH band buckets — an O(E^2) candidate blowup on dirty
+    corpora (ADVICE r2). Null signatures never band-join."""
     maxlong = F.lit(2**63 - 1).cast("long")
     js = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.aggregate(
+    agg = F.aggregate(
         hs,
         F.array_repeat(maxlong, num_hashes),
         lambda acc, h: F.zip_with(
@@ -187,6 +218,7 @@ def _signature_from_hashes(hs, num_hashes: int):
             lambda a, b: F.least(a, b),
         ),
     )
+    return F.when(F.size(hs) > 0, agg)
 
 
 def minhash_lsh_pairs(
@@ -197,6 +229,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    sig_table_path: str | None = None,
 ) -> DataFrame:
     """MinHash -> band -> bucket-join candidates -> exact Jaccard verify.
 
@@ -214,14 +247,18 @@ def minhash_lsh_pairs(
     The bucket join shuffles on (band, bandhash) — small keys, skew-safe
     under AQE.
     """
-    from pyspark.storagelevel import StorageLevel
-
     r = num_hashes // bands
-    base = spread(df).select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), n).alias("hs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds banding + both verify sides
+    base = _materialize_sigs(
+        spread(df).select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), n).alias("hs"),
+        ),
+        sig_table_path,
+    )  # feeds banding + both verify sides
     sig = base.select("id", "hs", _signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+    # shingle-less docs (null signature) can't band — and concat_ws silently
+    # ignores nulls, which would otherwise give them all the SAME band hash
+    sig = sig.where(F.col("sig").isNotNull())
     banded = sig.select(
         "id",
         F.explode(

@@ -49,8 +49,14 @@ def cosine_topk(
     its local top-k, driver merges k*P rows — no global sort shuffle.
     """
     q = _lit_vec(query_vec)
+    # no spread(): the per-row cost (one dim-length dot product) is far too
+    # cheap to justify a 32-way repartition round-trip on small inputs
+    # (measured: the ONLY two sf0.1 bench regressions in r2 were the two
+    # smallest queries, consistent with the repartition tax), and on a
+    # well-split 100 TB scan the repartition is a no-op anyway — callers
+    # that feed pruned candidate sets (ann/ivf) especially must not pay it
     return (
-        spread(df).select(
+        df.select(
             F.col(id_col),
             (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(_pynorm(query_vec)))).alias("cos"),
         )
@@ -289,7 +295,19 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
     """IVF-lite coarse index: centroids = a deterministic sample of the data
     (ids with smallest xxhash — seedable, no RNG), cell = argmax cosine.
     Returns (assigned df with __cell, centroid list). At scale, write the
-    table bucketed by __cell (SnapshotTable key) so probes are file-pruned."""
+    table bucketed by __cell (SnapshotTable key) so probes are file-pruned.
+
+    Ceiling: the argmax is a chained-``when`` expression of O(n_cells x dim)
+    literals — deliberate for the tested 8-64 cell range (stays fully in
+    whole-stage codegen), but a plan-size hazard beyond that. A true 65k-cell
+    IVF needs a broadcast centroid-table join (array column + posexplode
+    argmin), so the ceiling is enforced, not silently slow."""
+    if n_cells > 256:
+        raise ValueError(
+            f"ivf_assign supports n_cells <= 256 (got {n_cells}): the codegen'd "
+            "chained-when argmax would blow the plan; use a broadcast centroid "
+            "join for larger cell counts"
+        )
     cents = [
         (r[0], r[1])
         for r in df.select(F.col(id_col), F.col(vec_col))

@@ -152,6 +152,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's public
     local fingerprinting algorithm): hash every character k-gram of the
@@ -167,11 +168,24 @@ def winnow_fingerprints(
     the sliding minima then run as a ``min OVER (PARTITION BY id ORDER BY
     pos ROWS BETWEEN CURRENT AND w-1 FOLLOWING)`` window after a
     posexplode — linear, shuffled by id only. Per-k-gram hashing is
-    xxhash64 on the substring — a fixed-width stand-in for the Rabin-Karp
-    rolling hash (whose wrapping arithmetic Spark 4 ANSI rejects); the
-    fingerprints are a valid winnowing either way.
+    ``hash_fn``:
+
+    - ``xxhash64`` (default): long hashes — fastest, the at-scale form; a
+      fixed-width stand-in for the Rabin-Karp rolling hash (whose wrapping
+      arithmetic Spark 4 ANSI rejects);
+    - ``md5``: hex-string hashes whose window-minima compare
+      lexicographically — byte-identical in any ANSI SQL engine, which is
+      what makes the operator fully ORACLE-CHECKABLE (DuckDB has no
+      xxhash64). Same winnowing guarantee either way.
     """
     from pyspark.sql import Window
+
+    if hash_fn == "xxhash64":
+        gram_hash = lambda s: F.xxhash64(s)  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda s: F.md5(s)  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
     # normalize ONCE into a bound column: it is referenced both by the
     # position range and inside the per-element lambda, and a >1-referenced
@@ -183,7 +197,7 @@ def winnow_fingerprints(
         "id",
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(F.col("__t")) - (k - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(k))),
+            lambda i: gram_hash(F.col("__t").substr(i, F.lit(k))),
         ).alias("hs"),
     )
     grams = base.select("id", F.size("hs").alias("n"), F.posexplode("hs").alias("pos", "h"))
@@ -202,12 +216,13 @@ def fingerprint_pairs(
     k: int = 5,
     w: int = 8,
     min_shared: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs of documents sharing >= ``min_shared`` winnowing fingerprints
     (substring-level near-dup detection — catches copied PASSAGES that
     whole-document measures dilute). Inverted-index self-join on the
     fingerprint hash (keyed shuffle, no cross join), counted per pair."""
-    post = winnow_fingerprints(df, text_col, id_col, k, w)
+    post = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn=hash_fn)
     x, y = post.alias("x"), post.alias("y")
     return (
         x.join(y, (F.col("x.fp") == F.col("y.fp")) & (F.col("x.id") < F.col("y.id")))

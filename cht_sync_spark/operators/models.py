@@ -20,7 +20,15 @@ DataFrames, maintained incrementally per micro-batch:
   ``ON DELETE CASCADE`` of persons, contacts.yml:49-51);
 - each model stores a hash of its transform source in table properties;
   a changed hash triggers a full rebuild from the landing table (T12 —
-  dbt's ``state:modified --full-refresh`` manifest diff, dbt-run.py:78-149).
+  dbt's ``state:modified --full-refresh`` manifest diff, dbt-run.py:78-149);
+- models may depend on OTHER MODELS (``depends_on``): the transform then
+  receives ``(landing_scope, deps)`` where ``deps[name]`` is the upstream
+  model's reconciled current state scoped to the same touched groups. The
+  pipeline runs models in topological order (parallel within a level) —
+  the dbt dependency DAG that the reference's ``persons.sql`` uses
+  (tests/dbt/package/models/contacts/persons.sql:13-22 selects FROM the
+  contacts MODEL and joins it back to the landing table; dbt orders model
+  runs by their ref() graph).
 """
 
 from __future__ import annotations
@@ -48,12 +56,19 @@ class ModelSpec:
     schema: T.StructType
     # transform: full-state rows for the given landing slice (live + deleted
     # rows of the affected scope); must emit a `_deleted` column so the merge
-    # can cascade deletions.
-    transform: Callable[[DataFrame], DataFrame]
+    # can cascade deletions. Models with ``depends_on`` get a second arg:
+    # ``deps`` — {upstream model name -> its reconciled (live) state, scoped
+    # to the same touched groups}.
+    transform: Callable[..., DataFrame]
     # group_cols: if set, the model aggregates per group; incremental runs
     # recompute whole groups touched by the batch (reading them back from
     # landing); if None, the model is row-wise on the batch itself.
     group_cols: list[str] | None = None
+    # depends_on: names of upstream MODELS this transform reads (dbt ref()).
+    # Dependent models must be grouped (group_cols set): the touched-group
+    # set is what scopes both the landing read and every upstream read, so
+    # the incremental update stays O(touched groups) through the whole DAG.
+    depends_on: list[str] = field(default_factory=list)
     num_buckets: int = 16
     lww_order: list[tuple[str, bool]] = field(default_factory=lambda: [("seq", False)])
     # T10 contract enforcement (contacts.yml:7-15): `enforced` strictly
@@ -66,7 +81,17 @@ class ModelSpec:
     not_null: list[str] = field(default_factory=list)
 
     def transform_hash(self) -> str:
-        return hashlib.sha256(inspect.getsource(self.transform).encode()).hexdigest()[:16]
+        # the dependency list is part of the model's identity: rewiring the
+        # DAG must trigger a full rebuild just like editing the transform
+        ident = inspect.getsource(self.transform) + "|deps:" + ",".join(self.depends_on)
+        return hashlib.sha256(ident.encode()).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.depends_on and not self.group_cols:
+            raise ValueError(
+                f"model {self.name!r}: depends_on requires group_cols — the "
+                "touched-group set is what scopes the upstream model reads"
+            )
 
 
 class ModelRunner:
@@ -87,10 +112,49 @@ class ModelRunner:
         side of the batch (idempotent merge makes that safe)."""
         return int(self.table.snapshot().properties.get(EPOCH_PROP, -1))
 
-    def full_refresh(self, landing: SnapshotTable) -> None:
+    def _apply_transform(self, scope: DataFrame, upstreams: dict[str, "ModelRunner"] | None,
+                         keys: DataFrame | None) -> DataFrame:
+        """Invoke the transform, attaching upstream model states when the
+        spec declares dependencies. Upstream reads are the model tables'
+        reconciled LIVE state (tombstones never reach model tables — the
+        merge drops them), scoped to the touched groups when ``keys`` is
+        given: file-level bucket pruning when the upstream layout hashes on
+        a subset of the group key, then a broadcast semi-join — the same
+        two-level O(touched groups) discipline as the landing read."""
+        if not self.spec.depends_on:
+            return self.spec.transform(scope)
+        if upstreams is None:
+            raise ValueError(f"model {self.spec.name!r} declares depends_on but no upstreams given")
+        from cht_sync_spark.tables.format import bucket_expr
+
+        deps: dict[str, DataFrame] = {}
+        for up in self.spec.depends_on:
+            ut = upstreams[up].table
+            buckets = None
+            if keys is not None:
+                usnap = ut.snapshot()
+                if set(usnap.bucket_cols) <= set(self.spec.group_cols or []):
+                    buckets = sorted(
+                        r["__b"]
+                        for r in keys.select(
+                            bucket_expr(usnap.bucket_cols, usnap.num_buckets).alias("__b")
+                        ).distinct().collect()
+                    )
+            d = ut.read_current(buckets=buckets, drop_tombstones=True)
+            if keys is not None:
+                d = d.join(
+                    F.broadcast(keys.select(*self.spec.group_cols)),
+                    on=self.spec.group_cols, how="left_semi",
+                )
+            deps[up] = d
+        return self.spec.transform(scope, deps)
+
+    def full_refresh(self, landing: SnapshotTable, upstreams: dict[str, "ModelRunner"] | None = None) -> None:
         """Rebuild from scratch (T12): transform the whole reconciled
-        landing state, drop tombstone outputs, overwrite."""
-        rows = self.spec.transform(landing.read_current())
+        landing state (plus full upstream model states for dependent
+        models — topological ordering guarantees upstreams are current),
+        drop tombstone outputs, overwrite."""
+        rows = self._apply_transform(landing.read_current(), upstreams, keys=None)
         self._enforce_schema(rows)
         live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
@@ -121,18 +185,27 @@ class ModelRunner:
             not_null=self.spec.not_null,
         )
 
-    def run_increment(self, landing: SnapshotTable, batch_rows: DataFrame, epoch: int | None = None) -> None:
+    def run_increment(
+        self,
+        landing: SnapshotTable,
+        batch_rows: DataFrame,
+        epoch: int | None = None,
+        upstreams: dict[str, "ModelRunner"] | None = None,
+    ) -> None:
         """Incremental maintenance for one micro-batch.
 
         ``batch_rows`` = the LWW-deduped landing-shaped rows of this epoch
         (including tombstones). Row-wise models transform the batch
         directly; grouped models recompute the touched groups from the
-        landing table (scoped semi-join read).
+        landing table (scoped semi-join read). ``upstreams`` maps upstream
+        model names to their runners for ``depends_on`` transforms — the
+        caller (pipeline) guarantees they are already at this epoch
+        (topological ordering).
         """
         if epoch is not None and epoch <= self.last_epoch():
             return
         if self.needs_full_refresh():
-            self.full_refresh(landing)
+            self.full_refresh(landing, upstreams)
             if epoch is not None:
                 self.table.commit(add_files=[], properties_update={EPOCH_PROP: str(epoch)})
             return
@@ -169,7 +242,7 @@ class ModelRunner:
                 on=self.spec.group_cols,
                 how="left_semi",
             )
-            out = self.spec.transform(scope)
+            out = self._apply_transform(scope, upstreams, keys=keys)
             self._enforce_schema(out)
             # stamp recomputed rows with the BATCH's max seq per group, not
             # the transform's own seq: after a delete event the live-turn
@@ -268,6 +341,50 @@ def _tool_calls_transform(rows: DataFrame) -> DataFrame:
         "_rev",
         (F.coalesce(F.col("_deleted"), F.lit(False)) | (F.col("role") != "tool")).alias("_deleted"),
     )
+
+
+def _conv_profiles_transform(landing: DataFrame, deps: dict[str, DataFrame]) -> DataFrame:
+    """conv_profiles(conv_id, n_turns, last_ts, has_tool_calls,
+    first_user_text): the persons.sql analogue of a MODEL->MODEL dependency
+    (tests/dbt/package/models/contacts/persons.sql:13-22 selects FROM the
+    contacts model and joins the landing table for doc fields) — reads the
+    ``conversations`` MODEL for the rollup columns and joins the landing
+    slice for the first user-authored turn text."""
+    conv = deps["conversations"]
+    live = landing.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    first_user = (
+        live.where(F.col("role") == "user")
+        .groupBy("conv_id")
+        .agg(F.min_by("text", "turn_idx").alias("first_user_text"))
+    )
+    return (
+        conv.select("conv_id", "n_turns", "last_ts", "has_tool_calls", "seq")
+        .join(first_user, "conv_id", "left")
+        .withColumn("_deleted", F.lit(False))
+    )
+
+
+CONV_PROFILES = ModelSpec(
+    name="conv_profiles",
+    key_cols=["conv_id"],
+    schema=T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_turns", T.LongType(), True),
+            T.StructField("last_ts", T.TimestampType(), True),
+            T.StructField("has_tool_calls", T.BooleanType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("first_user_text", T.StringType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    ),
+    transform=_conv_profiles_transform,
+    group_cols=["conv_id"],
+    depends_on=["conversations"],
+    enforced=True,
+    unique_test=True,
+    not_null=["conv_id"],
+)
 
 
 TOOL_CALLS = ModelSpec(

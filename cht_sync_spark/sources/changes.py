@@ -37,10 +37,15 @@ class ChangesFeedSource:
         spark: SparkSession,
         feed_path: str | list[str],
         sources: list[str] | None = None,
+        discover_sources: bool = False,
     ):
         self.spark = spark
         self.feed_path = feed_path
         self._sources = sources
+        # discovery = a full-feed DISTINCT scan; at 10^10 events that is a
+        # whole-corpus job before the first batch, so it is opt-in — the
+        # reference gets its source list from static config (db.js:45)
+        self._discover = discover_sources
         self._df: DataFrame | None = None
 
     def df(self) -> DataFrame:
@@ -78,8 +83,21 @@ class ChangesFeedSource:
         return len(self.feed_path) if isinstance(self.feed_path, list) else 1
 
     def sources(self) -> list[str]:
+        """Declared source list. Discovery (a full-feed DISTINCT job) runs
+        only when explicitly opted into via ``discover_sources=True``;
+        otherwise an undeclared source list is a configuration error — the
+        reference's source set is likewise static config (db.js:45, env
+        list), never derived by scanning the data."""
         if self._sources is None:
-            self._sources = sorted(r["source"] for r in self.df().select("source").distinct().collect())
+            if not self._discover:
+                raise ValueError(
+                    "ChangesFeedSource: no sources declared. Pass sources=[...] "
+                    "(static config, the reference's model) or opt into the "
+                    "O(feed) discovery scan with discover_sources=True."
+                )
+            self._sources = sorted(
+                r["source"] for r in self.df().select("source").distinct().collect()
+            )
         return self._sources
 
     def pending(self, after_seq: int) -> int:

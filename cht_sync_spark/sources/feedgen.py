@@ -80,6 +80,14 @@ def _doc_json(tool_visible_col):
     )
 
 
+def feed_sources(n_sources: int = 2) -> list[str]:
+    """The static source-name list a :func:`synth_changes` feed carries —
+    the analogue of the reference's configured DB list (db.js:45). Callers
+    pass this to :class:`ChangesFeedSource` so no O(feed) discovery scan is
+    ever needed."""
+    return [f"synthhost/db{i}" for i in range(n_sources)]
+
+
 def synth_changes(
     spark: SparkSession,
     n_convs: int = 100,

@@ -130,6 +130,35 @@ class ReplayPipeline:
 
         self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
         self.model_parallelism = model_parallelism
+        # Model dependency DAG (dbt's ref() graph — the reference's
+        # persons.sql reads the contacts MODEL): resolve depends_on against
+        # the declared model set and precompute topological LEVELS. Models
+        # within a level are independent and run in parallel (T14); levels
+        # run in order so a dependent transform always reads upstream state
+        # that already includes this epoch.
+        self._runners_by_name = {m.spec.name: m for m in self.models}
+        self._model_levels = self._topo_levels()
+
+    def _topo_levels(self) -> list[list]:
+        by_name = self._runners_by_name
+        for m in self.models:
+            for d in m.spec.depends_on:
+                if d not in by_name:
+                    raise ValueError(
+                        f"model {m.spec.name!r} depends on undeclared model {d!r}"
+                    )
+        levels: list[list] = []
+        placed: set[str] = set()
+        remaining = list(self.models)
+        while remaining:
+            ready = [m for m in remaining if set(m.spec.depends_on) <= placed]
+            if not ready:
+                cyc = sorted(m.spec.name for m in remaining)
+                raise ValueError(f"model dependency cycle among {cyc}")
+            levels.append(ready)
+            placed |= {m.spec.name for m in ready}
+            remaining = [m for m in remaining if m.spec.name not in placed]
+        return levels
 
     # ------------------------------------------------------------------ state
     def state(self) -> tuple[int, int]:
@@ -142,21 +171,29 @@ class ReplayPipeline:
         DataFrame — the queryable form of the ``couchdb_progress`` analogue
         (reference setup.js:13-19), decoded from the atomic snapshot
         properties."""
+        import re
+        from datetime import datetime, timezone
+
         rows = []
         for k, v in self.table.snapshot().properties.items():
-            if not k.startswith("checkpoint."):
+            # per-partition keys use their own `ckpt_part.<p>.<source>`
+            # prefix (partition id FIRST) so a source name that itself ends
+            # in '.p<digits>' can never parse as a phantom partition key and
+            # the aggregate `checkpoint.<source>` namespace never collides
+            m = re.match(r"^ckpt_part\.(\d+)\.(.+)$", k)
+            if not m:
                 continue
-            rest = k[len("checkpoint."):]
-            base, sep, pid = rest.rpartition(".p")
-            if not sep or not pid.isdigit():
-                continue  # aggregate per-source key, skip
             d = json.loads(v)
             pend = d.get("pending")
+            upd = d.get("updated_at")
             rows.append(
                 (
-                    base, int(pid), int(d["seq"]),
+                    m.group(2), int(m.group(1)), int(d["seq"]),
                     int(pend) if pend is not None else None,
-                    int(d.get("epoch", -1)), None,
+                    int(d.get("epoch", -1)),
+                    datetime.fromtimestamp(upd / 1000, tz=timezone.utc).replace(tzinfo=None)
+                    if upd is not None
+                    else None,
                 )
             )
         return self.spark.createDataFrame(rows, CHECKPOINT)
@@ -170,26 +207,30 @@ class ReplayPipeline:
         return rows
 
     def _run_models(self, batch_rows: DataFrame, epoch: int) -> None:
-        """T14 model-level parallelism: each model's incremental update is an
-        independent Spark job chain on its own table; submit them from a
-        thread pool so stages interleave on the cluster instead of
-        serializing model-by-model. Exactly-once holds per model (own epoch
-        marker, idempotent merge), so a crash mid-pool replays only the
-        models that hadn't committed."""
+        """T14 model-level parallelism + dependency ordering: models run in
+        topological LEVELS (a dependent transform needs its upstreams at
+        this epoch first); within a level each model's incremental update is
+        an independent Spark job chain submitted from its own thread, so
+        stages interleave on the cluster. Exactly-once holds per model (own
+        epoch marker, idempotent merge): a crash mid-DAG replays only the
+        models that hadn't committed — upstreams already at this epoch skip,
+        and their tables feed the retried downstream reads unchanged."""
         if not self.models:
             return
-        par = self.model_parallelism or len(self.models)
-        if par <= 1 or len(self.models) == 1:
-            for m in self.models:
-                m.run_increment(self.table, batch_rows, epoch=epoch)
-            return
-        with ThreadPoolExecutor(max_workers=par, thread_name_prefix="model") as pool:
-            futs = [
-                pool.submit(m.run_increment, self.table, batch_rows, epoch)
-                for m in self.models
-            ]
-            for f in futs:
-                f.result()  # propagate the first failure
+        ups = self._runners_by_name
+        for level in self._model_levels:
+            par = min(self.model_parallelism or len(level), len(level))
+            if par <= 1 or len(level) == 1:
+                for m in level:
+                    m.run_increment(self.table, batch_rows, epoch=epoch, upstreams=ups)
+                continue
+            with ThreadPoolExecutor(max_workers=par, thread_name_prefix="model") as pool:
+                futs = [
+                    pool.submit(m.run_increment, self.table, batch_rows, epoch, ups)
+                    for m in level
+                ]
+                for f in futs:
+                    f.result()  # propagate the first failure
 
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
@@ -233,7 +274,17 @@ class ReplayPipeline:
 
         def _ckpt_props() -> dict[str, str]:
             # runs post-write / pre-commit: metrics from the write job land
-            # in the SAME atomic snapshot as the data they describe
+            # in the SAME atomic snapshot as the data they describe.
+            # Cleared on entry: merge_upsert re-invokes this on every
+            # CommitConflict retry, and without the reset a lost commit race
+            # would double-append src_stats (double-counted BatchResult.rows
+            # + duplicate lineage records).
+            src_stats.clear()
+            # liveness timestamp (reference couchdb_progress.updated_at,
+            # setup.js:13-19 / sql-exporter liveness CASE): commit wall time,
+            # intentionally OUTSIDE the replay-deterministic surface — it
+            # feeds the freshness metric, never the data plane
+            now_ms = int(time.time() * 1000)
             pending: dict[tuple[str, int], int] = {}
             if self.probe_pending:
                 pending = {
@@ -254,14 +305,16 @@ class ReplayPipeline:
                         continue
                     hi_sp = int(got[f"hi{i}_{p}"])
                     src_stats.append({"source": s, "partition": p, "hi": hi_sp, "n": int(n)})
-                    ck = {"seq": hi_sp, "rows": int(n), "epoch": epoch}
+                    ck = {"seq": hi_sp, "rows": int(n), "epoch": epoch, "updated_at": now_ms}
                     if self.probe_pending:
                         ck["pending"] = int(pending.get((s, p), 0))
-                    out[f"checkpoint.{s}.p{p}"] = json.dumps(ck)
+                    out[f"ckpt_part.{p}.{s}"] = json.dumps(ck)
                     tot += int(n)
                     s_hi = hi_sp if s_hi is None else max(s_hi, hi_sp)
                 if tot:
-                    out[f"checkpoint.{s}"] = json.dumps({"seq": s_hi, "rows": tot})
+                    out[f"checkpoint.{s}"] = json.dumps(
+                        {"seq": s_hi, "rows": tot, "updated_at": now_ms}
+                    )
             return out
 
         props = {self._wm_prop: str(hi), self._epoch_prop: str(epoch)}
@@ -292,7 +345,10 @@ class ReplayPipeline:
                 for r in src_stats
             ]
             if recs:
-                self.lineage.append_delta(self.spark.createDataFrame(recs, LINEAGE))
+                # driver-side pyarrow micro-append: a Spark write job for
+                # 2-4 bookkeeping rows costs a full plan+schedule round trip
+                # per batch — measurable fixed overhead at 20k batches
+                self.lineage.append_rows_local(recs)
         return BatchResult(epoch, lo, hi, n, dur)
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:

@@ -110,10 +110,14 @@ class StreamingReplay:
             batch = batch.observe(obs, *metrics)
 
             def _ckpt_props() -> dict[str, str]:
+                import time as _time
+
                 got = obs.get
+                now_ms = int(_time.time() * 1000)
                 return {
                     f"checkpoint.{s}": json.dumps(
-                        {"seq": int(got[f"hi{i}"]), "rows": int(got[f"n{i}"])}
+                        {"seq": int(got[f"hi{i}"]), "rows": int(got[f"n{i}"]),
+                         "updated_at": now_ms}
                     )
                     for i, s in enumerate(self.sources)
                     if got[f"n{i}"]
@@ -126,9 +130,12 @@ class StreamingReplay:
             )
 
             def _ckpt_props() -> dict[str, str]:
+                import time as _time
+
+                now_ms = int(_time.time() * 1000)
                 return {
                     f"checkpoint.{r['source']}": json.dumps(
-                        {"seq": int(r["hi"]), "rows": int(r["n"])}
+                        {"seq": int(r["hi"]), "rows": int(r["n"]), "updated_at": now_ms}
                     )
                     for r in src_stats
                 }

@@ -56,6 +56,7 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
     sys.path.insert(0, REPO)
     from cht_sync_spark.session import get_spark
     from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
     from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
     os.makedirs(os.path.join(STATE, "local"), exist_ok=True)
@@ -77,7 +78,7 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
     shutil.rmtree(wdir, ignore_errors=True)
     wp = ReplayPipeline(
         spark,
-        ChangesFeedSource(spark, os.path.join(feed_root, f"part={part % FEED_PARTS}")),
+        ChangesFeedSource(spark, os.path.join(feed_root, f"part={part % FEED_PARTS}"), sources=feed_sources()),
         os.path.join(wdir, "t"), batch_size=500_000, num_buckets=16, mode=mode,
     )
     wp.run()
@@ -96,7 +97,7 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
     # Kafka partitions / the reference's per-database watchers, S8).
     pipes = [
         ReplayPipeline(
-            spark, ChangesFeedSource(spark, s), os.path.join(tdir, f"shard{i}"),
+            spark, ChangesFeedSource(spark, s, sources=feed_sources()), os.path.join(tdir, f"shard{i}"),
             batch_size=500_000, num_buckets=16, mode=mode,
         )
         for i, s in enumerate(my_slices)

@@ -35,7 +35,7 @@ TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/cht_sync_bench")
 
 
 def _feed(spark, n_events: int, tag: str) -> tuple[str, int]:
-    from cht_sync_spark.sources.feedgen import synth_changes, write_feed
+    from cht_sync_spark.sources.feedgen import feed_sources, synth_changes, write_feed
 
     # events ~= n_convs * 12.1 (avg turns 9.5 * 1.28 event multiplier) + hot
     n_convs = max(100, int(n_events / 12.1))
@@ -56,6 +56,7 @@ def worker(cores: int, n_events: int) -> None:
     sys.path.insert(0, REPO)
     from cht_sync_spark.session import get_spark
     from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
     from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
     spark = get_spark(f"scale{cores}", cores=cores)
@@ -68,7 +69,7 @@ def worker(cores: int, n_events: int) -> None:
         wdir = os.path.join(TMP, f"w_{cores}_{mode}")
         shutil.rmtree(wdir, ignore_errors=True)
         wp = ReplayPipeline(
-            spark, ChangesFeedSource(spark, warm_path), os.path.join(wdir, "t"),
+            spark, ChangesFeedSource(spark, warm_path, sources=feed_sources()), os.path.join(wdir, "t"),
             batch_size=30_000, num_buckets=64, mode=mode,
         )
         wp.run()
@@ -78,7 +79,7 @@ def worker(cores: int, n_events: int) -> None:
         tdir = os.path.join(TMP, f"s_{cores}_{mode}")
         shutil.rmtree(tdir, ignore_errors=True)
         pipe = ReplayPipeline(
-            spark, ChangesFeedSource(spark, feed_path), os.path.join(tdir, "t"),
+            spark, ChangesFeedSource(spark, feed_path, sources=feed_sources()), os.path.join(tdir, "t"),
             batch_size=1_000_000, num_buckets=64, mode=mode,
         )
         t0 = time.monotonic()

@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--models", action="store_true", help="maintain the built-in typed models")
     ap.add_argument("--tailing", default=None, help="poll interval (e.g. '5 seconds'); default drain-and-stop")
     ap.add_argument("--compact", action="store_true", help="compact deltas after the drain (mor)")
+    ap.add_argument("--sources", default=None,
+                    help="comma-separated source names (static config, db.js:45 analogue)")
+    ap.add_argument("--discover-sources", action="store_true",
+                    help="opt into the O(feed) DISTINCT discovery scan when --sources is omitted")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,7 +76,11 @@ def main() -> None:
             (TOOL_CALLS, args.table.rstrip("/") + "_tool_calls"),
         ]
 
-    feed = ChangesFeedSource(spark, args.feed.split(","))
+    feed = ChangesFeedSource(
+        spark, args.feed.split(","),
+        sources=args.sources.split(",") if args.sources else None,
+        discover_sources=args.discover_sources,
+    )
     pipe = ReplayPipeline(
         spark, feed, args.table,
         batch_size=args.batch_size, num_buckets=args.num_buckets,

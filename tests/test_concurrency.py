@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable
 from cht_sync_spark.tables.merge import merge_upsert
@@ -120,7 +121,7 @@ def test_concurrent_multi_source_ingest(spark, feed_df, tmp_path, mode):
     def _ingest(i):
         pipe = ReplayPipeline(
             spark,
-            ChangesFeedSource(spark, dirs[i]),
+            ChangesFeedSource(spark, dirs[i], sources=feed_sources()),
             table_path,
             batch_size=300,
             num_buckets=8,
@@ -202,7 +203,7 @@ def test_parallel_models_match_sequential(spark, feed_path, tmp_path):
             (TOOL_CALLS, str(tmp_path / sub / "tool_calls")),
         ]
         pipe = ReplayPipeline(
-            spark, ChangesFeedSource(spark, feed_path), str(tmp_path / sub / "landing"),
+            spark, ChangesFeedSource(spark, feed_path, sources=feed_sources()), str(tmp_path / sub / "landing"),
             batch_size=300, num_buckets=8, models=models, model_parallelism=par,
         )
         pipe.run()

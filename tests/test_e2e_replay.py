@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
 from tests.oracle import COMPARE_COLS, expected_state, table_to_state
@@ -24,7 +25,7 @@ def oracle(feed_df):
 
 
 def _run(spark, feed_path, path, **kw):
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     pipe = ReplayPipeline(spark, feed, str(path), batch_size=300, num_buckets=8, **kw)
     pipe.run()
     return pipe
@@ -78,7 +79,7 @@ def test_replay_is_idempotent(spark, feed_path, tmp_path, oracle):
 def test_kill_resume_byte_identical(spark, feed_path, tmp_path, oracle):
     """Stop after 2 micro-batches, resume with a fresh pipeline; final state
     must equal a single-shot replay (SURVEY.md §2.5 I2)."""
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     pipe = ReplayPipeline(spark, feed, str(tmp_path / "t3"), batch_size=300, num_buckets=8)
     partial = pipe.run(max_batches=2)
     assert len(partial) == 2
@@ -93,7 +94,7 @@ def test_kill_resume_byte_identical(spark, feed_path, tmp_path, oracle):
 
 
 def test_replayed_batch_is_skipped_by_epoch_marker(spark, feed_path, tmp_path):
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     pipe = ReplayPipeline(spark, feed, str(tmp_path / "t4"), batch_size=300, num_buckets=8)
     cuts = feed.plan_batches(300)
     r0 = pipe.run_batch(0, -1, cuts[0])

@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 
 from cht_sync_spark.schemas import TRANSCRIPT, TRANSCRIPT_KEY
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import merge_upsert
@@ -54,7 +55,7 @@ def test_pipeline_evolves_in_flight(spark, feed_path, tmp_path, feed_df):
     path = str(tmp_path / "t")
     SnapshotTable.create(spark, path, NO_TOOL, TRANSCRIPT_KEY, num_buckets=8)
     pipe = ReplayPipeline(
-        spark, ChangesFeedSource(spark, feed_path), path, batch_size=300, num_buckets=8
+        spark, ChangesFeedSource(spark, feed_path, sources=feed_sources()), path, batch_size=300, num_buckets=8
     )
     pipe.run()
     assert "tool" in pipe.table.snapshot().schema.fieldNames()

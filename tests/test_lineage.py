@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
 
@@ -21,7 +22,7 @@ def test_lineage_per_source_partition(spark, feed_df, tmp_path):
         feed_df.where(F.pmod(F.xxhash64("id"), F.lit(2)) == p).write.parquet(d)
         dirs.append(d)
 
-    feed = ChangesFeedSource(spark, dirs)
+    feed = ChangesFeedSource(spark, dirs, sources=feed_sources())
     pipe = ReplayPipeline(
         spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8,
         lineage_path=str(tmp_path / "lineage"),
@@ -61,7 +62,11 @@ def test_lineage_per_source_partition(spark, feed_df, tmp_path):
 
     # per-partition checkpoints decode into the CHECKPOINT schema, seqs are
     # the max raw seq ingested per (source, partition)
-    cps = {(r["source"], r["partition_id"]): r["seq"] for r in pipe.checkpoints().collect()}
+    ckpt_rows = pipe.checkpoints().collect()
+    # liveness: every checkpoint carries a commit-time updated_at (the
+    # couchdb_progress.updated_at analogue driving the freshness metric)
+    assert all(r["updated_at"] is not None for r in ckpt_rows)
+    cps = {(r["source"], r["partition_id"]): r["seq"] for r in ckpt_rows}
     want_seq = {
         (r["source"], r["p"]): r["hi"]
         for r in (

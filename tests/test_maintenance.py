@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import merge_upsert
@@ -47,13 +48,13 @@ def test_expire_and_vacuum_reclaim_space(spark, tmp_path):
     assert files_before > live_files  # pre-compact deltas still on disk
 
     # vacuum WITHOUT expiry keeps everything (old snapshots still reference
-    # the deltas — time travel must not break)
-    assert t.vacuum() == 0
+    # the deltas — time travel must not break); grace disabled: quiesced table
+    assert t.vacuum(grace_seconds=0) == 0
     assert len(_disk_parquets(path)) == files_before
 
     removed_manifests = t.expire_snapshots(keep_last=1)
     assert removed_manifests == versions_before - 1
-    removed_files = t.vacuum()
+    removed_files = t.vacuum(grace_seconds=0)
     assert removed_files == files_before - live_files
     assert len(_disk_parquets(path)) == live_files
 
@@ -70,7 +71,15 @@ def test_vacuum_removes_losing_race_orphans(spark, tmp_path):
     t._write_data(_kv(spark, 0, 10, "orphan", 9), snap, level="base")
     n_live = len(t.snapshot().files)
     assert len(_disk_parquets(path)) > n_live
-    removed = t.vacuum()
+
+    # DEFAULT grace window: freshly-written unreferenced files are an
+    # in-flight commit as far as vacuum can tell (writers write data BEFORE
+    # the manifest) — they must survive, or a concurrent commit would land
+    # pointing at deleted files
+    assert t.vacuum() == 0
+    assert len(_disk_parquets(path)) > n_live
+
+    removed = t.vacuum(grace_seconds=0)
     assert removed >= 1
     assert len(_disk_parquets(path)) == n_live
     got = {r["k"]: r["v"] for r in t.read_current().collect()}
@@ -83,7 +92,7 @@ def test_pending_probe_in_checkpoints(spark, feed_df, tmp_path):
         d = str(tmp_path / f"part{p}")
         feed_df.where(F.pmod(F.xxhash64("id"), F.lit(2)) == p).write.parquet(d)
         dirs.append(d)
-    feed = ChangesFeedSource(spark, dirs)
+    feed = ChangesFeedSource(spark, dirs, sources=feed_sources())
     pipe = ReplayPipeline(
         spark, feed, str(tmp_path / "t"), num_buckets=8, mode="mor", probe_pending=True
     )

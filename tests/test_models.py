@@ -9,6 +9,7 @@ import pytest
 
 from cht_sync_spark.operators.models import CONVERSATIONS, TOOL_CALLS, ModelSpec
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
 from tests.oracle import expected_state
@@ -21,7 +22,7 @@ def oracle_live(feed_df):
 
 
 def _pipe(spark, feed_path, path, **kw):
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     return ReplayPipeline(
         spark,
         feed,
@@ -98,7 +99,7 @@ def test_cascade_delete_reflected(spark, feed_path, tmp_path, feed_df, oracle_li
 def test_model_catchup_after_partial_commit(spark, feed_path, tmp_path, oracle_live):
     """Landing fully committed, models never ran (crash window between the
     two commits): a resumed pipeline replays only the model side."""
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     bare = ReplayPipeline(spark, feed, str(tmp_path / "p" / "landing"), batch_size=300, num_buckets=8)
     bare.run()
     v_landing = bare.table.current_version()

@@ -12,6 +12,7 @@ import io
 from pyspark.sql import functions as F
 
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 
 
 def _plan(df) -> str:
@@ -22,7 +23,7 @@ def _plan(df) -> str:
 
 
 def test_seq_range_filter_pushed_to_scan(spark, feed_path):
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     plan = _plan(feed.batch(100, 500))
     assert "PushedFilters" in plan
     # both range bounds reach the parquet scan (file-level min/max pruning)
@@ -30,7 +31,7 @@ def test_seq_range_filter_pushed_to_scan(spark, feed_path):
 
 
 def test_column_pruning_reaches_scan(spark, feed_path):
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     plan = _plan(feed.df().select("seq", "source"))
     # ReadSchema carries only the projected columns — doc (the wide column)
     # is never read for a metadata-only query
@@ -47,7 +48,7 @@ def test_lww_window_gets_rank_limit_pushdown(spark, feed_path):
     from cht_sync_spark.functions.json_doc import doc_to_row
     from cht_sync_spark.operators.lww import lww_dedup
 
-    feed = ChangesFeedSource(spark, feed_path)
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
     plan = _plan(lww_dedup(doc_to_row(feed.df())))
     assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
     assert "Partial" in plan

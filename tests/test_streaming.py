@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.streaming.stream import StreamingReplay
 
@@ -33,7 +34,7 @@ def _assert_equal(got, want):
 def batch_state(spark, feed_path, tmp_path_factory):
     p = tmp_path_factory.mktemp("sbatch")
     pipe = ReplayPipeline(
-        spark, ChangesFeedSource(spark, feed_path), str(p / "t"),
+        spark, ChangesFeedSource(spark, feed_path, sources=feed_sources()), str(p / "t"),
         batch_size=300, num_buckets=8,
     )
     pipe.run()
