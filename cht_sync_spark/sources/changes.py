@@ -110,11 +110,23 @@ class ChangesFeedSource:
         """Seq cut points [c0, c1, ..., cK] (c0 = -inf marker) such that each
         (c_i, c_{i+1}] range holds ~batch_size events.
 
-        One combined (count, max) agg job + (for multi-batch feeds) one
-        approxQuantile job, both over the seq column only (column-pruned
-        scan). Deterministic per feed+batch_size -> resumable epoch
-        numbering.
+        Fast path — parquet FOOTER statistics, zero Spark jobs: the feed's
+        row groups carry (row count, seq min/max); sorting groups by seq-min
+        and accumulating counts to ``batch_size`` yields deterministic cut
+        points at row-group seq-max boundaries, all driver-side pyarrow
+        (Iceberg plans scans from exactly this metadata). Overlapping
+        groups across feed-partition directories only smear batch SIZES
+        (each range is still exact as a filter); sizes stay ~batch_size for
+        balanced partitions. Falls back to the Spark path (one count/max agg
+        + one approxQuantile job) when seq stats are missing.
+
+        Deterministic per feed+batch_size -> resumable epoch numbering.
+        (Footer counts ignore any declared-source row filter: with a subset
+        source list batches simply run smaller — ranges are unaffected.)
         """
+        cuts = self._plan_from_footers(batch_size)
+        if cuts is not None:
+            return cuts
         d = self.df()
         n, hi = d.agg(F.count("*"), F.max("seq")).first()
         if not n:
@@ -129,6 +141,66 @@ class ChangesFeedSource:
             if not uniq or c > uniq[-1]:
                 uniq.append(c)
         return uniq
+
+    def _plan_from_footers(self, batch_size: int) -> list[int] | None:
+        """Batch schedule from parquet row-group statistics; None if any
+        file lacks seq min/max stats (→ caller uses the Spark path)."""
+        import os
+
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        paths = self.feed_path if isinstance(self.feed_path, list) else [self.feed_path]
+        groups: list[tuple[int, int, int]] = []  # (seq_min, seq_max, rows)
+        try:
+            for d in paths:
+                names = sorted(
+                    f for f in os.listdir(d)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                for fn in names:
+                    md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    if "seq" not in idx:
+                        return None
+                    for g in range(md.num_row_groups):
+                        col = md.row_group(g).column(idx["seq"])
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        groups.append((int(st.min), int(st.max), md.row_group(g).num_rows))
+        except OSError:
+            return None
+        if not groups:
+            return []
+        groups.sort()
+        hi = max(g[1] for g in groups)
+        cuts: list[int] = []
+
+        def _push(c: int) -> None:
+            if not cuts or c > cuts[-1]:
+                cuts.append(c)
+
+        acc = 0
+        for gmin, gmax, rows in groups:
+            if rows > batch_size:
+                # a single row group larger than the batch target: subdivide
+                # its seq RANGE evenly (the feed is seq-sorted per file, so
+                # within-group seq density is ~uniform; sizes are
+                # approximate, ranges remain exact filters)
+                nsub = max(1, round((acc + rows) / batch_size))
+                for i in range(1, nsub + 1):
+                    _push(gmin + (gmax - gmin) * i // nsub)
+                acc = 0
+                continue
+            acc += rows
+            if acc >= batch_size:
+                _push(gmax)
+                acc = 0
+        if not cuts or cuts[-1] < hi:
+            _push(hi)
+        return cuts
 
     def batch(self, lo: int, hi: int) -> DataFrame:
         """One micro-batch: (lo, hi] range filter — pushed to the scan."""

@@ -23,3 +23,30 @@ def test_undeclared_sources_require_optin(spark, feed_path):
         ChangesFeedSource(spark, feed_path).sources()
     got = ChangesFeedSource(spark, feed_path, discover_sources=True).sources()
     assert got == feed_sources()
+
+
+def test_plan_batches_from_footers_no_spark_job(spark, feed_path, feed_df):
+    """The batch schedule comes from parquet footer statistics — zero Spark
+    jobs at pipeline startup (the Iceberg-style metadata scan plan): valid
+    ascending cuts, exact coverage of every event, Spark never planned."""
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
+    cuts = feed.plan_batches(300)
+    assert feed._df is None, "footer planning must not touch Spark"
+    assert cuts == sorted(set(cuts)), "cuts must be strictly ascending"
+    n_total = feed_df.count()
+    hi = feed_df.agg({"seq": "max"}).first()[0]
+    assert cuts[-1] == hi
+    # ranges partition the feed exactly
+    lo, covered = -(2**62), 0
+    for c in cuts:
+        covered += feed.batch(lo, c).count()
+        lo = c
+    assert covered == n_total
+
+    # determinism: same feed + batch_size -> identical schedule
+    assert ChangesFeedSource(spark, feed_path, sources=feed_sources()).plan_batches(300) == cuts
+
+    # oversized-row-group subdivision: a batch_size far below one row group
+    # still yields multiple ~even batches, not one giant batch
+    tiny = feed.plan_batches(50)
+    assert len(tiny) > len(cuts)
