@@ -191,6 +191,7 @@ class ModelRunner:
         batch_rows: DataFrame,
         epoch: int | None = None,
         upstreams: dict[str, "ModelRunner"] | None = None,
+        scope_cache: dict | None = None,
     ) -> None:
         """Incremental maintenance for one micro-batch.
 
@@ -210,9 +211,9 @@ class ModelRunner:
                 self.table.commit(add_files=[], properties_update={EPOCH_PROP: str(epoch)})
             return
         if self.spec.group_cols:
-            # touched groups + the batch's max seq per group (the seq rides
-            # on tombstones so they outrank the stale model row in LWW)
-            keys = batch_rows.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
+            # touched groups: group identity only — the LWW stamp comes
+            # from the SCOPE below, never from the batch (see there)
+            keys = batch_rows.select(*self.spec.group_cols).distinct()
             # Landing read scoped to touched groups. Two-level pruning:
             # (1) FILE level — when the landing table's hash layout is a
             #     function of the group key (bucket_cols ⊆ group_cols, e.g.
@@ -237,47 +238,185 @@ class ModelRunner:
                     .distinct()
                     .collect()
                 )
-            scope = landing.read_current(buckets=buckets).join(
-                F.broadcast(keys.select(*self.spec.group_cols)),
-                on=self.spec.group_cols,
-                how="left_semi",
-            )
+            # models sharing group_cols read the IDENTICAL landing scope
+            # this epoch (keys derive from the same batch): cache the
+            # persisted scope across models so the landing buckets are
+            # scanned once per epoch, not once per model
+            ck = (tuple(self.spec.group_cols), tuple(buckets or ()))
+            if scope_cache is not None and ck in scope_cache:
+                scope = scope_cache[ck]
+            else:
+                scope = landing.read_current(buckets=buckets).join(
+                    F.broadcast(keys.select(*self.spec.group_cols)),
+                    on=self.spec.group_cols,
+                    how="left_semi",
+                )
+                if scope_cache is not None:
+                    from pyspark.storagelevel import StorageLevel
+
+                    scope = scope.persist(StorageLevel.MEMORY_AND_DISK)
+                    scope_cache[ck] = scope
             out = self._apply_transform(scope, upstreams, keys=keys)
             self._enforce_schema(out)
-            # stamp recomputed rows with the BATCH's max seq per group, not
-            # the transform's own seq: after a delete event the live-turn
-            # max seq can regress below the stored row's and the stale row
-            # would win the LWW merge
+            # stamp recomputed rows with the SCOPE's max seq per group
+            # (tombstones included). Not the transform's own seq: after a
+            # delete the live-turn max regresses below the stored row's and
+            # the stale row would win the LWW merge. And not the BATCH's
+            # max seq either: a resumed Structured Streaming query may
+            # RE-DELIVER already-processed files under new epoch ids (the
+            # landing absorbs that via row-level LWW by design) — an old
+            # batch's low seq would lose the merge even though the
+            # recompute read the full current landing. The scope max is
+            # monotone (scope ⊇ every prior stamp's source) and
+            # re-delivery-idempotent.
+            seqs = scope.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
             if "seq" in out.columns:
-                out = out.drop("seq").join(F.broadcast(keys), on=self.spec.group_cols, how="left")
+                out = out.drop("seq").join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
+            # the recomputed groups feed THREE consumers (the gone
+            # anti-join below, the merge, the data-test bucket collect) —
+            # each would re-run the landing/upstream scope read + transform
+            # without materialization; the recomputed slice is
+            # micro-batch-sized, so cache it for the epoch
+            from pyspark.storagelevel import StorageLevel
+
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
             # groups whose every turn is now deleted disappear from the
-            # transform output -> emit explicit tombstones for them
-            gone = keys.join(
-                out.select(*self.spec.group_cols).distinct(),
-                on=self.spec.group_cols,
-                how="left_anti",
-            ).withColumn("_deleted", F.lit(True))
+            # transform output -> emit explicit tombstones for them,
+            # stamped with the delete's seq from the scope
+            gone = (
+                keys.join(
+                    out.select(*self.spec.group_cols).distinct(),
+                    on=self.spec.group_cols,
+                    how="left_anti",
+                )
+                .join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
+                .withColumn("_deleted", F.lit(True))
+            )
+            cached = out
             out = out.unionByName(gone, allowMissingColumns=True)
         else:
+            cached = None
             out = self.spec.transform(batch_rows)
             self._enforce_schema(out)
         props = {HASH_PROP: self.spec.transform_hash()}
         if epoch is not None:
             props[EPOCH_PROP] = str(epoch)
-        merge_upsert(self.table, out, tombstones="drop", properties_update=props)
-        if self.spec.unique_test or self.spec.not_null:
-            # scope the data tests to the model-table buckets this batch's
-            # keys hash into (micro-batch-sized collect of bucket ids)
-            msnap = self.table.snapshot()
-            from cht_sync_spark.tables.format import bucket_expr as _be
+        try:
+            # grouped recomputes are authoritative (derived from CURRENT
+            # landing): prefer the batch on order-column ties, or a resumed
+            # stream re-delivering old epochs would pin stale rows forever
+            prefer = "batch" if self.spec.group_cols else "existing"
+            merge_upsert(self.table, out, tombstones="drop", properties_update=props, prefer=prefer)
+            if self.spec.unique_test or self.spec.not_null:
+                # scope the data tests to the model-table buckets this
+                # batch's keys hash into (micro-batch-sized collect)
+                msnap = self.table.snapshot()
+                from cht_sync_spark.tables.format import bucket_expr as _be
 
-            touched = sorted(
-                r["__b"]
-                for r in out.select(_be(msnap.bucket_cols, msnap.num_buckets).alias("__b"))
-                .distinct()
-                .collect()
-            )
-            self._run_data_tests(buckets=touched)
+                touched = sorted(
+                    r["__b"]
+                    for r in out.select(_be(msnap.bucket_cols, msnap.num_buckets).alias("__b"))
+                    .distinct()
+                    .collect()
+                )
+                self._run_data_tests(buckets=touched)
+        finally:
+            if cached is not None:
+                cached.unpersist()
+
+
+# --------------------------------------------------------------------------
+# DAG scheduling (shared by the batch pipeline and the streaming form)
+# --------------------------------------------------------------------------
+
+def topo_levels(runners: list[ModelRunner]) -> list[list[ModelRunner]]:
+    """Topological LEVELS of the model DAG (dbt's dependency-ordered run):
+    models within a level are independent and may run concurrently; levels
+    run in order so dependent transforms always read upstream state that
+    already includes the current epoch. Raises on undeclared dependencies
+    and cycles."""
+    by_name = {m.spec.name: m for m in runners}
+    for m in runners:
+        for d in m.spec.depends_on:
+            if d not in by_name:
+                raise ValueError(f"model {m.spec.name!r} depends on undeclared model {d!r}")
+    levels: list[list[ModelRunner]] = []
+    placed: set[str] = set()
+    remaining = list(runners)
+    while remaining:
+        ready = [m for m in remaining if set(m.spec.depends_on) <= placed]
+        if not ready:
+            cyc = sorted(m.spec.name for m in remaining)
+            raise ValueError(f"model dependency cycle among {cyc}")
+        levels.append(ready)
+        placed |= {m.spec.name for m in ready}
+        remaining = [m for m in remaining if m.spec.name not in placed]
+    return levels
+
+
+def run_model_levels(
+    levels: list[list[ModelRunner]],
+    landing,
+    batch_rows: DataFrame,
+    epoch: int,
+    parallelism: int | None = None,
+) -> None:
+    """Run one epoch of the model DAG: levels in order, models within a
+    level thread-parallel (T14 — each model's update is an independent
+    Spark job chain, so stages interleave on the cluster). Exactly-once
+    holds per model (own epoch marker + idempotent merge): a crash mid-DAG
+    replays only models that hadn't committed."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    ups = {m.spec.name: m for lvl in levels for m in lvl}
+    # per-epoch landing-scope cache shared across models (guarded: models
+    # within a level run concurrently). Persisted entries are released when
+    # the whole DAG epoch completes.
+    scope_cache: dict = {}
+    lock = threading.Lock()
+
+    class _LockedCache(dict):
+        def __contains__(self, k):  # pragma: no cover - trivial
+            with lock:
+                return dict.__contains__(self, k)
+
+        def __getitem__(self, k):
+            with lock:
+                return dict.__getitem__(self, k)
+
+        def __setitem__(self, k, v):
+            with lock:
+                # a racing model may have inserted first: keep the winner
+                # and unpersist the loser's duplicate
+                if dict.__contains__(self, k):
+                    v.unpersist()
+                    return
+                dict.__setitem__(self, k, v)
+
+    scope_cache = _LockedCache()
+    try:
+        for level in levels:
+            par = min(parallelism or len(level), len(level))
+            if par <= 1 or len(level) == 1:
+                for m in level:
+                    m.run_increment(
+                        landing, batch_rows, epoch=epoch, upstreams=ups,
+                        scope_cache=scope_cache,
+                    )
+                continue
+            with ThreadPoolExecutor(max_workers=par, thread_name_prefix="model") as pool:
+                futs = [
+                    pool.submit(
+                        m.run_increment, landing, batch_rows, epoch, ups, scope_cache
+                    )
+                    for m in level
+                ]
+                for f in futs:
+                    f.result()  # propagate the first failure
+    finally:
+        for df in scope_cache.values():
+            df.unpersist()
 
 
 # --------------------------------------------------------------------------

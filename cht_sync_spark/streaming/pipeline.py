@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import json
 import time
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Literal
 
@@ -126,7 +125,7 @@ class ReplayPipeline:
             if lineage_path
             else None
         )
-        from cht_sync_spark.operators.models import ModelRunner
+        from cht_sync_spark.operators.models import ModelRunner, topo_levels
 
         self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
         self.model_parallelism = model_parallelism
@@ -137,28 +136,7 @@ class ReplayPipeline:
         # run in order so a dependent transform always reads upstream state
         # that already includes this epoch.
         self._runners_by_name = {m.spec.name: m for m in self.models}
-        self._model_levels = self._topo_levels()
-
-    def _topo_levels(self) -> list[list]:
-        by_name = self._runners_by_name
-        for m in self.models:
-            for d in m.spec.depends_on:
-                if d not in by_name:
-                    raise ValueError(
-                        f"model {m.spec.name!r} depends on undeclared model {d!r}"
-                    )
-        levels: list[list] = []
-        placed: set[str] = set()
-        remaining = list(self.models)
-        while remaining:
-            ready = [m for m in remaining if set(m.spec.depends_on) <= placed]
-            if not ready:
-                cyc = sorted(m.spec.name for m in remaining)
-                raise ValueError(f"model dependency cycle among {cyc}")
-            levels.append(ready)
-            placed |= {m.spec.name for m in ready}
-            remaining = [m for m in remaining if m.spec.name not in placed]
-        return levels
+        self._model_levels = topo_levels(self.models)
 
     # ------------------------------------------------------------------ state
     def state(self) -> tuple[int, int]:
@@ -217,20 +195,12 @@ class ReplayPipeline:
         and their tables feed the retried downstream reads unchanged."""
         if not self.models:
             return
-        ups = self._runners_by_name
-        for level in self._model_levels:
-            par = min(self.model_parallelism or len(level), len(level))
-            if par <= 1 or len(level) == 1:
-                for m in level:
-                    m.run_increment(self.table, batch_rows, epoch=epoch, upstreams=ups)
-                continue
-            with ThreadPoolExecutor(max_workers=par, thread_name_prefix="model") as pool:
-                futs = [
-                    pool.submit(m.run_increment, self.table, batch_rows, epoch, ups)
-                    for m in level
-                ]
-                for f in futs:
-                    f.result()  # propagate the first failure
+        from cht_sync_spark.operators.models import run_model_levels
+
+        run_model_levels(
+            self._model_levels, self.table, batch_rows, epoch,
+            parallelism=self.model_parallelism,
+        )
 
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
@@ -246,7 +216,15 @@ class ReplayPipeline:
             # crash happened between landing commit and model commit last
             # run: replay only the model side of this batch
             rows = lww_dedup(self._transform(events))
-            self._run_models(rows, epoch)
+            if self.models:
+                from pyspark.storagelevel import StorageLevel
+
+                rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                self._run_models(rows, epoch)
+            finally:
+                if self.models:
+                    rows.unpersist()
             return BatchResult(epoch, lo, hi, 0, int((time.monotonic() - t0) * 1000))
 
         # Per-(source, partition) checkpoint stats (the couchdb_progress
@@ -269,6 +247,15 @@ class ReplayPipeline:
 
         rows = self._transform(events)
         rows = lww_dedup(rows)
+        if self.models:
+            # the model plane consumes the batch subtree MANY times (keys
+            # agg, scope semi-join build, seq re-stamp join, gone anti-join
+            # — per model); without materialization each action re-runs
+            # scan→transform→LWW (measured ~5x the whole model-plane cost).
+            # The landing write below populates the cache in the same pass.
+            from pyspark.storagelevel import StorageLevel
+
+            rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
 
         src_stats: list[dict] = []
 
@@ -333,7 +320,11 @@ class ReplayPipeline:
             dels, skew = stats.rows_deleted_tombstones, stats.skew_max_ratio
         n = int(sum(r["n"] for r in src_stats))
 
-        self._run_models(rows, epoch)
+        try:
+            self._run_models(rows, epoch)
+        finally:
+            if self.models:
+                rows.unpersist()
 
         dur = int((time.monotonic() - t0) * 1000)
         if self.lineage is not None:

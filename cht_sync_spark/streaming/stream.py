@@ -59,6 +59,9 @@ class StreamingReplay:
         sources: list[str] | None = None,  # declared feed sources (db.js:45)
         fail_after_batches: int | None = None,  # test hook: crash injection
         marker: str = "stream",
+        models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
+        model_parallelism: int | None = None,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.feed_path = feed_path
@@ -73,8 +76,17 @@ class StreamingReplay:
         # epoch-marker namespace, like ReplayPipeline's `marker`.
         self._epoch_prop = f"epoch.{marker}"
         self.table = SnapshotTable.create(
-            spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets
+            spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets,
+            bucket_cols=bucket_cols or ["conv_id"],
         )
+        # downstream model DAG maintained inside the SAME foreachBatch body
+        # as the batch pipeline (T14/T16 parity between the two forms)
+        from cht_sync_spark.operators.models import ModelRunner, topo_levels
+
+        self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
+        self.runners_by_name = {m.spec.name: m for m in self.models}
+        self._model_levels = topo_levels(self.models)
+        self.model_parallelism = model_parallelism
 
     # ------------------------------------------------------------- batch body
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -82,7 +94,9 @@ class StreamingReplay:
             raise RuntimeError("injected crash (test hook)")
 
         last = int(self.table.snapshot().properties.get(self._epoch_prop, -1))
-        if epoch_id <= last:
+        landing_done = epoch_id <= last
+        models_done = all(m.last_epoch() >= epoch_id for m in self.models)
+        if landing_done and models_done:
             return  # replayed batch already fully committed -> exactly-once skip
 
         if self.sources is not None:
@@ -147,18 +161,37 @@ class StreamingReplay:
             F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)),
         )
         rows = lww_dedup(rows)
+        if self.models:
+            # model plane consumes the batch subtree many times — cache it
+            # for the epoch (the landing write populates it in one pass)
+            from pyspark.storagelevel import StorageLevel
 
-        props = {self._epoch_prop: str(epoch_id)}
-        if self.mode == "mor":
-            schema = self.table.evolve_schema(rows.schema)
-            self.table.append_delta(
-                rows, properties_update=props, new_schema=schema, properties_fn=_ckpt_props
-            )
-        else:
-            merge_upsert(
-                self.table, rows, tombstones="keep", dedup_batch=False,
-                properties_update=props, properties_fn=_ckpt_props,
-            )
+            rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+
+        if not landing_done:
+            props = {self._epoch_prop: str(epoch_id)}
+            if self.mode == "mor":
+                schema = self.table.evolve_schema(rows.schema)
+                self.table.append_delta(
+                    rows, properties_update=props, new_schema=schema, properties_fn=_ckpt_props
+                )
+            else:
+                merge_upsert(
+                    self.table, rows, tombstones="keep", dedup_batch=False,
+                    properties_update=props, properties_fn=_ckpt_props,
+                )
+        if self.models:
+            # crash window between the landing commit and a model commit
+            # replays only the lagging models (per-model epoch markers)
+            from cht_sync_spark.operators.models import run_model_levels
+
+            try:
+                run_model_levels(
+                    self._model_levels, self.table, rows, int(epoch_id),
+                    parallelism=self.model_parallelism,
+                )
+            finally:
+                rows.unpersist()
         self._applied += 1
 
     # ------------------------------------------------------------------ runs

@@ -185,7 +185,19 @@ class SnapshotTable:
         return sorted(out)
 
     def current_version(self) -> int:
-        return self._versions()[-1]
+        """Latest COMMITTED version. If every manifest present is a
+        zero-size in-flight claim (a concurrent CREATE between its O_EXCL
+        claim and the atomic rename), wait briefly for the creator's rename
+        — the same race used to surface as a JSONDecodeError on the empty
+        claim file before the zero-size guard existed."""
+        import time as _time
+
+        for _ in range(250):
+            vs = self._versions()
+            if vs:
+                return vs[-1]
+            _time.sleep(0.02)
+        raise FileNotFoundError(f"no committed snapshot at {self.path}")
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         import time as _time
@@ -431,6 +443,13 @@ class SnapshotTable:
                 return snap
             except CommitConflict as e:
                 last_err = e  # another writer took this version: rebase
+                # jittered pause: the lost claim's winner may still be
+                # fsyncing (its manifest is a zero-size in-flight claim we
+                # deliberately don't read) — spinning dry burns the retries
+                import random
+                import time as _time
+
+                _time.sleep(0.02 + random.random() * 0.08)
         raise last_err  # type: ignore[misc]
 
     def append_delta(

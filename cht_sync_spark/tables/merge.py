@@ -74,9 +74,23 @@ def merge_upsert(
     properties_update: dict[str, str] | None = None,
     evolve: bool = True,
     properties_fn=None,
-    max_retries: int = 5,
+    max_retries: int = 8,
+    prefer: Literal["existing", "batch"] = "existing",
 ) -> MergeStats:
-    """See module docstring. Concurrency (S4): the commit pins the snapshot
+    """See module docstring. ``prefer`` breaks FULL order-column ties
+    between a stored row and a batch row:
+
+    - ``'existing'`` (landing default): replaying an already-applied batch
+      is a byte-level no-op (exactly-once = at-least-once + idempotent
+      apply);
+    - ``'batch'`` (grouped models): a group RECOMPUTE is authoritative —
+      it was derived from the CURRENT landing state, so it is at least as
+      fresh as any stored row even when the order columns tie (a resumed
+      stream re-delivering old batches at new epochs produces exactly such
+      ties). Idempotence is preserved because a same-state recompute is
+      value-identical.
+
+    Concurrency (S4): the commit pins the snapshot
     the merge READ (``expected_version``); losing the race to another writer
     (e.g. a concurrent compaction or second source stream) redoes the
     read-merge-write against the new tip — the reference's deadlock
@@ -89,12 +103,21 @@ def merge_upsert(
             stats = _merge_once(
                 table, batch, tombstones=tombstones, dedup_batch=dedup_batch,
                 properties_update=properties_update, evolve=evolve,
-                properties_fn=properties_fn,
+                properties_fn=properties_fn, prefer=prefer,
             )
             stats.retries = attempt
             return stats
         except CommitConflict as e:
             last_err = e
+            # brief jittered backoff: the claim loser otherwise redoes its
+            # read-merge-write while the winner is still fsyncing its
+            # manifest, burning retries against an invisible in-flight
+            # commit (the reference sleeps before its deadlock retry too,
+            # importer.js:136)
+            import random
+            import time as _time
+
+            _time.sleep(0.05 + random.random() * 0.15)
     raise last_err  # type: ignore[misc]
 
 
@@ -107,6 +130,7 @@ def _merge_once(
     properties_update: dict[str, str] | None,
     evolve: bool,
     properties_fn,
+    prefer: Literal["existing", "batch"] = "existing",
 ) -> MergeStats:
     snap = table.snapshot()
     key = snap.key_cols
@@ -144,9 +168,9 @@ def _merge_once(
     target = _conform(target, schema).withColumn("__existing", F.lit(1))
     batch = batch.withColumn("__existing", F.lit(0))
 
-    # LWW across old+new; at a full tie (replay) the existing row wins so
-    # re-applying a committed batch changes nothing.
-    order = list(lww) + [("__existing", False)]
+    # LWW across old+new; the `prefer` side wins a full order-column tie
+    # (existing -> replay no-op; batch -> authoritative group recompute)
+    order = list(lww) + [("__existing", prefer == "batch")]
     merged = lww_dedup(target.unionByName(batch), key=key, order=order).drop("__existing")
 
     if tombstones == "drop":

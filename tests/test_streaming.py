@@ -77,6 +77,50 @@ def test_streaming_crash_resume_exactly_once(spark, feed_path, tmp_path, batch_s
     _assert_equal(_state(resumed.table), batch_state)
 
 
+def test_streaming_maintains_model_dag(spark, feed_path, tmp_path):
+    """The streaming form maintains the SAME model DAG inside foreachBatch
+    (T14/T16 parity): final chained-model state must equal the batch
+    pipeline's, including a mid-stream crash/resume."""
+    from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+
+    # batch reference
+    bp = ReplayPipeline(
+        spark, ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        str(tmp_path / "b" / "landing"), batch_size=300, num_buckets=8,
+        models=[
+            (CONVERSATIONS, str(tmp_path / "b" / "conv")),
+            (CONV_PROFILES, str(tmp_path / "b" / "prof")),
+        ],
+    )
+    bp.run()
+    want = {
+        r["conv_id"]: (r["n_turns"], r["has_tool_calls"], r["first_user_text"])
+        for r in bp._runners_by_name["conv_profiles"].table.read_current().collect()
+    }
+
+    s_models = [
+        (CONVERSATIONS, str(tmp_path / "s" / "conv")),
+        (CONV_PROFILES, str(tmp_path / "s" / "prof")),
+    ]
+    crashing = StreamingReplay(
+        spark, feed_path, str(tmp_path / "s" / "t"), str(tmp_path / "s" / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, fail_after_batches=2,
+        models=s_models,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        crashing.run_available_now()
+    resumed = StreamingReplay(
+        spark, feed_path, str(tmp_path / "s" / "t"), str(tmp_path / "s" / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, models=s_models,
+    )
+    resumed.run_available_now()
+    got = {
+        r["conv_id"]: (r["n_turns"], r["has_tool_calls"], r["first_user_text"])
+        for r in resumed.runners_by_name["conv_profiles"].table.read_current().collect()
+    }
+    assert got == want
+
+
 def test_streaming_rerun_is_noop(spark, feed_path, tmp_path, batch_state):
     """Re-starting a fully drained stream commits nothing new."""
     sr = StreamingReplay(
