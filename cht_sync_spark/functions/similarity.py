@@ -173,6 +173,30 @@ def build_ann_index(
     return t
 
 
+def ann_index_append(index_table, df, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Incrementally maintain the persisted LSH index: signature the NEW
+    vectors with the COMMITTED planes (so index and queries can never
+    diverge) and append them as merge-on-read delta files in the same
+    signature-bucketed layout — O(batch), no index rebuild. This is how a
+    CDC pipeline keeps an embedding index fresh: append per micro-batch,
+    ``compact()`` on the maintenance cadence.
+
+    Append-only semantics: ids must be NEW. An UPDATED vector can change
+    signature and therefore bucket; the stale row would survive in its old
+    bucket (bucket-pruned probes cannot see across buckets to reconcile).
+    Re-index (rebuild) or explicit tombstoning is the update path."""
+    import json
+
+    snap = index_table.snapshot()
+    planes = json.loads(snap.properties["ann.planes"])
+    n_planes = int(snap.properties["ann.n_planes"])
+    sig = spread(df).select(
+        F.col(id_col), F.col(vec_col),
+        lsh_signature(F.col(vec_col), n_planes, planes).alias("__sig"),
+    )
+    return index_table.append_delta(sig)
+
+
 def _multiprobe_sigs(qsig: int, margins: list[float], probe_bits: int) -> list[int]:
     """Margin-aware multiprobe (public multiprobe-LSH technique): a near
     neighbor most likely differs from the query on the bits whose
@@ -297,17 +321,17 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
     Returns (assigned df with __cell, centroid list). At scale, write the
     table bucketed by __cell (SnapshotTable key) so probes are file-pruned.
 
-    Ceiling: the argmax is a chained-``when`` expression of O(n_cells x dim)
-    literals — deliberate for the tested 8-64 cell range (stays fully in
-    whole-stage codegen), but a plan-size hazard beyond that. A true 65k-cell
-    IVF needs a broadcast centroid-table join (array column + posexplode
-    argmin), so the ceiling is enforced, not silently slow."""
-    if n_cells > 256:
-        raise ValueError(
-            f"ivf_assign supports n_cells <= 256 (got {n_cells}): the codegen'd "
-            "chained-when argmax would blow the plan; use a broadcast centroid "
-            "join for larger cell counts"
-        )
+    Physical form by cell count: up to 256 cells the argmax is an
+    array-literal expression — ``array_position(arr, array_max(arr))``
+    over one cosine per cell — O(n_cells x dim) plan nodes, fully
+    whole-stage-codegen'd. (The naive chained-``when`` running-max NESTS
+    each step's tree inside the next — Column trees don't share subtrees —
+    and goes EXPONENTIAL in n_cells: it OOM'd the driver at 16 cells when
+    a test probed past the 8 ever exercised. The array form is linear.)
+    Beyond 256 cells assignment switches to :func:`ivf_assign_join` — a
+    broadcast centroid-table join + struct-max argmax (the 65k-cell
+    shape). All forms produce identical assignments (deterministic
+    smallest-cell tie-break); the parity and switchover are tested."""
     cents = [
         (r[0], r[1])
         for r in df.select(F.col(id_col), F.col(vec_col))
@@ -316,13 +340,47 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
         .collect()
     ]
     df = spread(df)
-    best_cell, best_cos = F.lit(0), F.lit(-2.0)
-    for i, (_, cvec) in enumerate(cents):
-        c = cosine(F.col(vec_col), _lit_vec(cvec))
-        better = c > best_cos
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_cos = F.when(better, c).otherwise(best_cos)
-    return df.withColumn("__cell", best_cell), [c for _, c in cents]
+    if n_cells > 256:
+        return ivf_assign_join(df, [c for _, c in cents], vec_col, id_col), [c for _, c in cents]
+    arr = F.array(*[cosine(F.col(vec_col), _lit_vec(cvec)) for _, cvec in cents])
+    # stage the cosine array through a named column referenced twice —
+    # CollapseProject keeps a >1-referenced non-trivial alias materialized,
+    # so the n_cells cosines compute once per row. First index of the max
+    # -> smallest cell id wins ties (same value -> same bits, exact match).
+    assigned = (
+        df.withColumn("__cos_arr", arr)
+        .withColumn(
+            "__cell",
+            (F.array_position(F.col("__cos_arr"), F.array_max(F.col("__cos_arr"))) - 1).cast("int"),
+        )
+        .drop("__cos_arr")
+    )
+    return assigned, [c for _, c in cents]
+
+
+def ivf_assign_join(df: DataFrame, cents: list, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Large-``n_cells`` centroid assignment: centroids as a BROADCAST table
+    (one row per cell), cosine per (vector, cell) pair, struct-max argmax
+    per vector — the plan stays O(1) in n_cells (the centroid count moves
+    from the expression tree into broadcast data), which is what a 65k-cell
+    IVF needs. Ties break to the smallest cell id, matching the literal
+    form exactly."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, cvec array<double>",
+    )
+    scored = df.join(F.broadcast(cdf)).withColumn(
+        "__cos", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    # lexicographic struct max: highest cosine, then smallest cell
+    pick = F.max(
+        F.struct(F.col("__cos"), (-F.col("cell")).alias("negc"), F.col("cell"))
+    ).getField("cell")
+    assigned = scored.groupBy(F.col(id_col)).agg(
+        pick.alias("__cell"), F.first(F.col(vec_col)).alias(vec_col)
+    )
+    return assigned.select(id_col, vec_col, "__cell")
 
 
 def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_cells: int = 16, n_probe: int = 4,

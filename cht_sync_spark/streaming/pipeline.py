@@ -86,6 +86,8 @@ class ReplayPipeline:
         model_parallelism: int | None = None,
         marker: str = "global",
         probe_pending: bool = False,
+        maintenance_every: int | None = None,
+        maintenance_keep_snapshots: int = 20,
     ):
         self.spark = spark
         self.feed = feed
@@ -102,6 +104,14 @@ class ReplayPipeline:
         self.marker = marker
         self._wm_prop = f"watermark.{marker}"
         self._epoch_prop = f"epoch.{marker}"
+        # In-loop table maintenance (Iceberg's rewrite_data_files /
+        # expire_snapshots cadence): every N applied batches the MOR deltas
+        # fold into a fresh base, old manifests expire, and aged orphans
+        # vacuum. This is what BOUNDS read amplification (deltas since last
+        # compaction) and driver-side metadata (live manifest count) over a
+        # 10^10-event replay — without a cadence both grow O(batches).
+        self.maintenance_every = maintenance_every
+        self.maintenance_keep_snapshots = maintenance_keep_snapshots
         # S2 lag probe: when on, each batch's checkpoint also records the
         # per-source events still pending past the batch's high seq (the
         # reference's `_changes?limit=0&since=seq -> pending`,
@@ -342,12 +352,28 @@ class ReplayPipeline:
                 self.lineage.append_rows_local(recs)
         return BatchResult(epoch, lo, hi, n, dur)
 
+    def maintain(self) -> None:
+        """One maintenance cycle on the landing table: fold MOR deltas into
+        a fresh base (bounds per-read reconciliation work), expire old
+        manifests (bounds driver metadata), vacuum aged orphans (bounds
+        disk). Grace-windowed vacuum is concurrency-safe (S8 writers)."""
+        if self.mode == "mor" and any(
+            f["level"] == "delta" for f in self.table.snapshot().files
+        ):
+            self.table.compact()
+        self.table.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
+        self.table.vacuum()
+
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
         """Drain the feed (the reference's drain-until-empty loop,
-        watcher.js:8-14, as ``trigger(availableNow=True)`` semantics)."""
+        watcher.js:8-14, as ``trigger(availableNow=True)`` semantics).
+        With ``maintenance_every=k`` a maintenance cycle runs after every k
+        applied batches — the sustained-ingest shape for the 10^10 target
+        (append O(batch) deltas, fold on a cadence)."""
         cuts = self.feed.plan_batches(self.batch_size)
         results: list[BatchResult] = []
         lo = -(2**62)
+        applied_since_maintain = 0
         for epoch, hi in enumerate(cuts):
             if max_batches is not None and len([r for r in results if not r.skipped]) >= max_batches:
                 break
@@ -357,5 +383,9 @@ class ReplayPipeline:
             r = self.run_batch(epoch, lo, hi)
             if not r.skipped:
                 results.append(r)
+                applied_since_maintain += 1
+                if self.maintenance_every and applied_since_maintain >= self.maintenance_every:
+                    self.maintain()
+                    applied_since_maintain = 0
             lo = hi
         return results

@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--models", action="store_true", help="maintain the built-in typed models")
     ap.add_argument("--tailing", default=None, help="poll interval (e.g. '5 seconds'); default drain-and-stop")
     ap.add_argument("--compact", action="store_true", help="compact deltas after the drain (mor)")
+    ap.add_argument("--maintenance-every", type=int, default=None,
+                    help="fold deltas + expire snapshots + vacuum every N applied batches")
     ap.add_argument("--sources", default=None,
                     help="comma-separated source names (static config, db.js:45 analogue)")
     ap.add_argument("--discover-sources", action="store_true",
@@ -85,6 +87,7 @@ def main() -> None:
         spark, feed, args.table,
         batch_size=args.batch_size, num_buckets=args.num_buckets,
         mode=args.mode, lineage_path=args.lineage, models=models,
+        maintenance_every=args.maintenance_every,
     )
     import time
 

@@ -86,6 +86,38 @@ def test_vacuum_removes_losing_race_orphans(spark, tmp_path):
     assert len(got) == 100 and got[5] == "a"  # orphan rows never visible
 
 
+def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
+    """maintenance_every: the sustained-ingest loop folds deltas, expires
+    manifests and vacuums on a cadence — final state identical to the
+    unmaintained run, with BOUNDED live delta files and manifest count."""
+    from cht_sync_spark.sources.feedgen import feed_sources as _fs
+
+    ref = ReplayPipeline(
+        spark, ChangesFeedSource(spark, feed_path, sources=_fs()),
+        str(tmp_path / "ref"), batch_size=150, num_buckets=8, mode="mor",
+    )
+    ref.run()
+
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, feed_path, sources=_fs()),
+        str(tmp_path / "m"), batch_size=150, num_buckets=8, mode="mor",
+        maintenance_every=2, maintenance_keep_snapshots=3,
+    )
+    results = pipe.run()
+    assert len(results) >= 3
+
+    snap = pipe.table.snapshot()
+    deltas = [f for f in snap.files if f["level"] == "delta"]
+    # at most maintenance_every batches of deltas are ever live
+    assert len({f["commit"] for f in deltas}) <= 2
+    # manifest directory is bounded by the expiry policy
+    assert len(pipe.table.history()) <= 3 + 1
+
+    a = sorted(map(tuple, pipe.table.read_current(drop_tombstones=True).collect()))
+    b = sorted(map(tuple, ref.table.read_current(drop_tombstones=True).collect()))
+    assert a == b, "maintenance must not change the reconciled state"
+
+
 def test_pending_probe_in_checkpoints(spark, feed_df, tmp_path):
     dirs = []
     for p in range(2):

@@ -104,6 +104,39 @@ def test_ann_index_prunes_and_recalls(spark, emb, tmp_path):
     assert recall >= 0.8, f"indexed ANN recall@10 {recall} < 0.8"
 
 
+def test_ann_index_incremental_append(spark, emb, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append the
+    rest as deltas (signatures from the COMMITTED planes) — queries over
+    the incrementally-built index return the same top-k as a full rebuild,
+    and file pruning still holds."""
+    from cht_sync_spark.functions.similarity import (
+        ann_index_append,
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    rest = emb.where(F.col("vec_id") != 0)
+    dim = len(emb.select("embedding").first()[0])
+    half_a = rest.where(F.col("vec_id") % 2 == 0)
+    half_b = rest.where(F.col("vec_id") % 2 == 1)
+
+    full = build_ann_index(rest, str(tmp_path / "full"), n_planes=6, dim=dim, num_buckets=32)
+    inc = build_ann_index(half_a, str(tmp_path / "inc"), n_planes=6, dim=dim, num_buckets=32)
+    ann_index_append(inc, half_b)
+    assert inc.read().count() == full.read().count()
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    want = [(r["vec_id"], round(r["cos"], 6)) for r in ann_index_topk(full, qvec, k=10, probe_bits=5).collect()]
+    got = [(r["vec_id"], round(r["cos"], 6)) for r in ann_index_topk(inc, qvec, k=10, probe_bits=5).collect()]
+    assert got == want, "incrementally-built index must answer identically"
+    assert inc.last_scan_files < len(inc.snapshot().files), "probes must still prune"
+
+    # compaction on the maintenance cadence folds deltas, same answers
+    inc.compact()
+    after = [(r["vec_id"], round(r["cos"], 6)) for r in ann_index_topk(inc, qvec, k=10, probe_bits=5).collect()]
+    assert after == want
+
+
 def test_ivf_index_prunes_and_recalls(spark, emb, tmp_path):
     """Driver-contract parameters (similarity_ivf: n_cells=8, n_probe=4)."""
     from cht_sync_spark.functions.similarity import (
@@ -121,6 +154,26 @@ def test_ivf_index_prunes_and_recalls(spark, emb, tmp_path):
     assert idx.last_scan_files < total_files, "IVF query did not prune files"
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"indexed IVF recall@10 {recall} < 0.5 (4/8 cells probed)"
+
+
+def test_ivf_assign_join_matches_literal_form(spark, emb):
+    """The broadcast-join assignment (the 65k-cell scale path) must agree
+    cell-for-cell with the codegen'd literal form on the same centroids,
+    and the automatic switchover above 256 cells must not blow the plan."""
+    from cht_sync_spark.functions.similarity import ivf_assign, ivf_assign_join
+
+    rest = emb.where(F.col("vec_id") != 0)
+    lit_df, cents = ivf_assign(rest, n_cells=16)
+    lit = {r["vec_id"]: r["__cell"] for r in lit_df.collect()}
+    join = {r["vec_id"]: r["__cell"] for r in ivf_assign_join(rest, cents).collect()}
+    assert join == lit
+
+    # >256 cells: the literal form would be a plan-size hazard; ivf_assign
+    # switches to the join form automatically and still assigns every row
+    big_df, big_cents = ivf_assign(rest, n_cells=300)
+    assert len(big_cents) <= 300
+    assert big_df.count() == rest.count()
+    assert big_df.where(F.col("__cell").isNull()).count() == 0
 
 
 def test_embedding_dup_recall_vs_exact(spark, emb):
