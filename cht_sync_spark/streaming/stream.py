@@ -62,6 +62,8 @@ class StreamingReplay:
         models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
         model_parallelism: int | None = None,
         bucket_cols: list[str] | None = None,
+        maintenance_every: int | None = None,
+        maintenance_keep_snapshots: int = 20,
     ):
         self.spark = spark
         self.feed_path = feed_path
@@ -71,6 +73,14 @@ class StreamingReplay:
         self.sources = sources
         self.fail_after_batches = fail_after_batches
         self._applied = 0
+        # in-loop maintenance cadence, same shape as ReplayPipeline: fold
+        # MOR deltas + expire snapshots + vacuum every N applied batches.
+        # Logical state is untouched (compaction is state-preserving and
+        # the grace-windowed vacuum tolerates concurrent S8 writers), so
+        # exactly-once replay semantics are unaffected.
+        self.maintenance_every = maintenance_every
+        self.maintenance_keep_snapshots = maintenance_keep_snapshots
+        self._since_maintain = 0
         # S8: several streaming queries (one per source/watcher, own Spark
         # checkpoint dir) may share one landing table; each keeps its own
         # epoch-marker namespace, like ReplayPipeline's `marker`.
@@ -193,6 +203,21 @@ class StreamingReplay:
             finally:
                 rows.unpersist()
         self._applied += 1
+        self._since_maintain += 1
+        if self.maintenance_every and self._since_maintain >= self.maintenance_every:
+            self.maintain()
+            self._since_maintain = 0
+
+    def maintain(self) -> None:
+        """One maintenance cycle on the landing table (parity with
+        ReplayPipeline.maintain): fold MOR deltas, expire old manifests,
+        vacuum aged orphans."""
+        if self.mode == "mor" and any(
+            f["level"] == "delta" for f in self.table.snapshot().files
+        ):
+            self.table.compact()
+        self.table.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
+        self.table.vacuum()
 
     # ------------------------------------------------------------------ runs
     def _stream(self) -> DataFrame:

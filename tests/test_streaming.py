@@ -134,3 +134,30 @@ def test_streaming_rerun_is_noop(spark, feed_path, tmp_path, batch_state):
     again.run_available_now()
     assert again.table.current_version() == v1
     _assert_equal(_state(again.table), batch_state)
+
+
+def test_streaming_maintenance_cadence_crash_safe(spark, feed_path, tmp_path, batch_state):
+    """In-loop maintenance inside foreachBatch (MOR fold + expiry + vacuum
+    every batch) must not disturb exactly-once: crash mid-replay, resume,
+    and the final reconciled state still equals the batch replay — with
+    bounded live deltas and manifest history."""
+    table_path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    crashing = StreamingReplay(
+        spark, feed_path, table_path, ckpt,
+        max_files_per_trigger=1, num_buckets=8, mode="mor",
+        fail_after_batches=2, maintenance_every=1, maintenance_keep_snapshots=2,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        crashing.run_available_now()
+
+    resumed = StreamingReplay(
+        spark, feed_path, table_path, ckpt,
+        max_files_per_trigger=1, num_buckets=8, mode="mor",
+        maintenance_every=1, maintenance_keep_snapshots=2,
+    )
+    resumed.run_available_now()
+    _assert_equal(_state(resumed.table), batch_state)
+
+    snap = resumed.table.snapshot()
+    assert not [f for f in snap.files if f["level"] == "delta"]  # folded
+    assert len(resumed.table.history()) <= 2 + 1  # expiry policy bounds manifests
