@@ -353,16 +353,20 @@ class ReplayPipeline:
         return BatchResult(epoch, lo, hi, n, dur)
 
     def maintain(self) -> None:
-        """One maintenance cycle on the landing table: fold MOR deltas into
-        a fresh base (bounds per-read reconciliation work), expire old
-        manifests (bounds driver metadata), vacuum aged orphans (bounds
-        disk). Grace-windowed vacuum is concurrency-safe (S8 writers)."""
+        """One maintenance cycle on the landing AND model tables: fold MOR
+        deltas into a fresh base (bounds per-read reconciliation work),
+        expire old manifests (bounds driver metadata — each model commits
+        one snapshot per epoch, unbounded over a 10^10-event replay),
+        vacuum aged orphans (bounds disk). Grace-windowed vacuum is
+        concurrency-safe (S8 writers)."""
         if self.mode == "mor" and any(
             f["level"] == "delta" for f in self.table.snapshot().files
         ):
             self.table.compact()
-        self.table.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
-        self.table.vacuum()
+        tables = [self.table] + [m.table for m in self.models]
+        for t in tables:
+            t.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
+            t.vacuum()
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
         """Drain the feed (the reference's drain-until-empty loop,

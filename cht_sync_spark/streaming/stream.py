@@ -209,15 +209,16 @@ class StreamingReplay:
             self._since_maintain = 0
 
     def maintain(self) -> None:
-        """One maintenance cycle on the landing table (parity with
-        ReplayPipeline.maintain): fold MOR deltas, expire old manifests,
-        vacuum aged orphans."""
+        """One maintenance cycle on the landing AND model tables (parity
+        with ReplayPipeline.maintain): fold MOR deltas, expire old
+        manifests, vacuum aged orphans."""
         if self.mode == "mor" and any(
             f["level"] == "delta" for f in self.table.snapshot().files
         ):
             self.table.compact()
-        self.table.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
-        self.table.vacuum()
+        for t in [self.table] + [m.table for m in self.models]:
+            t.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
+            t.vacuum()
 
     # ------------------------------------------------------------------ runs
     def _stream(self) -> DataFrame:

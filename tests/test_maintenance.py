@@ -89,18 +89,26 @@ def test_vacuum_removes_losing_race_orphans(spark, tmp_path):
 def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
     """maintenance_every: the sustained-ingest loop folds deltas, expires
     manifests and vacuums on a cadence — final state identical to the
-    unmaintained run, with BOUNDED live delta files and manifest count."""
+    unmaintained run, with BOUNDED live delta files and manifest count —
+    on the landing table AND every model table (each model commits one
+    snapshot per epoch, so an unmaintained model's manifest count grows
+    O(batches))."""
+    from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
     from cht_sync_spark.sources.feedgen import feed_sources as _fs
 
     ref = ReplayPipeline(
         spark, ChangesFeedSource(spark, feed_path, sources=_fs()),
         str(tmp_path / "ref"), batch_size=150, num_buckets=8, mode="mor",
+        models=[(CONVERSATIONS, str(tmp_path / "ref_conv")),
+                (CONV_PROFILES, str(tmp_path / "ref_prof"))],
     )
     ref.run()
 
     pipe = ReplayPipeline(
         spark, ChangesFeedSource(spark, feed_path, sources=_fs()),
         str(tmp_path / "m"), batch_size=150, num_buckets=8, mode="mor",
+        models=[(CONVERSATIONS, str(tmp_path / "m_conv")),
+                (CONV_PROFILES, str(tmp_path / "m_prof"))],
         maintenance_every=2, maintenance_keep_snapshots=3,
     )
     results = pipe.run()
@@ -110,12 +118,21 @@ def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
     deltas = [f for f in snap.files if f["level"] == "delta"]
     # at most maintenance_every batches of deltas are ever live
     assert len({f["commit"] for f in deltas}) <= 2
-    # manifest directory is bounded by the expiry policy
+    # manifest directories are bounded by the expiry policy — landing + models
     assert len(pipe.table.history()) <= 3 + 1
+    for m in pipe.models:
+        assert len(m.table.history()) <= 3 + 1, m.spec.name
+        assert len(ref._runners_by_name[m.spec.name].table.history()) > 3 + 1
 
     a = sorted(map(tuple, pipe.table.read_current(drop_tombstones=True).collect()))
     b = sorted(map(tuple, ref.table.read_current(drop_tombstones=True).collect()))
     assert a == b, "maintenance must not change the reconciled state"
+    # model state is also untouched by maintenance
+    for m in pipe.models:
+        got = sorted(map(tuple, m.table.read_current(drop_tombstones=True).collect()))
+        want = sorted(map(tuple, ref._runners_by_name[m.spec.name]
+                          .table.read_current(drop_tombstones=True).collect()))
+        assert got == want, m.spec.name
 
 
 def test_pending_probe_in_checkpoints(spark, feed_df, tmp_path):
