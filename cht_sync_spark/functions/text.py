@@ -161,14 +161,16 @@ def winnow_fingerprints(
     fingerprint set, guaranteeing any shared substring of length >= w+k-1
     yields a shared fingerprint. Returns ``(id, fp)`` rows.
 
-    Physical shape: ONE linear ``transform`` computes the k-gram hash array
-    (the lambda only touches bound attributes — nesting a second transform
-    for the window minima would re-evaluate the whole hash array per
-    window, O(n²), because Catalyst does not CSE through lambda bodies);
-    the sliding minima then run as a ``min OVER (PARTITION BY id ORDER BY
-    pos ROWS BETWEEN CURRENT AND w-1 FOLLOWING)`` window after a
-    posexplode — linear, shuffled by id only. Per-k-gram hashing is
-    ``hash_fn``:
+    Physical shape: posexplode a position ``sequence`` (one row per k-gram
+    START), hash the k-gram substring AFTER the explode against the
+    materialized normalized text, then run the sliding minima as a ``min
+    OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT AND w-1
+    FOLLOWING)`` window — linear, shuffled by id only. Hashing INSIDE a
+    ``transform`` lambda before the explode is an O(n²) trap: Spark's
+    InferFiltersFromGenerate adds ``size(arr) > 0`` under the Generate and
+    filter pushdown inlines the normalization regex into the lambda, so
+    the filter re-runs the regex once PER K-GRAM (measured 21 s for 5k
+    docs; this form is ~2 s). Per-k-gram hashing is ``hash_fn``:
 
     - ``xxhash64`` (default): long hashes — fastest, the at-scale form; a
       fixed-width stand-in for the Rabin-Karp rolling hash (whose wrapping
@@ -187,20 +189,20 @@ def winnow_fingerprints(
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
-    # normalize ONCE into a bound column: it is referenced both by the
-    # position range and inside the per-element lambda, and a >1-referenced
-    # non-trivial alias is exactly what CollapseProject keeps materialized
-    # (inlining it would re-run the regex per k-gram)
+    # normalize ONCE into a bound column; `n` (k-gram count) is an attribute
+    # so the Generate's inferred `size(sequence(1, n)) > 0` filter is cheap
+    # integer work, never a re-run of the regex
     base = spread(df).select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t")
     ).select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(F.col("__t")) - (k - 1), F.lit(1))),
-            lambda i: gram_hash(F.col("__t").substr(i, F.lit(k))),
-        ).alias("hs"),
+        "id", "__t",
+        F.greatest(F.length(F.col("__t")) - (k - 1), F.lit(1)).alias("n"),
     )
-    grams = base.select("id", F.size("hs").alias("n"), F.posexplode("hs").alias("pos", "h"))
+    grams = base.select(
+        "id", "n", "__t", F.posexplode(F.sequence(F.lit(1), F.col("n"))).alias("pos", "start")
+    ).select(
+        "id", "n", "pos", gram_hash(F.col("__t").substr(F.col("start"), F.lit(k))).alias("h")
+    )
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     mins = grams.withColumn("m", F.min("h").over(win))
     # valid window starts: pos in [0, n-w]; short docs (n < w) keep pos 0,
