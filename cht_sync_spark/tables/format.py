@@ -4,12 +4,23 @@ This sandbox ships no Iceberg/Delta runtime jar, so the engine provides its
 own lakehouse primitives with the same guarantees the design needs
 (SURVEY.md §7.2/§7.3):
 
-- **atomic commits**: one JSON manifest per snapshot, claimed with
-  ``O_CREAT|O_EXCL`` (optimistic concurrency) and finalized via POSIX
-  ``rename``; a crash mid-commit leaves only orphan data files, never a
-  half-visible snapshot. This is the analogue of Iceberg's atomic snapshot
-  swap and of the reference's reliance on single-statement Postgres
-  atomicity (importer.js:129-131).
+- **atomic commits**: one small JSON snapshot file per version, claimed
+  with ``O_CREAT|O_EXCL`` (optimistic concurrency) and finalized via POSIX
+  ``rename``; a crash mid-commit leaves only orphan data/manifest files,
+  never a half-visible snapshot. This is the analogue of Iceberg's atomic
+  snapshot swap and of the reference's reliance on single-statement
+  Postgres atomicity (importer.js:129-131).
+- **split manifests (Iceberg's manifest-list architecture)**: the snapshot
+  file holds schema/properties plus a LIST of immutable manifest-file
+  names; each manifest file holds the data-file entries of one commit.
+  An append commit therefore writes O(files-in-this-commit) metadata —
+  one new manifest plus a tiny snapshot — NOT a rewrite of the full live
+  file list (which at 10^10 events with num_buckets sized to cluster
+  cores would make every commit O(live files) of driver-side JSON).
+  Commits that REMOVE files (COW merge, compact) rewrite only the
+  manifests they intersect; compaction collapses all of them into one.
+  Readers fold the manifests, each parsed at most once per process
+  (immutable -> cached).
 - **snapshot properties**: a string->string map committed atomically WITH
   the data — carries the per-source/per-partition sequence checkpoints and
   the exactly-once epoch markers (the analogue of stashing the commit epoch
@@ -52,6 +63,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SNAPDIR = "_snapshots"
+_MANDIR = "_manifests"
 _DATADIR = "data"
 
 
@@ -79,11 +91,15 @@ class Snapshot:
     # LWW precedence as (column, ascending) pairs — part of the table
     # contract so merge-time and read-time reconciliation always agree
     lww_order: list[tuple[str, bool]]
-    # files: list of {"path": rel, "bucket": int, "level": "base"|"delta",
-    #                 "commit": str}
+    # files: the FOLDED view of all manifest entries — list of
+    # {"path": rel, "bucket": int, "level": "base"|"delta", "commit": str}.
+    # Built by concatenating cached immutable manifest-file contents; the
+    # snapshot JSON on disk stores only `manifests` (the file names).
     files: list[dict[str, Any]]
     properties: dict[str, str]
     parent: int | None
+    # relative paths of the immutable manifest files this snapshot folds
+    manifests: list[str] | None = None
 
 
 def bucket_expr(key_cols: list[str], num_buckets: int):
@@ -104,6 +120,8 @@ class SnapshotTable:
         # per-batch JSON read+parse that showed up as fixed driver overhead
         # (~every state()/merge/model call re-read the tip manifest).
         self._snap_cache: dict[int, Snapshot] = {}
+        # manifest files are immutable too: parse each at most once
+        self._manifest_cache: dict[str, list[dict[str, Any]]] = {}
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -149,6 +167,7 @@ class SnapshotTable:
                 files=[],
                 properties=dict(properties or {}),
                 parent=None,
+                manifests=[],
             )
             )
         except CommitConflict:
@@ -224,8 +243,15 @@ class SnapshotTable:
         self._snap_cache[v] = snap
         return snap
 
-    @staticmethod
-    def _from_manifest(m: dict) -> Snapshot:
+    def _from_manifest(self, m: dict) -> Snapshot:
+        if "manifests" in m:
+            refs = m["manifests"]
+            files: list[dict[str, Any]] = []
+            for ref in refs:
+                files.extend(self._load_manifest(ref))
+        else:  # legacy inline file list (pre-split-manifest snapshots)
+            refs = None
+            files = m["files"]
         return Snapshot(
             version=m["version"],
             schema=T.StructType.fromJson(m["schema"]),
@@ -234,10 +260,37 @@ class SnapshotTable:
             num_buckets=m["num_buckets"],
             sort_cols=m["sort_cols"],
             lww_order=[(c, bool(a)) for c, a in m.get("lww_order", [])],
-            files=m["files"],
+            files=files,
             properties=m["properties"],
             parent=m["parent"],
+            manifests=refs,
         )
+
+    # -------------------------------------------------------- manifest files
+    def _load_manifest(self, rel: str) -> list[dict[str, Any]]:
+        cached = self._manifest_cache.get(rel)
+        if cached is not None:
+            return cached
+        with open(os.path.join(self.path, rel)) as fh:
+            entries = json.load(fh)["entries"]
+        self._manifest_cache[rel] = entries
+        return entries
+
+    def _write_manifest_file(self, entries: list[dict[str, Any]]) -> str:
+        """Write one immutable manifest file; returns its table-relative
+        path. fsync'd BEFORE any snapshot references it (the snapshot's
+        own atomic rename is the only visibility point)."""
+        d = os.path.join(self.path, _MANDIR)
+        os.makedirs(d, exist_ok=True)
+        rel = os.path.join(_MANDIR, f"m-{uuid.uuid4().hex}.json")
+        tmp = os.path.join(self.path, rel + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"entries": entries}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.path, rel))
+        self._manifest_cache[rel] = entries
+        return rel
 
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
@@ -252,23 +305,24 @@ class SnapshotTable:
         except FileExistsError as e:
             raise CommitConflict(f"version {snap.version} already committed at {self.path}") from e
         tmp = final + f".tmp.{uuid.uuid4().hex}"
+        body: dict[str, Any] = {
+            "version": snap.version,
+            "schema": snap.schema.jsonValue(),
+            "key_cols": snap.key_cols,
+            "bucket_cols": snap.bucket_cols,
+            "num_buckets": snap.num_buckets,
+            "sort_cols": snap.sort_cols,
+            "lww_order": [[c, a] for c, a in snap.lww_order],
+            "properties": snap.properties,
+            "parent": snap.parent,
+        }
+        if snap.manifests is not None:
+            body["manifests"] = snap.manifests  # split form: O(#manifests)
+        else:
+            body["files"] = snap.files  # legacy inline fallback
         try:
             with open(tmp, "w") as fh:
-                json.dump(
-                    {
-                        "version": snap.version,
-                        "schema": snap.schema.jsonValue(),
-                        "key_cols": snap.key_cols,
-                        "bucket_cols": snap.bucket_cols,
-                        "num_buckets": snap.num_buckets,
-                        "sort_cols": snap.sort_cols,
-                        "lww_order": [[c, a] for c, a in snap.lww_order],
-                        "files": snap.files,
-                        "properties": snap.properties,
-                        "parent": snap.parent,
-                    },
-                    fh,
-                )
+                json.dump(body, fh)
                 fh.flush()
                 os.fsync(fh.fileno())
             os.rename(tmp, final)  # atomic replace of the claimed (empty) file
@@ -409,21 +463,17 @@ class SnapshotTable:
         retriable = remove_buckets is None and expected_version is None
         attempts = max_retries if retriable else 1
         last_err: CommitConflict | None = None
+        # the added files become ONE immutable manifest, written once and
+        # reused verbatim across rebase retries (its content doesn't depend
+        # on the parent) — the O(batch) metadata write of the append path
+        add_ref = self._write_manifest_file(add_files) if add_files else None
         for _ in range(attempts):
             parent = self.snapshot()
             if expected_version is not None and parent.version != expected_version:
                 raise CommitConflict(
                     f"expected v{expected_version}, found v{parent.version} at {self.path}"
                 )
-            keep = [
-                f
-                for f in parent.files
-                if not (
-                    remove_buckets is not None
-                    and f["bucket"] in remove_buckets
-                    and f["level"] in remove_level
-                )
-            ]
+            keep_refs, keep = self._keep_manifests(parent, remove_buckets, remove_level)
             props = dict(parent.properties)
             props.update(properties_update or {})
             snap = Snapshot(
@@ -437,6 +487,7 @@ class SnapshotTable:
                 files=keep + add_files,
                 properties=props,
                 parent=parent.version,
+                manifests=keep_refs + ([add_ref] if add_ref is not None else []),
             )
             try:
                 self._write_manifest(snap)
@@ -451,6 +502,40 @@ class SnapshotTable:
 
                 _time.sleep(0.02 + random.random() * 0.08)
         raise last_err  # type: ignore[misc]
+
+    def _keep_manifests(
+        self,
+        parent: Snapshot,
+        remove_buckets: set[int] | None,
+        remove_level: tuple[str, ...],
+    ) -> tuple[list[str], list[dict[str, Any]]]:
+        """Surviving (manifest refs, folded entries) of ``parent`` after the
+        removal mask. Append commits keep every parent manifest BY REFERENCE
+        (zero metadata rewrite); removal commits rewrite only the manifests
+        they intersect, drop the ones they empty, and keep the rest by
+        reference. A legacy inline-file parent is adopted as one manifest."""
+        parent_refs = parent.manifests
+        if parent_refs is None:  # legacy snapshot: adopt inline list
+            parent_refs = [self._write_manifest_file(parent.files)] if parent.files else []
+        if remove_buckets is None:
+            return list(parent_refs), list(parent.files)
+        keep_refs: list[str] = []
+        keep: list[dict[str, Any]] = []
+        for ref in parent_refs:
+            entries = self._load_manifest(ref)
+            kept = [
+                f
+                for f in entries
+                if not (f["bucket"] in remove_buckets and f["level"] in remove_level)
+            ]
+            if not kept:
+                continue  # fully removed: drop the reference
+            if len(kept) == len(entries):
+                keep_refs.append(ref)  # untouched: reuse immutably
+            else:
+                keep_refs.append(self._write_manifest_file(kept))
+            keep.extend(kept)
+        return keep_refs, keep
 
     def append_delta(
         self,
@@ -563,6 +648,7 @@ class SnapshotTable:
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
         self._snap_cache.clear()
+        self._manifest_cache.clear()
 
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> int:
@@ -598,9 +684,13 @@ class SnapshotTable:
         import time as _time
 
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for v in self._versions():
-            for f in self.snapshot(v).files:
+            snap = self.snapshot(v)
+            for f in snap.files:
                 live.add(os.path.normpath(f["path"]))
+            for ref in snap.manifests or []:
+                live_manifests.add(os.path.normpath(ref))
         data_root = os.path.join(self.path, _DATADIR)
         cutoff = _time.time() - grace_seconds
         removed = 0
@@ -618,6 +708,24 @@ class SnapshotTable:
                     removed += 1
             if not os.listdir(dirpath) and dirpath != data_root:
                 os.rmdir(dirpath)
+        # manifest files referenced by no retained snapshot (expired history,
+        # losing commit races) — same grace window as data files
+        man_root = os.path.join(self.path, _MANDIR)
+        if os.path.isdir(man_root):
+            for fn in os.listdir(man_root):
+                full = os.path.join(man_root, fn)
+                rel = os.path.normpath(os.path.relpath(full, self.path))
+                if (
+                    fn.endswith(".json") and rel not in live_manifests
+                ) or fn.endswith(".tmp"):  # .tmp = crashed mid-manifest-write
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue
+                    except OSError:
+                        continue
+                    os.remove(full)
+                    self._manifest_cache.pop(rel, None)
+                    removed += 1
         return removed
 
     # ------------------------------------------------------------ evolution

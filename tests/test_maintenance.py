@@ -55,8 +55,17 @@ def test_expire_and_vacuum_reclaim_space(spark, tmp_path):
     removed_manifests = t.expire_snapshots(keep_last=1)
     assert removed_manifests == versions_before - 1
     removed_files = t.vacuum(grace_seconds=0)
-    assert removed_files == files_before - live_files
+    # orphaned data files AND the expired snapshots' now-unreferenced
+    # manifest files are both collected
+    assert removed_files >= files_before - live_files
     assert len(_disk_parquets(path)) == live_files
+    from cht_sync_spark.tables.format import _MANDIR
+
+    live_manifests = set(t.snapshot().manifests)
+    on_disk = {
+        os.path.join(_MANDIR, f) for f in os.listdir(os.path.join(path, _MANDIR))
+    }
+    assert on_disk == live_manifests
 
     got = {r["k"]: r["v"] for r in t.read_current().collect()}
     assert len(got) == 200 and got[199] == "v3"
