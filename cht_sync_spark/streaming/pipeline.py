@@ -353,20 +353,22 @@ class ReplayPipeline:
         return BatchResult(epoch, lo, hi, n, dur)
 
     def maintain(self) -> None:
-        """One maintenance cycle on the landing AND model tables: fold MOR
-        deltas into a fresh base (bounds per-read reconciliation work),
-        expire old manifests (bounds driver metadata — each model commits
-        one snapshot per epoch, unbounded over a 10^10-event replay),
-        vacuum aged orphans (bounds disk). Grace-windowed vacuum is
-        concurrency-safe (S8 writers)."""
-        if self.mode == "mor" and any(
-            f["level"] == "delta" for f in self.table.snapshot().files
-        ):
-            self.table.compact()
+        """One maintenance cycle on the landing, model AND lineage tables:
+        fold MOR deltas into a fresh base (bounds per-read reconciliation
+        work), expire old manifests (bounds driver metadata — each model
+        commits one snapshot per epoch, and lineage one per batch:
+        unbounded over a 10^10-event replay), vacuum aged orphans (bounds
+        disk). The lineage table's per-batch micro-appends are pure delta
+        files, so it is folded too — without that, lineage reads reconcile
+        O(batches) tiny files."""
+        from cht_sync_spark.tables.format import maintain_tables
+
         tables = [self.table] + [m.table for m in self.models]
-        for t in tables:
-            t.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
-            t.vacuum()
+        compact = [self.table] if self.mode == "mor" else []
+        if self.lineage is not None:
+            tables.append(self.lineage)
+            compact.append(self.lineage)
+        maintain_tables(tables, self.maintenance_keep_snapshots, compact=compact)
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
         """Drain the feed (the reference's drain-until-empty loop,

@@ -209,16 +209,17 @@ class StreamingReplay:
             self._since_maintain = 0
 
     def maintain(self) -> None:
-        """One maintenance cycle on the landing AND model tables (parity
-        with ReplayPipeline.maintain): fold MOR deltas, expire old
-        manifests, vacuum aged orphans."""
-        if self.mode == "mor" and any(
-            f["level"] == "delta" for f in self.table.snapshot().files
-        ):
-            self.table.compact()
-        for t in [self.table] + [m.table for m in self.models]:
-            t.expire_snapshots(keep_last=self.maintenance_keep_snapshots)
-            t.vacuum()
+        """One maintenance cycle on the landing AND model tables (the
+        shared :func:`maintain_tables` body — parity with
+        ``ReplayPipeline.maintain``; the streaming form keeps no lineage
+        table, Structured Streaming's own progress log covers it)."""
+        from cht_sync_spark.tables.format import maintain_tables
+
+        maintain_tables(
+            [self.table] + [m.table for m in self.models],
+            self.maintenance_keep_snapshots,
+            compact=[self.table] if self.mode == "mor" else [],
+        )
 
     # ------------------------------------------------------------------ runs
     def _stream(self) -> DataFrame:

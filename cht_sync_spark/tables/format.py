@@ -102,6 +102,35 @@ class Snapshot:
     manifests: list[str] | None = None
 
 
+def _fsync_dir(d: str) -> None:
+    """fsync a directory so a just-renamed entry survives power loss."""
+    fd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def maintain_tables(
+    tables: list["SnapshotTable"],
+    keep_last: int,
+    compact: list["SnapshotTable"] = (),
+) -> None:
+    """One maintenance cycle over a set of tables (the shared body of
+    ``ReplayPipeline.maintain`` / ``StreamingReplay.maintain``): fold
+    merge-on-read deltas in the ``compact`` subset (the MOR landing table;
+    bookkeeping tables built from per-batch micro-appends, e.g. lineage,
+    which otherwise accrete one delta file per batch forever), then expire
+    old snapshots (bounds driver metadata) and vacuum aged orphans (bounds
+    disk) everywhere. Grace-windowed vacuum is concurrency-safe (S8)."""
+    for t in compact:
+        if any(f["level"] == "delta" for f in t.snapshot().files):
+            t.compact()
+    for t in tables:
+        t.expire_snapshots(keep_last=keep_last)
+        t.vacuum()
+
+
 def bucket_expr(key_cols: list[str], num_buckets: int):
     """The bucket transform: pmod(xxhash64(key...), N). Deterministic across
     sessions (xxhash64 seed fixed), so batch and table always agree."""
@@ -278,8 +307,12 @@ class SnapshotTable:
 
     def _write_manifest_file(self, entries: list[dict[str, Any]]) -> str:
         """Write one immutable manifest file; returns its table-relative
-        path. fsync'd BEFORE any snapshot references it (the snapshot's
-        own atomic rename is the only visibility point)."""
+        path. Content-fsync'd AND directory-fsync'd BEFORE any snapshot
+        references it: POSIX does not order metadata ops across a crash,
+        so without the directory fsync a later snapshot rename could
+        survive power loss while this manifest's rename does not — a
+        visible snapshot referencing a missing manifest (permanent
+        corruption, vs the clean rollback a lost snapshot file is)."""
         d = os.path.join(self.path, _MANDIR)
         os.makedirs(d, exist_ok=True)
         rel = os.path.join(_MANDIR, f"m-{uuid.uuid4().hex}.json")
@@ -289,6 +322,7 @@ class SnapshotTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.path, rel))
+        _fsync_dir(d)
         self._manifest_cache[rel] = entries
         return rel
 
@@ -326,6 +360,7 @@ class SnapshotTable:
                 fh.flush()
                 os.fsync(fh.fileno())
             os.rename(tmp, final)  # atomic replace of the claimed (empty) file
+            _fsync_dir(d)  # make the commit itself crash-durable
             self._snap_cache[snap.version] = snap  # committed -> immutable
         finally:
             os.close(fd)
@@ -517,6 +552,10 @@ class SnapshotTable:
         parent_refs = parent.manifests
         if parent_refs is None:  # legacy snapshot: adopt inline list
             parent_refs = [self._write_manifest_file(parent.files)] if parent.files else []
+            # memoize on the CACHED parent (folded files are identical):
+            # commit retries and concurrent attempts on the same legacy tip
+            # would otherwise each write a fresh O(live files) adoption copy
+            parent.manifests = parent_refs
         if remove_buckets is None:
             return list(parent_refs), list(parent.files)
         keep_refs: list[str] = []

@@ -110,6 +110,7 @@ def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
         str(tmp_path / "ref"), batch_size=150, num_buckets=8, mode="mor",
         models=[(CONVERSATIONS, str(tmp_path / "ref_conv")),
                 (CONV_PROFILES, str(tmp_path / "ref_prof"))],
+        lineage_path=str(tmp_path / "ref_lin"),
     )
     ref.run()
 
@@ -118,6 +119,7 @@ def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
         str(tmp_path / "m"), batch_size=150, num_buckets=8, mode="mor",
         models=[(CONVERSATIONS, str(tmp_path / "m_conv")),
                 (CONV_PROFILES, str(tmp_path / "m_prof"))],
+        lineage_path=str(tmp_path / "m_lin"),
         maintenance_every=2, maintenance_keep_snapshots=3,
     )
     results = pipe.run()
@@ -142,6 +144,17 @@ def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
         want = sorted(map(tuple, ref._runners_by_name[m.spec.name]
                           .table.read_current(drop_tombstones=True).collect()))
         assert got == want, m.spec.name
+    # the lineage table (one micro-append delta per batch) is folded and
+    # expired too — unmaintained it grows O(batches) in both dimensions
+    assert len(pipe.lineage.history()) <= 3 + 1
+    n_lin_deltas = sum(1 for f in pipe.lineage.snapshot().files if f["level"] == "delta")
+    assert n_lin_deltas <= 2
+    assert len(ref.lineage.history()) > 3 + 1
+    # compare everything but duration_ms (wall-clock: differs across runs)
+    det = [c for c in pipe.lineage.snapshot().schema.names if c != "duration_ms"]
+    lin_got = sorted(map(tuple, pipe.lineage.read_current().select(*det).collect()))
+    lin_want = sorted(map(tuple, ref.lineage.read_current().select(*det).collect()))
+    assert lin_got == lin_want, "maintenance must not change lineage content"
 
 
 def test_pending_probe_in_checkpoints(spark, feed_df, tmp_path):
