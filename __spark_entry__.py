@@ -585,6 +585,23 @@ def q_text_fingerprint_winnow(spark, sf):
     return fingerprint_pairs(_t(spark, sf, "documents"), min_shared=8, hash_fn="md5")
 
 
+def q_sessionize_events(spark, sf):
+    """Gap-bounded sessionization (training-example assembly): one native
+    ``session_window`` aggregation — a single keyed shuffle at any scale
+    (see functions/sessions.py). Fully oracle-checked against the ANSI-SQL
+    gaps-and-islands form; the exactly-at-gap merge boundary is pinned by
+    tests/test_sessions.py."""
+    from cht_sync_spark.functions.sessions import sessionize
+
+    return sessionize(_t(spark, sf, "events"), gap="30 minutes")
+
+
+def _sessionize_oracle() -> str:
+    from cht_sync_spark.functions.sessions import sessionize_oracle_sql
+
+    return sessionize_oracle_sql(30)
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -635,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprint_winnow": q_text_fingerprint_winnow,
         "multimodal_meta": q_multimodal_meta,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -860,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
         ),
+        "sessionize_events": _sessionize_oracle(),
         # dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
         # similarity_ann_lsh / similarity_ivf: approximate candidate sets —
         # rows-only checks by design.
