@@ -210,7 +210,19 @@ class ModelRunner:
             if epoch is not None:
                 self.table.commit(add_files=[], properties_update={EPOCH_PROP: str(epoch)})
             return
+        own_persists: list[DataFrame] = []  # uncached-caller cleanup
         if self.spec.group_cols:
+            from pyspark.storagelevel import StorageLevel
+
+            from cht_sync_spark.tables.format import bucket_expr
+
+            # Per-epoch shared intermediates: models with the SAME group
+            # key derive IDENTICAL (keys, scope, seqs) from the same batch,
+            # and each is referenced by several downstream actions (bucket
+            # collects, broadcast builds, the gone anti-join). One cache
+            # entry per (group_cols, buckets) — landing buckets scanned
+            # once per epoch, not once per model per consumer.
+            lsnap = landing.snapshot()
             # touched groups: group identity only — the LWW stamp comes
             # from the SCOPE below, never from the batch (see there)
             keys = batch_rows.select(*self.spec.group_cols).distinct()
@@ -225,9 +237,6 @@ class ModelRunner:
             #     surviving 10^10 rows or rescanning them every micro-batch;
             # (2) ROW level — broadcast semi-join on the touched-group set
             #     (micro-batch-sized) inside those buckets.
-            from cht_sync_spark.tables.format import bucket_expr
-
-            lsnap = landing.snapshot()
             buckets = None
             if set(lsnap.bucket_cols) <= set(self.spec.group_cols):
                 buckets = sorted(
@@ -238,48 +247,41 @@ class ModelRunner:
                     .distinct()
                     .collect()
                 )
-            # models sharing group_cols read the IDENTICAL landing scope
-            # this epoch (keys derive from the same batch): cache the
-            # persisted scope across models so the landing buckets are
-            # scanned once per epoch, not once per model
             ck = (tuple(self.spec.group_cols), tuple(buckets or ()))
             if scope_cache is not None and ck in scope_cache:
-                scope = scope_cache[ck]
+                keys, scope, seqs = scope_cache[ck]
             else:
+                keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
                 scope = landing.read_current(buckets=buckets).join(
-                    F.broadcast(keys.select(*self.spec.group_cols)),
+                    F.broadcast(keys),
                     on=self.spec.group_cols,
                     how="left_semi",
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                # per-group LWW stamp = the SCOPE's max seq (tombstones
+                # included). Not the transform's own seq: after a delete
+                # the live-turn max regresses below the stored row's and
+                # the stale row would win the LWW merge. And not the
+                # BATCH's max seq either: a resumed Structured Streaming
+                # query may RE-DELIVER already-processed files under new
+                # epoch ids (the landing absorbs that via row-level LWW by
+                # design) — an old batch's low seq would lose the merge
+                # even though the recompute read the full current landing.
+                # The scope max is monotone (scope ⊇ every prior stamp's
+                # source) and re-delivery-idempotent.
+                seqs = (
+                    scope.groupBy(*self.spec.group_cols)
+                    .agg(F.max("seq").alias("seq"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
                 )
                 if scope_cache is not None:
-                    from pyspark.storagelevel import StorageLevel
-
-                    scope = scope.persist(StorageLevel.MEMORY_AND_DISK)
-                    scope_cache[ck] = scope
+                    # the level runner unpersists the whole epoch's cache
+                    scope_cache[ck] = (keys, scope, seqs)
+                else:
+                    own_persists += [keys, scope, seqs]
             out = self._apply_transform(scope, upstreams, keys=keys)
             self._enforce_schema(out)
-            # stamp recomputed rows with the SCOPE's max seq per group
-            # (tombstones included). Not the transform's own seq: after a
-            # delete the live-turn max regresses below the stored row's and
-            # the stale row would win the LWW merge. And not the BATCH's
-            # max seq either: a resumed Structured Streaming query may
-            # RE-DELIVER already-processed files under new epoch ids (the
-            # landing absorbs that via row-level LWW by design) — an old
-            # batch's low seq would lose the merge even though the
-            # recompute read the full current landing. The scope max is
-            # monotone (scope ⊇ every prior stamp's source) and
-            # re-delivery-idempotent.
-            seqs = scope.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
             if "seq" in out.columns:
                 out = out.drop("seq").join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
-            # the recomputed groups feed THREE consumers (the gone
-            # anti-join below, the merge, the data-test bucket collect) —
-            # each would re-run the landing/upstream scope read + transform
-            # without materialization; the recomputed slice is
-            # micro-batch-sized, so cache it for the epoch
-            from pyspark.storagelevel import StorageLevel
-
-            out = out.persist(StorageLevel.MEMORY_AND_DISK)
             # groups whose every turn is now deleted disappear from the
             # transform output -> emit explicit tombstones for them,
             # stamped with the delete's seq from the scope
@@ -292,8 +294,15 @@ class ModelRunner:
                 .join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
                 .withColumn("_deleted", F.lit(True))
             )
-            cached = out
             out = out.unionByName(gone, allowMissingColumns=True)
+            # the recomputed slice feeds THREE actions (the merge's
+            # bucket-stats collect, the bucket rewrite, the data-test
+            # bucket collect) — each would re-run the scope read +
+            # transform + gone anti-join without materialization; the
+            # slice is micro-batch-sized, so cache it for the epoch.
+            # Persisting AFTER the union covers the gone branch too.
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = out
         else:
             cached = None
             out = self.spec.transform(batch_rows)
@@ -304,9 +313,17 @@ class ModelRunner:
         try:
             # grouped recomputes are authoritative (derived from CURRENT
             # landing): prefer the batch on order-column ties, or a resumed
-            # stream re-delivering old epochs would pin stale rows forever
+            # stream re-delivering old epochs would pin stale rows forever.
+            # dedup_batch=False: uniqueness is structural — a grouped
+            # transform emits one row per group (groupBy output ∪ disjoint
+            # gone tombstones), a row-wise transform projects the already
+            # LWW-unique batch — so the merge's own window pass would be a
+            # per-epoch no-op shuffle.
             prefer = "batch" if self.spec.group_cols else "existing"
-            merge_upsert(self.table, out, tombstones="drop", properties_update=props, prefer=prefer)
+            merge_upsert(
+                self.table, out, tombstones="drop", dedup_batch=False,
+                properties_update=props, prefer=prefer,
+            )
             if self.spec.unique_test or self.spec.not_null:
                 # scope the data tests to the model-table buckets this
                 # batch's keys hash into (micro-batch-sized collect)
@@ -323,6 +340,8 @@ class ModelRunner:
         finally:
             if cached is not None:
                 cached.unpersist()
+            for df in own_persists:
+                df.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -388,9 +407,10 @@ def run_model_levels(
         def __setitem__(self, k, v):
             with lock:
                 # a racing model may have inserted first: keep the winner
-                # and unpersist the loser's duplicate
+                # and unpersist the loser's duplicate (keys, scope, seqs)
                 if dict.__contains__(self, k):
-                    v.unpersist()
+                    for df in v:
+                        df.unpersist()
                     return
                 dict.__setitem__(self, k, v)
 
@@ -415,8 +435,9 @@ def run_model_levels(
                 for f in futs:
                     f.result()  # propagate the first failure
     finally:
-        for df in scope_cache.values():
-            df.unpersist()
+        for entry in scope_cache.values():
+            for df in entry:
+                df.unpersist()
 
 
 # --------------------------------------------------------------------------
