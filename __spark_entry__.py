@@ -492,8 +492,11 @@ def q_dedup_simhash(spark, sf):
 
 def q_dedup_embedding_cosine(spark, sf):
     """Embedding near-dup pairs: banded hyperplane LSH (OR-amplified
-    candidates) + exact cosine verify — band recall is probabilistic:
-    rows-only (recall tested in pytest on planted near-dups)."""
+    candidates) + exact cosine verify. Fully oracle-checked: the ±1 planes
+    are md5-derived (similarity.make_planes), so the DuckDB oracle replays
+    the exact same planes, buckets, candidate set and cosines — the LSH is
+    deterministic, only its RECALL is probabilistic (pinned separately in
+    pytest on planted near-dups)."""
     from cht_sync_spark.functions.dedup import embedding_dup_pairs
 
     e = _t(spark, sf, "embeddings")
@@ -879,7 +882,34 @@ def oracle_sql() -> dict[str, str]:
             "sha256(text) AS sha256 FROM documents"
         ),
         "sessionize_events": _sessionize_oracle(),
-        # dedup_minhash_lsh / dedup_simhash / dedup_embedding_cosine /
-        # similarity_ann_lsh / similarity_ivf: approximate candidate sets —
-        # rows-only checks by design.
+        # deterministic hyperplane LSH: the splitmix-derived ±1 planes
+        # (seed 42, 12 planes = 4 bands x 3 bits, dim 64 —
+        # similarity.make_planes) are recomputed IN SQL via HUGEINT mulmod
+        # 2^64, so buckets, candidates and cosines replay exactly
+        "dedup_embedding_cosine": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "mix AS (SELECT p, i, CAST((("
+            "   42*11400714819323198485::HUGEINT + p*13787848793156543929::HUGEINT"
+            "   + i*10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z0 "
+            "  FROM range(0, 12) t(p), range(0, 64) s(i)), "
+            "mix2 AS (SELECT p, i, xor(z0, z0 >> 30) AS xv FROM mix), "
+            "sgn AS (SELECT p, i, CAST((((xv & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT"
+            "   + ((((xv >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)"
+            "  ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix2), "
+            "pl AS (SELECT p, list(CASE WHEN (z1 >> 63) = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane "
+            "  FROM sgn GROUP BY p), "
+            "bits AS (SELECT vec_id, p // 3 AS band, "
+            "         (CASE WHEN list_dot_product(v, plane) >= 0 THEN 1 ELSE 0 END) * (1 << (p % 3)) AS bit "
+            "         FROM e, pl), "
+            "bs AS (SELECT vec_id, band, sum(bit) AS bsig FROM bits GROUP BY 1, 2), "
+            "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+            "         FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, "
+            "  round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos "
+            "FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id "
+            "WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.2"
+        ),
+        # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
+        # similarity_ivf: approximate candidate sets — rows-only checks by
+        # design.
     }

@@ -71,7 +71,10 @@ def _pynorm(vec) -> float:
 
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (hash-derived, no RNG state):
-    plane[j][i] in {-1,+1} from a splitmix-style integer mix."""
+    plane[j][i] in {-1,+1} from a splitmix-style integer mix. Pure integer
+    arithmetic mod 2^64, so ANY engine can replay the planes — the DuckDB
+    oracle recomputes them in SQL (HUGEINT mulmod) and checks the full LSH
+    candidate set exactly (__spark_entry__ dedup_embedding_cosine)."""
     planes = []
     for j in range(n_planes):
         row = []
