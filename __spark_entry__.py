@@ -468,26 +468,32 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """Approximate candidate generation (banding) + exact verify — the
-    candidate set is probabilistic, so this entry is rows-only (no oracle);
-    tests measure its recall against the exact jaccard_pairs baseline."""
+    """MinHash banding + exact-Jaccard verify, fully oracle-checked: the
+    md5-permutation signatures (dedup._md5_signature_from_shingles) are
+    lexicographic string minima that DuckDB replays verbatim, so the
+    oracle rebuilds every signature, band key, candidate pair and verified
+    jaccard. The LSH remains approximate only in RECALL (pinned vs exact
+    jaccard_pairs in pytest); the xxhash64 form stays the at-scale
+    default."""
     from cht_sync_spark.functions.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, n=2, threshold=0.5).select(
+    return minhash_lsh_pairs(d, n=2, threshold=0.5, hash_fn="md5").select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs (bit-majority fingerprint; chunk-bucketed
-    candidate join). max_hamming=3 keeps the 4x16-bit pigeonhole recall
-    guarantee exact. Bit-level hash composition is not expressible in
-    portable SQL — rows-only."""
+    candidate join), fully oracle-checked: the 60-bit md5-prefix token
+    hash (text.simhash60_md5) is bit-identical in DuckDB, so the oracle
+    replays fingerprints, 4x15-bit pigeonhole buckets and hamming
+    verification exactly (max_hamming=3 keeps the recall guarantee). The
+    xxhash64 64-bit form stays the at-scale default."""
     from cht_sync_spark.functions.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=3)
+    return simhash_pairs(d, max_hamming=3, hash_fn="md5")
 
 
 def q_dedup_embedding_cosine(spark, sf):
@@ -909,7 +915,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id "
             "WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.2"
         ),
-        # dedup_minhash_lsh / dedup_simhash / similarity_ann_lsh /
-        # similarity_ivf: approximate candidate sets — rows-only checks by
-        # design.
+        # MinHash with md5 string-min permutations: signatures, band keys,
+        # candidates and verified jaccards replay exactly (n=2 shingles,
+        # 32 hashes, 8 bands x 4 rows, threshold 0.5)
+        "dedup_minhash_lsh": (
+            f"WITH docs AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES2} AS s FROM docs), "
+            "sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh), "
+            "post AS (SELECT doc_id, unnest(s) AS tok FROM sh), "
+            "perm AS (SELECT doc_id, j, min(md5(concat(j, ':', tok))) AS m "
+            "  FROM post, range(0, 32) t(j) GROUP BY doc_id, j), "
+            "bnd AS (SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS bkey "
+            "  FROM perm GROUP BY doc_id, j // 4), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+            "  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT c.id_a, c.id_b, "
+            "  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+            "FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b "
+            "JOIN sizes sa ON c.id_a = sa.doc_id JOIN sizes sb ON c.id_b = sb.doc_id "
+            "WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"
+        ),
+        # SimHash with the 60-bit md5-prefix token hash: fingerprints,
+        # 4x15-bit pigeonhole buckets and hamming distances replay exactly
+        "dedup_simhash": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS wd FROM documents), "
+            "th AS (SELECT doc_id, CAST(concat('0x', substr(md5(wd), 1, 15)) AS BIGINT) AS h FROM toks), "
+            "votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c "
+            "  FROM th, range(0, 60) t(j) GROUP BY doc_id, j), "
+            "fp AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh "
+            "  FROM votes GROUP BY doc_id), "
+            "chunks AS (SELECT doc_id, sh, c, (sh >> CAST(c * 15 AS INT)) & 32767 AS ck FROM fp, range(0, 4) t(c)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb "
+            "  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming "
+            "FROM cand WHERE bit_count(xor(sha, shb)) <= 3"
+        ),
+        # similarity_ann_lsh / similarity_ivf: index-probe queries —
+        # rows-only checks by design (recall + prune pinned in pytest).
     }

@@ -221,6 +221,30 @@ def _signature_from_hashes(hs, num_hashes: int):
     return F.when(F.size(hs) > 0, agg)
 
 
+def _md5_signature_from_shingles(sh, num_hashes: int):
+    """MinHash signature over shingle STRINGS with md5 permutations:
+    sig[j] = min over shingles s of md5(j || ':' || s) — a lexicographic
+    string min, which exists verbatim in ANSI SQL, so the DuckDB oracle
+    replays signatures, band keys and the full candidate set exactly (the
+    pattern proven by the winnowing md5 variant). Same one-traversal fold
+    as :func:`_signature_from_hashes`; 'z' > every hex digit, so the init
+    array loses every ``least``. The xxhash64 form stays the at-scale
+    default (fixed-width long mixing beats 32 md5s per shingle); this
+    variant is the oracle-checkable twin."""
+    maxstr = F.lit("z")
+    js = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    agg = F.aggregate(
+        sh,
+        F.array_repeat(maxstr, num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(js, lambda j: F.md5(F.concat(j.cast("string"), F.lit(":"), s))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return F.when(F.size(sh) > 0, agg)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -230,6 +254,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     sig_table_path: str | None = None,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """MinHash -> band -> bucket-join candidates -> exact Jaccard verify.
 
@@ -248,30 +273,35 @@ def minhash_lsh_pairs(
     under AQE.
     """
     r = num_hashes // bands
-    base = _materialize_sigs(
-        spread(df).select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), n).alias("hs"),
-        ),
-        sig_table_path,
-    )  # feeds banding + both verify sides
-    sig = base.select("id", "hs", _signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+    cols = [F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("hs")]
+    if hash_fn == "md5":
+        # signatures permute the shingle STRINGS (oracle-expressible);
+        # verification still runs on the compact int64 arrays
+        cols.append(word_ngrams(F.col(text_col), n).alias("sh"))
+    base = _materialize_sigs(spread(df).select(*cols), sig_table_path)
+    # feeds banding + both verify sides
+    if hash_fn == "md5":
+        sig = base.select("id", _md5_signature_from_shingles(F.col("sh"), num_hashes).alias("sig"))
+    else:
+        sig = base.select("id", _signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
     # shingle-less docs (null signature) can't band — and concat_ws silently
     # ignores nulls, which would otherwise give them all the SAME band hash
     sig = sig.where(F.col("sig").isNotNull())
+
+    def _band_key(b):
+        joined = F.concat_ws(
+            ",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))
+        )
+        # md5 mode: join on the raw concatenated minima (131 chars) — the
+        # oracle reproduces it verbatim; xxhash mode compacts to a long
+        return joined if hash_fn == "md5" else F.xxhash64(joined)
+
     banded = sig.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))
-                        )
-                    ).alias("bh"),
-                ),
+                lambda b: F.struct(b.alias("band"), _band_key(b).alias("bh")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -300,18 +330,29 @@ def minhash_lsh_pairs(
 
 # ----------------------------------------------------------------- SimHash
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by the 4 16-bit chunks (a pair within
-    hamming<=3 of 64 bits must agree exactly on >=1 of 4 chunks — pigeonhole),
-    then verify hamming distance on candidates."""
-    s = spread(df).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    """SimHash near-dup pairs: bucket by 4 equal-width bit chunks (a pair
+    within hamming<=3 must agree exactly on >=1 of 4 chunks — pigeonhole),
+    then verify hamming distance on candidates. ``hash_fn='md5'`` uses the
+    60-bit md5-prefix fingerprint (4x15-bit chunks) whose every step exists
+    in ANSI SQL — the DuckDB oracle replays the full candidate set."""
+    if hash_fn == "md5":
+        from cht_sync_spark.functions.text import simhash60_md5
+
+        fp, width = simhash60_md5(F.col(text_col)), 15
+    else:
+        fp, width = simhash64(F.col(text_col)), 16
+    s = spread(df).select(F.col(id_col).alias("id"), fp.alias("sh"))
     # unrolled chunk extraction: shiftright needs a literal bit count
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                F.shiftright(F.col("sh"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("ck"),
             )
             for i in range(4)
         ]

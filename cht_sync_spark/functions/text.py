@@ -142,6 +142,37 @@ def simhash64(col: Column) -> Column:
     )
 
 
+def simhash60_md5(col: Column) -> Column:
+    """Oracle-checkable SimHash twin: 60-bit fingerprint whose per-token
+    hash is the first 15 hex chars of md5 (``conv(substr(md5(w),1,15),16,
+    10)``) — bit-identical to DuckDB's ``CAST('0x'||substr(md5(w),1,15) AS
+    BIGINT)``, so the oracle replays fingerprints, chunk buckets and
+    hamming distances exactly. Same majority-vote fold as
+    :func:`simhash64` (which stays the at-scale default: xxhash64 mixes a
+    64-bit space in one long op; md5 is the portability variant)."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    zero = F.lit(0).cast("long")
+    tok_hashes = F.transform(
+        words(col),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+    counters = F.aggregate(
+        tok_hashes,
+        F.array_repeat(zero, 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != zero, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counters, masks, lambda c, m: F.when(c > 0, m).otherwise(zero)),
+        zero,
+        lambda acc, v: acc + v,
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
