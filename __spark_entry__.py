@@ -611,6 +611,68 @@ def _sessionize_oracle() -> str:
     return sessionize_oracle_sql(30)
 
 
+def q_asof_click_attribution(spark, sf):
+    """As-of join (union-merge form, functions/asof.py): attribute every
+    purchase to the latest click at-or-before it per user — the transcripts
+    analogue of "attach each tool call to the nearest preceding user turn".
+    ONE hash exchange + sort, no join operator in the plan (asserted in
+    tests/test_asof.py). Clicks pre-deduped to one per (user, ts) so the
+    winner is deterministic at any SF; fully oracle-checked against
+    DuckDB's native ASOF LEFT JOIN."""
+    from cht_sync_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    out = asof_join(purchases, clicks, on="user_id", right_cols=["event_id"])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id_r").alias("click_id"),
+        F.col("ts_r").alias("click_ts"),
+        # trunc-to-second diff == DuckDB datediff('second', ...); the
+        # NTZ->LTZ hop is exact under the engine's pinned UTC session tz
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("ts_r").cast("timestamp").cast("long")
+        ).alias("secs_since_click"),
+    )
+
+
+def q_range_join_click_window(spark, sf):
+    """Interval range join (bucketized equi-join form, functions/asof.py):
+    every purchase falling inside the 30-minute window opened by each
+    click, per user. Bucket width == window span, so each interval explodes
+    to <=2 buckets and the exchange carries ~2|clicks| + |purchases| rows
+    instead of the cartesian's |clicks|x|purchases|; plan asserted
+    nested-loop-free in tests/test_asof.py."""
+    from cht_sync_spark.functions.asof import interval_point_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = interval_point_join(clicks, purchases, on="user_id", bucket_seconds=1800.0)
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("start_ts").alias("click_ts"),
+        F.col("ts").alias("purchase_ts"),
+    )
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -662,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_winnow": q_text_fingerprint_winnow,
         "multimodal_meta": q_multimodal_meta,
         "sessionize_events": q_sessionize_events,
+        "asof_click_attribution": q_asof_click_attribution,
+        "range_join_click_window": q_range_join_click_window,
     }
 
 
@@ -954,4 +1018,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         # similarity_ann_lsh / similarity_ivf: index-probe queries —
         # rows-only checks by design (recall + prune pinned in pytest).
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the independent
+        # twin of the union-merge window form (inclusive backward match)
+        "asof_click_attribution": (
+            "WITH c AS (SELECT user_id, ts, max(event_id) AS event_id "
+            "           FROM events WHERE event_type = 'click' GROUP BY 1, 2), "
+            "     p AS (SELECT user_id, ts, event_id "
+            "           FROM events WHERE event_type = 'purchase') "
+            "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, "
+            "       c.event_id AS click_id, c.ts AS click_ts, "
+            "       CAST(datediff('second', c.ts, p.ts) AS BIGINT) AS secs_since_click "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        # range join: plain inequality join is the oracle (fine at sf0.01;
+        # the Spark side's bucketized equi-join is the scale form)
+        "range_join_click_window": (
+            "WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts "
+            "           FROM events WHERE event_type = 'click'), "
+            "     p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts "
+            "           FROM events WHERE event_type = 'purchase') "
+            "SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts "
+            "FROM c JOIN p ON p.user_id = c.user_id "
+            "  AND p.purchase_ts >= c.click_ts "
+            "  AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'"
+        ),
     }

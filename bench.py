@@ -147,6 +147,8 @@ def main() -> None:
         "text_stats",
         "similarity_topk",
         "text_fingerprint_winnow",
+        "asof_click_attribution",
+        "range_join_click_window",
     ):
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))
