@@ -673,6 +673,42 @@ def q_range_join_click_window(spark, sf):
     )
 
 
+def q_dlq_classify(spark, sf):
+    """Dead-letter classifier (functions/dlq.py — the poison-pill
+    quarantine ReplayPipeline(dlq_path=...) filters batches with): builds
+    a change-feed derivative of `events` with DETERMINISTIC corruption
+    (id/rev/doc broken on disjoint modulus classes) and runs the real
+    `malformed_reason` over it, counting rows per reason. The DuckDB
+    oracle replays the same corruption and the same priority CASE via
+    try_cast/json_type, so every classifier branch is cross-checked."""
+    from cht_sync_spark.functions.dlq import malformed_reason
+
+    ev = _t(spark, sf, "events")
+    is_del = F.col("event_type") == "error"
+    eid = F.col("event_id")
+    u = F.col("user_id").cast("string")
+    feed = ev.select(
+        eid.alias("seq"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("insert")).alias("op"),
+        F.when(eid % 79 == 0, F.concat(F.lit("c"), u, F.lit(":x")))
+        .otherwise(F.concat(F.lit("c"), u, F.lit(":"), (eid % 100).cast("string")))
+        .alias("id"),
+        F.when(eid % 83 == 0, F.lit("garbage"))
+        .otherwise(F.concat((1 + eid % 3).cast("string"), F.lit("-h")))
+        .alias("rev"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(eid % 97 == 0, F.substring(F.col("props"), 1, 3))
+        .when(eid % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("doc"),
+    )
+    return (
+        feed.select(F.coalesce(malformed_reason(), F.lit("ok")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -726,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_click_attribution": q_asof_click_attribution,
         "range_join_click_window": q_range_join_click_window,
+        "dlq_classify": q_dlq_classify,
     }
 
 
@@ -1029,6 +1066,40 @@ def oracle_sql() -> dict[str, str]:
             "       c.event_id AS click_id, c.ts AS click_ts, "
             "       CAST(datediff('second', c.ts, p.ts) AS BIGINT) AS secs_since_click "
             "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        # DLQ classifier: same deterministic corruption + the same
+        # priority CASE; try_cast(doc AS JSON) keeps json_type from
+        # throwing on invalid input (DuckDB AND doesn't short-circuit)
+        "dlq_classify": (
+            "WITH feed AS ("
+            "  SELECT event_id AS seq,"
+            "    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,"
+            "    CASE WHEN event_id % 79 = 0 THEN concat('c', CAST(user_id AS VARCHAR), ':x')"
+            "         ELSE concat('c', CAST(user_id AS VARCHAR), ':',"
+            "                     CAST(event_id % 100 AS VARCHAR)) END AS id,"
+            "    CASE WHEN event_id % 83 = 0 THEN 'garbage'"
+            "         ELSE concat(CAST(1 + event_id % 3 AS VARCHAR), '-h') END AS rev,"
+            "    CASE WHEN event_type = 'error' THEN NULL"
+            "         WHEN event_id % 97 = 0 THEN substr(props, 1, 3)"
+            "         WHEN event_id % 89 = 0 THEN NULL"
+            "         ELSE props END AS doc"
+            "  FROM events), "
+            "cls AS ("
+            "  SELECT CASE"
+            "    WHEN rev IS NULL OR try_cast(string_split(rev, '-')[1] AS BIGINT) IS NULL"
+            "      THEN 'bad_rev'"
+            "    WHEN op <> 'delete' AND doc IS NULL THEN 'null_doc_live'"
+            "    WHEN op <> 'delete'"
+            "      AND NOT coalesce(json_type(try_cast(doc AS JSON)) = 'OBJECT', FALSE)"
+            "      THEN 'invalid_json'"
+            "    WHEN coalesce(json_extract_string(doc, '$.conv_id'),"
+            "                  nullif(split_part(id, ':', 1), '')) IS NULL"
+            "      OR coalesce(try_cast(json_extract_string(doc, '$.turn_idx') AS INT),"
+            "                  try_cast(split_part(id, ':', 2) AS INT)) IS NULL"
+            "      THEN 'bad_key'"
+            "    ELSE 'ok' END AS reason"
+            "  FROM feed) "
+            "SELECT reason, count(*) AS n FROM cls GROUP BY reason"
         ),
         # range join: plain inequality join is the oracle (fine at sf0.01;
         # the Spark side's bucketized equi-join is the scale form)

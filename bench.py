@@ -149,6 +149,7 @@ def main() -> None:
         "text_fingerprint_winnow",
         "asof_click_attribution",
         "range_join_click_window",
+        "dlq_classify",
     ):
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))

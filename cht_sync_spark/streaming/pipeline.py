@@ -88,6 +88,7 @@ class ReplayPipeline:
         probe_pending: bool = False,
         maintenance_every: int | None = None,
         maintenance_keep_snapshots: int = 20,
+        dlq_path: str | None = None,
     ):
         self.spark = spark
         self.feed = feed
@@ -133,6 +134,22 @@ class ReplayPipeline:
                 spark, lineage_path, LINEAGE, ["epoch_id", "source", "partition_id"], num_buckets=1
             )
             if lineage_path
+            else None
+        )
+        # Dead-letter quarantine (functions/dlq.py): with a dlq_path,
+        # malformed events are filtered out BEFORE the typed transform
+        # (whose ANSI casts would throw on them), written to their own
+        # keyed table with a reason, and the seq cursor advances past them
+        # — a poison document can no longer stall the 10^10-event replay.
+        # Without one the engine keeps its fail-fast default.
+        from cht_sync_spark.functions.dlq import DLQ_KEY, DLQ_SCHEMA
+
+        self.dlq = (
+            SnapshotTable.create(
+                spark, dlq_path, DLQ_SCHEMA, DLQ_KEY,
+                num_buckets=4, lww_order=[("seq", False)],
+            )
+            if dlq_path
             else None
         )
         from cht_sync_spark.operators.models import ModelRunner, topo_levels
@@ -212,29 +229,79 @@ class ReplayPipeline:
             parallelism=self.model_parallelism,
         )
 
+    def _dlq_epoch(self) -> int:
+        return int(self.dlq.snapshot().properties.get(self._epoch_prop, -1))
+
+    def _write_dlq(self, epoch: int, lo: int, hi: int, bad_n: int | None = None) -> None:
+        """Quarantine the batch's malformed events, exactly once.
+
+        Runs AFTER the landing commit (the bad-row count rides the write
+        job's Observation — zero extra job when the batch is clean); a
+        crash in between is healed on resume: the landing_done replay
+        branch re-derives the bad slice from the feed's recorded seq range
+        and the (source, seq)-keyed merge is an idempotent re-apply.
+        ``bad_n=None`` means the count is unknown (replay path) — recompute
+        unconditionally."""
+        if self.dlq is None or self._dlq_epoch() >= epoch:
+            return
+        from cht_sync_spark.functions.dlq import REASON_COL, malformed_reason
+
+        props = {self._epoch_prop: str(epoch)}
+        if bad_n == 0:
+            # marker-only commit: O(1) driver-side, no Spark job
+            self.dlq.commit(add_files=[], properties_update=props)
+            return
+        bad = self.feed.batch(lo, hi).withColumn(REASON_COL, malformed_reason())
+        rows = bad.where(F.col(REASON_COL).isNotNull()).select(
+            F.col("seq"),
+            F.col("source"),
+            F.col("_feed_partition").cast("int").alias("partition_id"),
+            "op",
+            "id",
+            "rev",
+            "doc",
+            F.col(REASON_COL).alias("reason"),
+            F.lit(epoch).cast("long").alias("epoch_id"),
+        )
+        merge_upsert(
+            self.dlq, rows, tombstones="keep", dedup_batch=False, properties_update=props
+        )
+
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
         wm, last_epoch = self.state()
         landing_done = epoch <= last_epoch
         models_done = all(m.last_epoch() >= epoch for m in self.models)
-        if landing_done and models_done:
+        dlq_done = self.dlq is None or self._dlq_epoch() >= epoch
+        if landing_done and models_done and dlq_done:
             return BatchResult(epoch, lo, hi, 0, 0, skipped=True)
 
         events = self.feed.batch(lo, hi)
+        if self.dlq is not None:
+            from cht_sync_spark.functions.dlq import REASON_COL, malformed_reason
+
+            events = events.withColumn(REASON_COL, malformed_reason())
 
         if landing_done:
-            # crash happened between landing commit and model commit last
-            # run: replay only the model side of this batch
-            rows = lww_dedup(self._transform(events))
-            if self.models:
-                from pyspark.storagelevel import StorageLevel
-
-                rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                self._run_models(rows, epoch)
-            finally:
+            # crash happened between the landing commit and a component
+            # commit last run: replay only the lagging side of this batch
+            if not models_done:
+                clean = (
+                    events.where(F.col("_dlq_reason").isNull()).drop("_dlq_reason")
+                    if self.dlq is not None
+                    else events
+                )
+                rows = lww_dedup(self._transform(clean))
                 if self.models:
-                    rows.unpersist()
+                    from pyspark.storagelevel import StorageLevel
+
+                    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    self._run_models(rows, epoch)
+                finally:
+                    if self.models:
+                        rows.unpersist()
+            self._write_dlq(epoch, lo, hi)
             return BatchResult(epoch, lo, hi, 0, int((time.monotonic() - t0) * 1000))
 
         # Per-(source, partition) checkpoint stats (the couchdb_progress
@@ -253,9 +320,19 @@ class ReplayPipeline:
                     (F.col("source") == s) & (F.col("_feed_partition") == p), F.col("seq")
                 )
                 metrics += [F.max(hit).alias(f"hi{i}_{p}"), F.count(hit).alias(f"n{i}_{p}")]
+        if self.dlq is not None:
+            # bad-row count piggybacks the write job: the clean path pays
+            # ZERO extra jobs for poison detection
+            metrics.append(
+                F.count(F.when(F.col("_dlq_reason").isNotNull(), 1)).alias("dlq_n")
+            )
         events = events.observe(obs, *metrics)
 
-        rows = self._transform(events)
+        if self.dlq is not None:
+            rows_in = events.where(F.col("_dlq_reason").isNull()).drop("_dlq_reason")
+        else:
+            rows_in = events
+        rows = self._transform(rows_in)
         rows = lww_dedup(rows)
         if self.models:
             # the model plane consumes the batch subtree MANY times (keys
@@ -329,6 +406,8 @@ class ReplayPipeline:
             )
             dels, skew = stats.rows_deleted_tombstones, stats.skew_max_ratio
         n = int(sum(r["n"] for r in src_stats))
+        if self.dlq is not None:
+            self._write_dlq(epoch, lo, hi, bad_n=int(obs.get["dlq_n"]))
 
         try:
             self._run_models(rows, epoch)
@@ -368,6 +447,9 @@ class ReplayPipeline:
         if self.lineage is not None:
             tables.append(self.lineage)
             compact.append(self.lineage)
+        if self.dlq is not None:
+            # one snapshot per batch (mostly marker-only) — expire with the rest
+            tables.append(self.dlq)
         maintain_tables(tables, self.maintenance_keep_snapshots, compact=compact)
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:

@@ -64,6 +64,7 @@ class StreamingReplay:
         bucket_cols: list[str] | None = None,
         maintenance_every: int | None = None,
         maintenance_keep_snapshots: int = 20,
+        dlq_path: str | None = None,
     ):
         self.spark = spark
         self.feed_path = feed_path
@@ -89,6 +90,17 @@ class StreamingReplay:
             spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY, num_buckets=num_buckets,
             bucket_cols=bucket_cols or ["conv_id"],
         )
+        # dead-letter quarantine, same semantics as ReplayPipeline(dlq_path=)
+        from cht_sync_spark.functions.dlq import DLQ_KEY, DLQ_SCHEMA
+
+        self.dlq = (
+            SnapshotTable.create(
+                spark, dlq_path, DLQ_SCHEMA, DLQ_KEY,
+                num_buckets=4, lww_order=[("seq", False)],
+            )
+            if dlq_path
+            else None
+        )
         # downstream model DAG maintained inside the SAME foreachBatch body
         # as the batch pipeline (T14/T16 parity between the two forms)
         from cht_sync_spark.operators.models import ModelRunner, topo_levels
@@ -99,6 +111,38 @@ class StreamingReplay:
         self.model_parallelism = model_parallelism
 
     # ------------------------------------------------------------- batch body
+    def _write_dlq(self, batch: DataFrame, epoch_id: int, bad_n: int | None = None) -> None:
+        """Quarantine this batch's malformed events exactly once (same
+        semantics as ``ReplayPipeline._write_dlq``; the streaming source
+        has no feed-partition column, so partition_id is null). A crash
+        between the landing commit and this write is healed because Spark
+        re-delivers the SAME batch id with the same files and the
+        (source, seq)-keyed merge is idempotent."""
+        if self.dlq is None:
+            return
+        if int(self.dlq.snapshot().properties.get(self._epoch_prop, -1)) >= epoch_id:
+            return
+        from cht_sync_spark.functions.dlq import REASON_COL
+
+        props = {self._epoch_prop: str(int(epoch_id))}
+        if bad_n == 0:
+            self.dlq.commit(add_files=[], properties_update=props)
+            return
+        rows = batch.where(F.col(REASON_COL).isNotNull()).select(
+            "seq",
+            "source",
+            F.lit(None).cast("int").alias("partition_id"),
+            "op",
+            "id",
+            "rev",
+            "doc",
+            F.col(REASON_COL).alias("reason"),
+            F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
+        )
+        merge_upsert(
+            self.dlq, rows, tombstones="keep", dedup_batch=False, properties_update=props
+        )
+
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if self.fail_after_batches is not None and self._applied >= self.fail_after_batches:
             raise RuntimeError("injected crash (test hook)")
@@ -106,7 +150,10 @@ class StreamingReplay:
         last = int(self.table.snapshot().properties.get(self._epoch_prop, -1))
         landing_done = epoch_id <= last
         models_done = all(m.last_epoch() >= epoch_id for m in self.models)
-        if landing_done and models_done:
+        dlq_done = self.dlq is None or int(
+            self.dlq.snapshot().properties.get(self._epoch_prop, -1)
+        ) >= epoch_id
+        if landing_done and models_done and dlq_done:
             return  # replayed batch already fully committed -> exactly-once skip
 
         if self.sources is not None:
@@ -125,12 +172,23 @@ class StreamingReplay:
         # batch, so both branches have identical checkpoint semantics.
         from pyspark.sql import Observation
 
+        if self.dlq is not None:
+            from cht_sync_spark.functions.dlq import REASON_COL, malformed_reason
+
+            batch = batch.withColumn(REASON_COL, malformed_reason())
+
+        bad_n: int | None = None
         if self.sources is not None:
             obs = Observation(f"stream{epoch_id}")
             metrics = []
             for i, s in enumerate(self.sources):
                 hit = F.when(F.col("source") == s, F.col("seq"))
                 metrics += [F.max(hit).alias(f"hi{i}"), F.count(hit).alias(f"n{i}")]
+            if self.dlq is not None:
+                # poison count rides the write job — zero extra pass
+                metrics.append(
+                    F.count(F.when(F.col(REASON_COL).isNotNull(), 1)).alias("dlq_n")
+                )
             batch = batch.observe(obs, *metrics)
 
             def _ckpt_props() -> dict[str, str]:
@@ -147,11 +205,14 @@ class StreamingReplay:
                     if got[f"n{i}"]
                 }
         else:
-            src_stats = (
-                batch.groupBy("source")
-                .agg(F.max("seq").alias("hi"), F.count("*").alias("n"))
-                .collect()
-            )
+            aggs = [F.max("seq").alias("hi"), F.count("*").alias("n")]
+            if self.dlq is not None:
+                aggs.append(
+                    F.count(F.when(F.col(REASON_COL).isNotNull(), 1)).alias("dlq")
+                )
+            src_stats = batch.groupBy("source").agg(*aggs).collect()
+            if self.dlq is not None:
+                bad_n = int(sum(r["dlq"] for r in src_stats))
 
             def _ckpt_props() -> dict[str, str]:
                 import time as _time
@@ -164,7 +225,12 @@ class StreamingReplay:
                     for r in src_stats
                 }
 
-        rows = doc_to_row(batch)
+        clean = (
+            batch.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
+            if self.dlq is not None
+            else batch
+        )
+        rows = doc_to_row(clean)
         # deterministic ingest timestamp -> byte-identical resumed replays
         rows = rows.withColumn(
             "saved_timestamp",
@@ -190,6 +256,10 @@ class StreamingReplay:
                     self.table, rows, tombstones="keep", dedup_batch=False,
                     properties_update=props, properties_fn=_ckpt_props,
                 )
+            if self.dlq is not None and bad_n is None:
+                # the landing write materialized the Observation
+                bad_n = int(obs.get["dlq_n"])
+        self._write_dlq(batch, epoch_id, bad_n)
         if self.models:
             # crash window between the landing commit and a model commit
             # replays only the lagging models (per-model epoch markers)
@@ -216,7 +286,8 @@ class StreamingReplay:
         from cht_sync_spark.tables.format import maintain_tables
 
         maintain_tables(
-            [self.table] + [m.table for m in self.models],
+            [self.table] + [m.table for m in self.models]
+            + ([self.dlq] if self.dlq is not None else []),
             self.maintenance_keep_snapshots,
             compact=[self.table] if self.mode == "mor" else [],
         )

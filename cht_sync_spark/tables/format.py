@@ -769,17 +769,64 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ evolution
     def evolve_schema(self, batch_schema: T.StructType) -> T.StructType:
-        """Additive evolution: current schema + any new batch fields
-        (nullable). Never drops or retypes existing columns
-        (on_schema_change='append_new_columns', contacts.sql:5)."""
+        """Additive + widening evolution (Iceberg's sanctioned set).
+
+        - new batch fields are appended nullable
+          (on_schema_change='append_new_columns', contacts.sql:5);
+        - an existing TOP-LEVEL column widens along the Iceberg promotion
+          lattice (tinyint→smallint→int→bigint, float→double) when the
+          batch arrives wider — safe in place because Spark 4's vectorized
+          parquet reader upcasts old INT32/FLOAT files under the widened
+          read schema (no rewrite), and ``_conform`` casts every future
+          batch up;
+        - key/bucket columns NEVER widen: the bucket layout is
+          ``pmod(xxhash64(col), n)`` and Spark's hash of an int differs
+          from the hash of the same value as long — a widened bucket
+          column would silently re-bucket future writes away from
+          existing data. A wider batch key is cast DOWN by ``_conform``
+          (ANSI overflow there is the correct failure);
+        - anything else (narrower batch, string/int clashes, nested types)
+          keeps the current type — relaxed ``_conform`` casting owns it.
+        """
         cur = self.snapshot().schema
+        frozen = set(self.snapshot().key_cols) | set(self.snapshot().bucket_cols)
+        by_name = {f.name: f for f in batch_schema.fields}
+        changed = False
+        fields: list[T.StructField] = []
+        for f in cur.fields:
+            nb = by_name.get(f.name)
+            w = (
+                _widened(f.dataType, nb.dataType)
+                if nb is not None and f.name not in frozen
+                else None
+            )
+            if w is not None:
+                fields.append(T.StructField(f.name, w, f.nullable))
+                changed = True
+            else:
+                fields.append(f)
         names = {f.name for f in cur.fields}
         added = [f for f in batch_schema.fields if f.name not in names]
-        if not added:
+        if added:
+            changed = True
+        if not changed:
             return cur
         return T.StructType(
-            cur.fields + [T.StructField(f.name, f.dataType, True) for f in added]
+            fields + [T.StructField(f.name, f.dataType, True) for f in added]
         )
+
+
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _widened(cur: T.DataType, new: T.DataType) -> T.DataType | None:
+    """The widened type if cur→new is a sanctioned promotion, else None."""
+    a, b = cur.simpleString(), new.simpleString()
+    if a in _INT_WIDTH and b in _INT_WIDTH and _INT_WIDTH[b] > _INT_WIDTH[a]:
+        return new
+    if a == "float" and b == "double":
+        return new
+    return None
 
 
 def _conform(df: DataFrame, schema: T.StructType, strict: bool = False) -> DataFrame:

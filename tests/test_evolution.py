@@ -85,3 +85,53 @@ def test_extras_overflow_map(spark):
     assert out[0]["ex"] == {"brand_new": "v1", "nested": '{"x":1}'}
     assert out[1]["ex"] == {}
     assert out[2]["ex"] is None
+
+
+def test_type_widening_int_to_long_and_float_to_double(spark, tmp_path):
+    """Widening evolution (Iceberg's int->long / float->double promotion):
+    a wider batch widens the table column in the same commit; OLD parquet
+    files (written int32/float) read correctly under the widened schema
+    (Spark 4's vectorized reader upcasts in place — no rewrite)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("n", T.IntegerType(), True),
+            T.StructField("x", T.FloatType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "w"), schema, ["k"], num_buckets=2)
+    merge_upsert(t, spark.createDataFrame([("a", 1, 1.5, 1)], schema))
+
+    wide = spark.createDataFrame(
+        [("b", 2**40, 2.5, 2)], "k string, n long, x double, seq long"
+    )
+    merge_upsert(t, wide)
+    got = {f.name: f.dataType.simpleString() for f in t.snapshot().schema.fields}
+    assert got["n"] == "bigint" and got["x"] == "double"
+
+    rows = {r["k"]: (r["n"], r["x"]) for r in t.read_current().collect()}
+    assert rows["a"] == (1, 1.5) and rows["b"] == (2**40, 2.5)
+
+    # narrower batches keep flowing (cast up by _conform), schema stable
+    merge_upsert(t, spark.createDataFrame([("c", 3, 3.5, 3)], schema))
+    assert {f.name: f.dataType.simpleString() for f in t.snapshot().schema.fields} == got
+    assert t.read_current().count() == 3
+
+
+def test_type_widening_never_touches_key_or_bucket_cols(spark, tmp_path):
+    """A wider KEY column must not widen: bucket layout is pmod(xxhash64)
+    over the physical type, so widening would silently re-bucket future
+    writes away from existing rows. The wider batch is cast down instead."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "kw"), schema, ["k"], num_buckets=4)
+    merge_upsert(t, spark.createDataFrame([(1, "a", 1)], schema))
+    merge_upsert(t, spark.createDataFrame([(2, "b", 2)], "k long, v string, seq long"))
+    assert t.snapshot().schema["k"].dataType.simpleString() == "int"
+    assert {r["k"]: r["v"] for r in t.read_current().collect()} == {1: "a", 2: "b"}
