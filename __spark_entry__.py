@@ -709,6 +709,42 @@ def q_dlq_classify(spark, sf):
     )
 
 
+def q_vocabulary_topk(spark, sf):
+    """Corpus vocabulary (functions/text.py vocabulary): top-100 tokens by
+    term frequency with doc frequency — one explode + one keyed hash agg +
+    TakeOrderedAndProject; the tie-break on token makes the cut
+    deterministic at any SF."""
+    from cht_sync_spark.functions.text import vocabulary
+
+    return vocabulary(_t(spark, sf, "documents"), top_k=100)
+
+
+def q_pii_scrub(spark, sf):
+    """PII scrub (functions/text.py scrub_pii): deterministic PII is
+    injected per doc (email + phone + IPv4 built from doc_id), then the
+    real scrubber replaces them with typed placeholders and counts
+    matches on the pre-scrub text. Zero shuffles — one codegen'd map
+    stage; the DuckDB oracle replays the same injection, the same
+    patterns and the same replacement order."""
+    from cht_sync_spark.functions.text import pii_counts, scrub_pii
+
+    d = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 000 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        scrub_pii(aug).alias("scrubbed"),
+        *pii_counts(aug),
+    )
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -763,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attribution": q_asof_click_attribution,
         "range_join_click_window": q_range_join_click_window,
         "dlq_classify": q_dlq_classify,
+        "vocabulary_topk": q_vocabulary_topk,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1100,6 +1138,34 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 'ok' END AS reason"
             "  FROM feed) "
             "SELECT reason, count(*) AS n FROM cls GROUP BY reason"
+        ),
+        # vocabulary: same tokenizer as the text_stats oracles; tf-desc +
+        # token tie-break makes the top-100 cut deterministic
+        "vocabulary_topk": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter("
+            r"string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token "
+            "FROM documents) "
+            "SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq "
+            "FROM toks GROUP BY token "
+            "ORDER BY term_freq DESC, token LIMIT 100"
+        ),
+        # pii scrub: same injection, same Java∩RE2 patterns, same
+        # replacement order; counts = split-array length - 1 on the
+        # pre-scrub text (== non-overlapping match count)
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, concat(text, ' contact user', "
+            "CAST(doc_id AS VARCHAR), '@example.com or +1 555 000 ', "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+            "' ip 10.0.0.', CAST(doc_id % 256 AS VARCHAR)) AS t FROM documents) "
+            "SELECT doc_id, "
+            "  regexp_replace(regexp_replace(regexp_replace(t, "
+            r"    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'), "
+            r"    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed, "
+            r"  len(regexp_split_to_array(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_email, "
+            r"  len(regexp_split_to_array(t, '\+?[0-9][0-9()\- ]{6,}[0-9]')) - 1 AS n_phone, "
+            r"  len(regexp_split_to_array(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) - 1 AS n_ipv4 "
+            "FROM aug"
         ),
         # range join: plain inequality join is the oracle (fine at sf0.01;
         # the Spark side's bucketized equi-join is the scale form)

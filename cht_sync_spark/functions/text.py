@@ -265,6 +265,59 @@ def fingerprint_pairs(
     )
 
 
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` whitespace tokens by term frequency
+    (ties broken by token, so the cut is total-ordered and deterministic),
+    with document frequency alongside — the token-stats pass every
+    training-data pipeline runs before building a tokenizer/vocab.
+
+    Shape at scale: explode → ONE hash aggregation keyed by token
+    (count partially combines map-side; the distinct-doc count is the
+    standard two-phase expand) → ``TakeOrderedAndProject`` for the top-k
+    (no global sort materialization).
+    """
+    c = F.col(text_col)
+    tok = df.select(F.col(id_col).alias("__doc"), F.explode(words(c)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("__doc").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("token"))
+        .limit(top_k)
+    )
+
+
+# PII scrubbing: patterns restricted to the Java-regex ∩ RE2 common subset
+# so the DuckDB oracle replays them verbatim. Replacement order is part of
+# the contract (emails first — their digit runs must not half-match the
+# phone pattern afterwards).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace emails/phones/IPv4s with typed placeholders, in the declared
+    order. Pure chained ``regexp_replace`` — JVM-side, codegen'd; a 100 TB
+    scrub is exactly one map stage with zero shuffles."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One match-count column per PII pattern (on the ORIGINAL text),
+    aliased ``n_<name>``."""
+    return [F.regexp_count(col, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = F.col(text_col)
     return df.select(

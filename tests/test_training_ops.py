@@ -304,3 +304,39 @@ def test_simhash_similar_texts_close(spark):
     d13 = bin(s[1] ^ s[3]).count("1")
     assert d12 < d13, f"similar texts not closer: {d12} vs {d13}"
     assert all(v >= 0 for v in s.values()), "sign bit must stay clear"
+
+
+def test_vocabulary_topk_counts_and_tiebreak(spark):
+    from cht_sync_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b c  c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = vocabulary(df, top_k=2).collect()
+    # b: tf=3 df=2; c: tf=3 df=2 — tie broken by token asc
+    assert [(r["token"], r["term_freq"], r["doc_freq"]) for r in rows] == [
+        ("b", 3, 2),
+        ("c", 3, 2),
+    ]
+
+
+def test_scrub_pii_replacements_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from cht_sync_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("write a.b-c_1%d@sub.example.org or call +44 (0)20 7946-0958 now",),
+            ("server at 192.168.001.37 no pii otherwise",),
+            ("clean text",),
+        ],
+        "t string",
+    )
+    out = df.select(scrub_pii(F.col("t")).alias("s"), *pii_counts(F.col("t"))).collect()
+    assert out[0]["s"] == "write <EMAIL> or call <PHONE> now"
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (1, 1, 0)
+    assert out[1]["s"] == "server at <IP> no pii otherwise"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (0, 0, 1)
+    assert out[2]["s"] == "clean text" and out[2]["n_email"] == 0
