@@ -745,6 +745,29 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_quantize_int8(spark, sf):
+    """int8 scalar quantization (functions/similarity.py quantize_int8 —
+    the 4x scan-size lever for 100 TB vector corpora): per-vector scale +
+    quantized values, summarized as scalar checksums (sum/|sum|/min/max
+    over the int array) so every element of the quantization arithmetic
+    is cross-checked against the DuckDB replay without array-typed
+    output columns."""
+    from cht_sync_spark.functions.similarity import quantize_int8
+
+    q = quantize_int8(_t(spark, sf, "embeddings"))
+    qv = F.col("qvec")
+    acc0 = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale6"),
+        F.aggregate(qv, acc0, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(qv, acc0, lambda a, x: a + F.abs(x)).alias("q_abs_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        F.size(qv).alias("n_dims"),
+    )
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -801,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dlq_classify": q_dlq_classify,
         "vocabulary_topk": q_vocabulary_topk,
         "pii_scrub": q_pii_scrub,
+        "quantize_int8": q_quantize_int8,
     }
 
 
@@ -1166,6 +1190,23 @@ def oracle_sql() -> dict[str, str]:
             r"  len(regexp_split_to_array(t, '\+?[0-9][0-9()\- ]{6,}[0-9]')) - 1 AS n_phone, "
             r"  len(regexp_split_to_array(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) - 1 AS n_ipv4 "
             "FROM aug"
+        ),
+        # int8 quantization: float→double widening is exact, so v/scale
+        # and round() (both engines: half-away-from-zero) replay bit-equal
+        "quantize_int8": (
+            "WITH v AS (SELECT vec_id, "
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT vec_id, v, greatest("
+            "  list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale FROM v), "
+            "q AS (SELECT vec_id, scale, "
+            "  list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv FROM s) "
+            "SELECT vec_id, round(scale, 6) AS scale6, "
+            "  CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+            "  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_abs_sum, "
+            "  CAST(list_min(qv) AS INT) AS q_min, "
+            "  CAST(list_max(qv) AS INT) AS q_max, "
+            "  len(qv) AS n_dims "
+            "FROM q"
         ),
         # range join: plain inequality join is the oracle (fine at sf0.01;
         # the Spark side's bucketized equi-join is the scale form)

@@ -340,3 +340,43 @@ def test_scrub_pii_replacements_and_counts(spark):
     assert out[1]["s"] == "server at <IP> no pii otherwise"
     assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (0, 0, 1)
     assert out[2]["s"] == "clean text" and out[2]["n_email"] == 0
+
+
+def test_quantize_int8_bound_and_cosine_approx(spark):
+    """Quantization invariants: q in [-127,127], per-element reconstruction
+    error <= scale/2, and cosine over dequantized vectors approximates the
+    float cosine tightly on the real fixture."""
+    from pyspark.sql import functions as F
+
+    from cht_sync_spark.functions.similarity import cosine, dequantize, quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id")
+
+    bad_range = joined.where(
+        F.exists(F.col("qvec"), lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad_range == 0
+
+    # max |v - q*scale| <= scale/2 (+ double-rounding epsilon)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            dequantize(F.col("qvec"), F.col("scale")),
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    viol = joined.where(err > F.col("scale") * 0.5 + 1e-12).count()
+    assert viol == 0
+
+    # cosine(dequantized) ~= cosine(float) against a fixed probe vector
+    probe = emb.select("embedding").first()["embedding"]
+    from cht_sync_spark.functions.similarity import _lit_vec
+
+    cmp = joined.select(
+        cosine(F.col("embedding"), _lit_vec(probe)).alias("c_f"),
+        cosine(dequantize(F.col("qvec"), F.col("scale")), _lit_vec(probe)).alias("c_q"),
+    )
+    max_dev = cmp.select(F.max(F.abs(F.col("c_f") - F.col("c_q"))).alias("d")).first()["d"]
+    assert max_dev < 0.02, max_dev
