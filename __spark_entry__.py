@@ -768,6 +768,71 @@ def q_quantize_int8(spark, sf):
     )
 
 
+def q_contamination(spark, sf):
+    """Benchmark-contamination gate (functions/corpus.py contamination):
+    docs whose distinct word 5-grams leak from the 'benchmark' slice
+    (doc_id % 97 == 0 — a deterministic eval-set stand-in). Plan: the
+    benchmark gram set is broadcast (left-semi, no shuffle); the only
+    exchange is the per-doc hit count. The DuckDB oracle rebuilds the
+    same grams and the same semi-join in SQL."""
+    from cht_sync_spark.functions.corpus import contamination
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    rest = d.filter(F.col("doc_id") % 97 != 0)
+    out = contamination(rest, bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_contaminated",
+        "contamination_ratio",
+    )
+
+
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment (functions/corpus.py
+    hash_split): md5-hex threshold compare — a pure map stage whose
+    assignment is a function of the id alone (stable across re-sharding,
+    unlike randomSplit). Lexicographic hex compare replays verbatim in
+    DuckDB."""
+    from cht_sync_spark.functions.corpus import hash_split
+
+    d = _t(spark, sf, "documents")
+    return hash_split(d, weights={"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Per-stratum deterministic downsampling (functions/corpus.py
+    sample_stratified) — the data-mixing knob: keep 50% of 'en', 25% of
+    'zh', 75% of everything else, by md5-hex coin. Zero shuffle."""
+    from cht_sync_spark.functions.corpus import sample_stratified
+
+    d = _t(spark, sf, "documents")
+    return sample_stratified(
+        d, rates={"en": 0.5, "zh": 0.25}, default_rate=0.75
+    ).select("doc_id", "lang")
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality signals (functions/corpus.py
+    repetition_stats): dup-word fraction, top-2-gram share, duplicated
+    3-gram share — one sorted-array fold per row, zero shuffle. The
+    DuckDB oracle re-derives the counts via unnest + group + max/filter
+    aggregates."""
+    from cht_sync_spark.functions.corpus import repetition_stats
+
+    out = repetition_stats(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_word_frac",
+        "top2_frac",
+        "dup3_frac",
+    )
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -825,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_topk": q_vocabulary_topk,
         "pii_scrub": q_pii_scrub,
         "quantize_int8": q_quantize_int8,
+        "contamination_check": q_contamination,
+        "hash_split": q_hash_split,
+        "sample_stratified": q_sample_stratified,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1219,5 +1288,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN p ON p.user_id = c.user_id "
             "  AND p.purchase_ts >= c.click_ts "
             "  AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'"
+        ),
+        # contamination: same distinct 5-grams (whole-text fallback for
+        # short docs mirrors dedup.word_ngrams), benchmark = doc_id%97==0
+        "contamination_check": (
+            f"WITH d AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN "
+            "  list_distinct(list_transform(range(1, len(w) - 3), "
+            "    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) "
+            "  ELSE [array_to_string(w, ' ')] END AS grams FROM d), "
+            "b AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0), "
+            "e AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 97 <> 0), "
+            "h AS (SELECT doc_id, count(*) AS n_contaminated FROM e "
+            "      WHERE gr IN (SELECT gr FROM b) GROUP BY doc_id) "
+            "SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams, "
+            "  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+            "  round(coalesce(h.n_contaminated, 0) / greatest(len(grams), 1), 6) "
+            "    AS contamination_ratio "
+            "FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 97 <> 0"
+        ),
+        # md5-hex lexicographic thresholds: 0.8*2^32=0xcccccccc,
+        # 0.9*2^32=0xe6666666 — identical string compare in both engines
+        "hash_split": (
+            "SELECT doc_id, lang, "
+            "CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "       < 'cccccccc' THEN 'train' "
+            "     WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "       < 'e6666666' THEN 'val' "
+            "     ELSE 'test' END AS split "
+            "FROM documents"
+        ),
+        # en 0.5 -> 0x80000000, zh 0.25 -> 0x40000000, default 0.75 -> 0xc0000000
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000' "
+            "ELSE 'c0000000' END"
+        ),
+        # repetition: Spark's sorted-array fold == unnest+group counts
+        "repetition_stats": (
+            f"WITH d AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents), "
+            "n AS (SELECT doc_id, w, len(w) AS nw, "
+            "  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+            "    i -> concat_ws(' ', w[i], w[i+1])) ELSE CAST([] AS VARCHAR[]) END AS g2, "
+            "  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), "
+            "    i -> concat_ws(' ', w[i], w[i+1], w[i+2])) ELSE CAST([] AS VARCHAR[]) END AS g3 "
+            " FROM d), "
+            "c2 AS (SELECT doc_id, gr, count(*) AS c FROM "
+            "  (SELECT doc_id, unnest(g2) AS gr FROM n) GROUP BY doc_id, gr), "
+            "a2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM c2 GROUP BY doc_id), "
+            "c3 AS (SELECT doc_id, gr, count(*) AS c FROM "
+            "  (SELECT doc_id, unnest(g3) AS gr FROM n) GROUP BY doc_id, gr), "
+            "a3 AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup3, "
+            "  sum(c) AS n3 FROM c3 GROUP BY doc_id) "
+            "SELECT n.doc_id, CAST(nw AS BIGINT) AS n_words, "
+            "  round(CASE WHEN nw > 0 THEN 1.0 - len(list_distinct(w)) / nw "
+            "    ELSE 0 END, 6) AS dup_word_frac, "
+            "  round(CASE WHEN coalesce(n2, 0) > 0 THEN top2 / n2 ELSE 0 END, 6) "
+            "    AS top2_frac, "
+            "  round(CASE WHEN coalesce(n3, 0) > 0 THEN coalesce(dup3, 0) / n3 "
+            "    ELSE 0 END, 6) AS dup3_frac "
+            "FROM n LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"
         ),
     }

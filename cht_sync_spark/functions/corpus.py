@@ -1,0 +1,290 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination detection, deterministic hash-based splits / stratified
+sampling, and Gopher-style repetition quality filters.
+
+These are the gate stages a 100 TB pretraining pipeline runs between
+ingest (the CDC plane) and tokenization: drop eval-set leakage, carve
+reproducible train/val/test partitions, and kill boilerplate-repetitive
+documents. All three are deliberately built so the SAME arithmetic replays
+in any ANSI engine (DuckDB oracles in ``__spark_entry__.oracle_sql``):
+
+- hashes are md5 hex strings compared LEXICOGRAPHICALLY (equal-length
+  lowercase hex compares identically to the numeric value, so a split
+  threshold is just a hex-string literal — no bigint conversion that
+  differs across engines);
+- repetition fractions are ratios of exact integer counts, computed by a
+  single Catalyst ``aggregate`` fold over a sorted n-gram array (zero
+  shuffle, whole-stage codegen) and re-derived in SQL via unnest+group.
+
+Scale notes (100 TB):
+- ``contamination``: the benchmark n-gram set is tiny versus the corpus
+  (eval suites are MBs); it is broadcast, so the only shuffle is the final
+  per-doc hit count keyed by doc_id. At true scale pass ``hashed=True`` to
+  shrink both the broadcast and the exchange rows to 8-byte longs
+  (xxhash64) instead of gram strings — same plan shape, no oracle twin.
+- ``hash_split`` / ``sample_stratified``: pure map stages — zero shuffle,
+  zero state; the split is a function of (salt, id) alone so it is stable
+  across reruns, engines, and cluster sizes (the property that matters
+  when the corpus is re-sharded between runs).
+- ``repetition_stats``: per-row lambda folds; no shuffle at all.
+
+Reference parity: the reference has no corpus plane (it ships raw docs to
+Postgres); these operators extend the engine toward the training-data
+use-case the north_star targets, in the same style as functions/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import word_ngrams
+from .text import normalize_text, spread
+
+__all__ = [
+    "contamination",
+    "hash_split",
+    "sample_stratified",
+    "repetition_stats",
+    "split_threshold_hex",
+]
+
+
+# --------------------------------------------------------------------------
+# deterministic md5-hex thresholds
+# --------------------------------------------------------------------------
+
+def split_threshold_hex(rate: float) -> str:
+    """First-8-hex-chars threshold such that
+    ``substr(md5(x),1,8) < threshold`` selects ~``rate`` of uniform inputs.
+
+    Lowercase-hex strings of equal length order exactly like their numeric
+    values, so the comparison is engine-portable (Spark ``F.md5`` and
+    DuckDB ``md5`` both emit lowercase hex)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        # 'g' sorts after every hex digit -> strictly greater than any
+        # 8-char lowercase-hex hash (keep everything)
+        return "g"
+    return format(int(rate * 0x100000000), "08x")
+
+
+def _hash8(col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 8)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label.
+
+    ``weights`` maps label -> probability mass (must sum to ~1). The label
+    is a pure function of (salt, id): re-running on a re-sharded or
+    re-ordered corpus yields the SAME assignment — the reproducibility
+    property ``df.randomSplit`` does not have (it is partition-layout
+    dependent). Zero shuffle; the plan is one map stage."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    h = _hash8(F.col(id_col), salt)
+    cum = 0.0
+    expr = None
+    items = list(weights.items())
+    for label, w in items[:-1]:
+        cum += w
+        cond = h < F.lit(split_threshold_hex(cum))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the data-mixing knob: e.g.
+    keep 40% of web text, 100% of code). Keeps a row iff its md5-hex coin
+    lands under the stratum's threshold. Pure map stage, zero shuffle,
+    stable under re-sharding (same property as ``hash_split``)."""
+    h = _hash8(F.col(id_col), salt)
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        thr = F.lit(split_threshold_hex(rate))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(F.lit(split_threshold_hex(default_rate)))
+        if expr is not None
+        else F.lit(split_threshold_hex(default_rate))
+    )
+    return df.where(h < thr_col)
+
+
+# --------------------------------------------------------------------------
+# benchmark contamination
+# --------------------------------------------------------------------------
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-document eval-set leakage score: how many of the document's
+    distinct word ``n``-grams appear anywhere in the ``benchmark`` corpus.
+
+    The standard decontamination gate (PaLM/GPT-3 style 8-13-gram overlap;
+    ``n`` is a knob — the synthetic corpus's vocabulary is tiny so tests
+    use n=5). Plan shape: benchmark grams are collected DISTINCT and
+    broadcast (eval suites are MBs against a 100 TB corpus), the document
+    side explodes its distinct grams map-side, the broadcast LEFT SEMI
+    join filters hits without a shuffle, and the only exchange is the
+    final per-doc count keyed by ``id_col``. ``hashed=True`` replaces gram
+    strings with xxhash64 longs on both sides — 8-byte broadcast entries
+    and exchange rows at scale (no cross-engine oracle twin; the string
+    form is the oracle-checked one).
+
+    Returns (id_col, n_grams, n_contaminated, contamination_ratio) for
+    every NON-benchmark document, including zero-hit rows."""
+    # word_ngrams normalizes internally and returns DISTINCT grams
+    # (docs shorter than n words contribute their whole text as one gram)
+    gram_arr = word_ngrams(F.col(text_col), n)
+    if hashed:
+        gram_of = lambda g: F.xxhash64(g)  # noqa: E731
+    else:
+        gram_of = lambda g: g  # noqa: E731
+
+    bench_grams = (
+        benchmark.select(F.explode(gram_arr).alias("g"))
+        .select(gram_of(F.col("g")).alias("g"))
+        .distinct()
+    )
+    base = spread(df).select(
+        F.col(id_col), F.size(gram_arr).alias("n_grams"), gram_arr.alias("__grams")
+    )
+    hits = (
+        base.select(F.col(id_col), F.explode("__grams").alias("g"))
+        .select(F.col(id_col), gram_of(F.col("g")).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        base.drop("__grams")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters
+# --------------------------------------------------------------------------
+
+def _ngrams_all(w: Column, n: int) -> Column:
+    """NON-distinct word n-grams (dedup.word_ngrams dedups, which would
+    erase exactly the repetitions this operator measures). Empty array for
+    docs shorter than n words."""
+    k = F.size(w) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """One fold over a SORTED array returning
+    struct(best_run, dup_items): the longest equal-run length and the
+    total number of items belonging to runs of length >= 2. Equal items
+    are adjacent after sort, so one linear pass suffices — zero shuffle,
+    stays in whole-stage codegen."""
+    init = F.named_struct(
+        F.lit("prev"), F.lit(None).cast("string"),
+        F.lit("run"), F.lit(0).cast("long"),
+        F.lit("best"), F.lit(0).cast("long"),
+        F.lit("dups"), F.lit(0).cast("long"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # entering a run's 2nd member counts BOTH members; deeper members +1
+        dups = (
+            F.when(same & (acc["run"] == 1), acc["dups"] + 2)
+            .when(same, acc["dups"] + 1)
+            .otherwise(acc["dups"])
+        )
+        return F.named_struct(
+            F.lit("prev"), x,
+            F.lit("run"), run,
+            F.lit("best"), F.greatest(acc["best"], run),
+            F.lit("dups"), dups,
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.named_struct(
+            F.lit("best_run"), acc["best"], F.lit("dup_items"), acc["dups"]
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher rules §A1.1):
+
+    - ``dup_word_frac``  — 1 - distinct/total words,
+    - ``top2_frac``      — share of 2-gram slots taken by the single most
+      frequent 2-gram ("fraction of characters in most common n-gram"
+      adapted to the word level),
+    - ``dup3_frac``      — share of 3-gram slots whose 3-gram occurs more
+      than once ("fraction of n-grams that are duplicated").
+
+    All three are exact integer ratios computed by sorting the per-row
+    n-gram array and folding once (``_run_stats``) — no explode, no
+    shuffle; the whole operator is one codegen'd map stage. Fractions are
+    rounded to 6 dp so the DuckDB oracle (unnest + group + window) hashes
+    identically."""
+    norm = normalize_text(F.col(text_col))
+    w = F.split(norm, " ")
+    g2 = F.array_sort(_ngrams_all(w, 2))
+    g3 = F.array_sort(_ngrams_all(w, 3))
+    s2 = _run_stats(g2)
+    s3 = _run_stats(g3)
+    nw = F.size(w)
+    n2 = F.size(g2)
+    n3 = F.size(g3)
+    return spread(df).select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(
+            F.when(nw > 0, 1.0 - F.size(F.array_distinct(w)) / nw).otherwise(0.0), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(n2 > 0, s2["best_run"] / n2).otherwise(0.0), 6
+        ).alias("top2_frac"),
+        F.round(
+            F.when(n3 > 0, s3["dup_items"] / n3).otherwise(0.0), 6
+        ).alias("dup3_frac"),
+    )

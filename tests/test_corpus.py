@@ -1,0 +1,154 @@
+"""Corpus-curation operators (functions/corpus.py): contamination,
+deterministic splits / stratified sampling, repetition stats.
+
+The driver's CORRECTNESS gate cross-checks these against DuckDB; the pins
+here are the properties the oracle can't express — determinism under
+re-partitioning, planted-leak recall, and hand-computed repetition counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cht_sync_spark.functions.corpus import (
+    contamination,
+    hash_split,
+    repetition_stats,
+    sample_stratified,
+    split_threshold_hex,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ------------------------------------------------------------- thresholds
+def test_threshold_hex_bounds():
+    assert split_threshold_hex(0.0) == "00000000"
+    assert split_threshold_hex(0.5) == "80000000"
+    assert split_threshold_hex(1.0) == "g"  # > every lowercase-hex hash
+    assert "ffffffff" < "g"
+    with pytest.raises(ValueError):
+        split_threshold_hex(1.5)
+
+
+# -------------------------------------------------------------- hash_split
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    rows = [(i, f"text {i}", "en") for i in range(2000)]
+    d = _docs(spark, rows)
+    a = {r.doc_id: r.split for r in hash_split(d).collect()}
+    # different physical layout -> identical assignment
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(d.repartition(7, "lang")).collect()
+    }
+    assert a == b
+    # rough proportions (md5 is uniform; 2000 draws)
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    assert 0.85 <= frac_train <= 0.95
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_weights_validated(spark):
+    d = _docs(spark, [(1, "x", "en")])
+    with pytest.raises(ValueError):
+        hash_split(d, weights={"train": 0.5, "val": 0.1})
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    d = _docs(spark, [(i, "x", "en") for i in range(500)])
+    a = {r.doc_id: r.split for r in hash_split(d, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(d, salt="s2").collect()}
+    assert a != b  # independent coins
+
+
+# ------------------------------------------------------ sample_stratified
+def test_sample_stratified_rate_edges(spark):
+    rows = [(i, "x", "en" if i % 2 == 0 else "zh") for i in range(400)]
+    d = _docs(spark, rows)
+    kept = sample_stratified(d, rates={"en": 1.0, "zh": 0.0}).collect()
+    langs = {r.lang for r in kept}
+    assert langs == {"en"}
+    assert len(kept) == 200  # rate 1.0 keeps the WHOLE stratum
+
+
+def test_sample_stratified_default_rate(spark):
+    rows = [(i, "x", "fr") for i in range(1000)]
+    d = _docs(spark, rows)
+    n = sample_stratified(d, rates={"en": 0.1}, default_rate=0.5).count()
+    assert 400 <= n <= 600
+
+
+# ----------------------------------------------------------- contamination
+def test_contamination_planted_leak(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, bench_text, "en"),                       # verbatim leak
+        (2, "one two three four five six seven", "en"),  # disjoint
+        (3, "xx " + bench_text + " yy", "en"),       # superstring leak
+    ]
+    bench = _docs(spark, [(100, bench_text, "en")])
+    out = {
+        r.doc_id: r
+        for r in contamination(_docs(spark, rows), bench, n=5).collect()
+    }
+    assert out[1].contamination_ratio == 1.0
+    assert out[2].n_contaminated == 0
+    assert out[3].n_contaminated == 4  # the 4 bench 5-grams inside
+    assert out[3].n_grams == 6
+
+
+def test_contamination_hashed_matches_string_form(spark):
+    rows = [(i, f"w{i} common phrase here tail{i} z{i} q{i}", "en") for i in range(50)]
+    bench = _docs(spark, [(999, "common phrase here tail7 z7 q7 extra", "en")])
+    d = _docs(spark, rows)
+    s = {(r.doc_id, r.n_contaminated) for r in contamination(d, bench, n=3).collect()}
+    h = {
+        (r.doc_id, r.n_contaminated)
+        for r in contamination(d, bench, n=3, hashed=True).collect()
+    }
+    assert s == h
+
+
+# --------------------------------------------------------- repetition_stats
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (1, "a a a a", "en"),        # 2-grams: [a a]x3 ; 3-grams: [a a a]x2
+        (2, "a b c d", "en"),        # no repetition
+        (3, "a b a b a", "en"),      # 2-grams: a b, b a, a b, b a
+        (4, "solo", "en"),           # too short for any n-gram
+    ]
+    out = {r.doc_id: r for r in repetition_stats(_docs(spark, rows)).collect()}
+
+    r1 = out[1]
+    assert r1.n_words == 4
+    assert r1.dup_word_frac == pytest.approx(0.75)
+    assert r1.top2_frac == pytest.approx(1.0)   # best run 3 / 3 grams
+    assert r1.dup3_frac == pytest.approx(1.0)   # both 3-grams duplicated
+
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0
+    assert r2.top2_frac == pytest.approx(1 / 3)  # all 2-grams unique, max run 1
+    assert r2.dup3_frac == 0.0
+
+    r3 = out[3]
+    assert r3.top2_frac == pytest.approx(0.5)   # "a b" twice / 4 slots
+    assert r3.dup3_frac == pytest.approx(2 / 3)  # "a b a" twice of 3
+
+    r4 = out[4]
+    assert (r4.top2_frac, r4.dup3_frac) == (0.0, 0.0)
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    d = _docs(spark, [(1, "a b c", "en")])
+    plan = repetition_stats(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map stage
+
+
+def test_hash_split_zero_shuffle_plan(spark):
+    d = _docs(spark, [(1, "a", "en")])
+    plan = hash_split(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
