@@ -833,6 +833,55 @@ def q_repetition_stats(spark, sf):
     )
 
 
+def q_changelog_read(spark, sf):
+    """Incremental changelog read (tables/format.py SnapshotTable.changes —
+    the Iceberg incremental append scan / downstream-CDC surface): commit
+    the events table as three real append snapshots with a compaction
+    between them, then tail the table's OWN changelog. Checks that every
+    row is delivered exactly once with its commit attribution and
+    tombstone typing, and that the compaction ('replace' snapshot) is
+    invisible — the oracle recomputes batch membership and change type
+    from the raw events, so a restated or dropped row hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="chlog_q_")
+    ev = _t(spark, sf, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    c1, c2 = hi // 3, (2 * hi) // 3
+    rows = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("event_id") % 13 == 0).alias("_deleted"),
+    )
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["event_id"],
+        num_buckets=8, lww_order=[("event_id", True)],
+    )
+    v0 = t.current_version()
+    t.append_delta(rows.where(F.col("event_id") <= c1))
+    v1 = t.current_version()
+    t.append_delta(rows.where((F.col("event_id") > c1) & (F.col("event_id") <= c2)))
+    v2 = t.current_version()
+    t.compact()  # physical-only rewrite: must not restate rows below
+    t.append_delta(rows.where(F.col("event_id") > c2))
+    ch = t.changes(v0)
+    batch = (
+        F.when(F.col("_change_version") == v1, 1)
+        .when(F.col("_change_version") == v2, 2)
+        .otherwise(3)
+    )
+    return ch.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        batch.cast("long").alias("batch_no"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -894,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
         "repetition_stats": q_repetition_stats,
+        "changelog_read": q_changelog_read,
     }
 
 
@@ -1349,5 +1399,17 @@ def oracle_sql() -> dict[str, str]:
             "  round(CASE WHEN coalesce(n3, 0) > 0 THEN coalesce(dup3, 0) / n3 "
             "    ELSE 0 END, 6) AS dup3_frac "
             "FROM n LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"
+        ),
+        # changelog: exactly-once delivery with commit attribution —
+        # batch = event_id third; tombstone rows type as 'delete'
+        "changelog_read": (
+            "WITH m AS (SELECT max(event_id) // 3 AS c1, "
+            "  2 * max(event_id) // 3 AS c2 FROM events) "
+            "SELECT event_id, user_id, event_type, "
+            "  CAST(CASE WHEN event_id <= c1 THEN 1 "
+            "    WHEN event_id <= c2 THEN 2 ELSE 3 END AS BIGINT) AS batch_no, "
+            "  CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END "
+            "    AS change_type "
+            "FROM events, m"
         ),
     }

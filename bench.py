@@ -150,6 +150,9 @@ def main() -> None:
         "asof_click_attribution",
         "range_join_click_window",
         "dlq_classify",
+        "contamination_check",
+        "repetition_stats",
+        "changelog_read",
     ):
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))

@@ -100,6 +100,11 @@ class Snapshot:
     parent: int | None
     # relative paths of the immutable manifest files this snapshot folds
     manifests: list[str] | None = None
+    # what produced this snapshot — Iceberg's snapshot `operation` field:
+    # "create" | "append" (pure file adds) | "overwrite" (logical rewrite:
+    # COW merge / full refresh) | "replace" (physical-only rewrite:
+    # compaction — NO logical change, skipped by changelog reads)
+    operation: str = "append"
 
 
 def _fsync_dir(d: str) -> None:
@@ -197,6 +202,7 @@ class SnapshotTable:
                 properties=dict(properties or {}),
                 parent=None,
                 manifests=[],
+                operation="create",
             )
             )
         except CommitConflict:
@@ -293,6 +299,10 @@ class SnapshotTable:
             properties=m["properties"],
             parent=m["parent"],
             manifests=refs,
+            # legacy snapshots (pre-changelog) carry no operation marker;
+            # "unknown" makes changelog reads over them explicitly refuse
+            # instead of silently guessing
+            operation=m.get("operation", "unknown"),
         )
 
     # -------------------------------------------------------- manifest files
@@ -349,6 +359,7 @@ class SnapshotTable:
             "lww_order": [[c, a] for c, a in snap.lww_order],
             "properties": snap.properties,
             "parent": snap.parent,
+            "operation": snap.operation,
         }
         if snap.manifests is not None:
             body["manifests"] = snap.manifests  # split form: O(#manifests)
@@ -481,6 +492,7 @@ class SnapshotTable:
         new_schema: T.StructType | None = None,
         expected_version: int | None = None,
         max_retries: int = 5,
+        operation: str | None = None,
     ) -> Snapshot:
         """Produce snapshot N+1 = parent minus (removed buckets/levels) plus
         ``add_files``, with properties merged in — all atomically.
@@ -495,6 +507,11 @@ class SnapshotTable:
         :meth:`compact`), because the removed set was computed against a
         snapshot that no longer is the tip.
         """
+        # snapshot operation marker (Iceberg parity): pure file adds are
+        # "append"; anything that removes files is a logical "overwrite"
+        # unless the caller says otherwise (compact passes "replace")
+        if operation is None:
+            operation = "append" if remove_buckets is None else "overwrite"
         retriable = remove_buckets is None and expected_version is None
         attempts = max_retries if retriable else 1
         last_err: CommitConflict | None = None
@@ -523,6 +540,7 @@ class SnapshotTable:
                 properties=props,
                 parent=parent.version,
                 manifests=keep_refs + ([add_ref] if add_ref is not None else []),
+                operation=operation,
             )
             try:
                 self._write_manifest(snap)
@@ -665,6 +683,7 @@ class SnapshotTable:
                     remove_buckets=set(range(snap.num_buckets)),
                     remove_level=("base", "delta"),
                     expected_version=snap.version,
+                    operation="replace",  # physical-only: changelog skips it
                 )
             except CommitConflict as e:
                 last_err = e  # concurrent append landed: refold from tip
@@ -688,6 +707,97 @@ class SnapshotTable:
         shutil.rmtree(self.path, ignore_errors=True)
         self._snap_cache.clear()
         self._manifest_cache.clear()
+
+    # ----------------------------------------------------- incremental read
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        strict: bool = True,
+    ) -> DataFrame:
+        """Incremental changelog scan: the rows committed AFTER
+        ``from_version`` up to and including ``to_version`` (default: the
+        current tip) — Iceberg's incremental append scan, the read-side
+        half of CDC (a downstream consumer tails THIS table the way the
+        pipeline tails the changes feed).
+
+        Scan cost is O(changed data): only the manifest files ADDED by each
+        snapshot in the range are opened, never the table's live file set —
+        the property that makes a downstream incremental consumer viable at
+        10^10 rows. The diff is a driver-side set difference over immutable
+        manifest names (split-manifest architecture), no Spark job.
+
+        Semantics per snapshot operation:
+        - ``append`` — added files ARE the change set: emitted with
+          ``_change_version`` and ``_change_type`` ('delete' for tombstone
+          rows, else 'upsert'; consumers apply the table's own LWW to fold,
+          exactly like ``read_current``).
+        - ``replace`` (compaction) — no logical change; SKIPPED.
+        - ``overwrite``/``unknown`` — a logical rewrite's added files
+          restate whole buckets, not just changes. ``strict=True`` (default)
+          raises — same contract as Iceberg, whose incremental read
+          supports append snapshots only. ``strict=False`` emits the added
+          files as upserts: an OVER-delivery (unchanged rows reappear) that
+          is safe for any idempotent/LWW consumer and documented as such.
+
+        Snapshots expired by ``expire_snapshots`` cannot be read
+        incrementally (their manifests may be vacuumed) — callers keep
+        ``keep_last`` above their consumer lag, as with Iceberg."""
+        to_version = to_version if to_version is not None else self.current_version()
+        if to_version < from_version:
+            raise ValueError(f"to_version {to_version} < from_version {from_version}")
+        final = self.snapshot(to_version)
+        meta = [
+            ("_change_version", T.IntegerType()),
+            ("_change_type", T.StringType()),
+        ]
+        out_schema = T.StructType(
+            list(final.schema.fields)
+            + [T.StructField(n, t, False) for n, t in meta]
+        )
+        parts: list[DataFrame] = []
+        n_files = 0
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot(v)
+            if snap.operation in ("replace", "create"):
+                continue  # no logical change
+            if snap.operation not in ("append", "overwrite", "unknown"):
+                raise ValueError(f"unknown snapshot operation {snap.operation!r} at v{v}")
+            if snap.operation in ("overwrite", "unknown") and strict:
+                raise ValueError(
+                    f"v{v} is a logical rewrite ({snap.operation}); incremental read "
+                    "supports append snapshots only — pass strict=False to accept "
+                    "over-delivery of restated rows (safe for LWW consumers)"
+                )
+            parent = self.snapshot(v - 1) if snap.parent is not None else None
+            if snap.manifests is not None and parent is not None and parent.manifests is not None:
+                added_refs = [m for m in snap.manifests if m not in set(parent.manifests)]
+                entries = [e for ref in added_refs for e in self._load_manifest(ref)]
+            else:  # legacy inline file lists: diff by path
+                prev = {f["path"] for f in (parent.files if parent else [])}
+                entries = [f for f in snap.files if f["path"] not in prev]
+            if not entries:
+                continue
+            n_files += len(entries)
+            paths = [os.path.join(self.path, e["path"]) for e in entries]
+            df = self.spark.read.schema(final.schema).parquet(*paths)
+            ctype = (
+                F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                if "_deleted" in final.schema.fieldNames()
+                else F.lit("upsert")
+            )
+            parts.append(
+                df.withColumn("_change_version", F.lit(v))
+                .withColumn("_change_type", ctype)
+            )
+        self.last_scan_files = n_files
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> int:
