@@ -15,6 +15,7 @@ from collections.abc import Callable
 import pandas as pd  # noqa: F401  (pandas_udf type hints resolve via module globals)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -882,6 +883,104 @@ def q_changelog_read(spark, sf):
     )
 
 
+def q_changelog_consume(spark, sf):
+    """Table-to-table incremental pipeline (streaming/consumer.py
+    ChangelogConsumer): commit the events table as three real append
+    snapshots (tombstones included) with a producer compaction in the
+    middle, then incrementally derive a typed target via TWO consumer
+    cycles — each tails only the new snapshots' files, checkpoints its
+    cursor atomically with the derived data, and cascades deletes
+    (tombstones='drop'). The oracle recomputes the final derived state
+    from the raw events, so a missed, duplicated, or restated row (e.g.
+    if the compaction leaked into the changelog) hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.streaming.consumer import ChangelogConsumer
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="consume_q_")
+    ev = _t(spark, sf, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    c1, c2 = hi // 3, (2 * hi) // 3
+    rows = ev.select(
+        "event_id", "user_id", "event_type", "props",
+        (F.col("event_id") % 13 == 0).alias("_deleted"),
+    )
+    src = SnapshotTable.create(
+        spark, f"{work}/src", rows.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("event_id", True)],
+    )
+    tgt_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props_chars", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    tgt = SnapshotTable.create(
+        spark, f"{work}/tgt", tgt_schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("event_id", True)],
+    )
+
+    def tf(ch):
+        return ch.select(
+            "event_id", "user_id", "event_type",
+            F.length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias("props_chars"),
+            "_deleted",
+        )
+
+    consumer = ChangelogConsumer(spark, src, tgt, "typed", transform=tf, tombstones="drop")
+    src.append_delta(rows.where(F.col("event_id") <= c1))
+    src.append_delta(rows.where((F.col("event_id") > c1) & (F.col("event_id") <= c2)))
+    consumer.run_once()  # cycle 1: first two snapshots
+    src.compact()  # physical-only: must not re-deliver to the consumer
+    src.append_delta(rows.where(F.col("event_id") > c2))
+    consumer.run_once()  # cycle 2: only the third snapshot's files
+    return tgt.read_current().select("event_id", "user_id", "event_type", "props_chars")
+
+
+def q_stats_prune_scan(spark, sf):
+    """Manifest-bounds file skipping (tables/format.py file-level column
+    statistics — Iceberg's lower_bounds/upper_bounds): commit the events
+    table as four append snapshots with disjoint event_id ranges, then run
+    a range + timestamp filtered read through the stats-pruned scan path.
+    The oracle is the plain SQL filter over the raw events, so a row lost
+    to over-pruning (or duplicated) hash-mismatches; the file-skipping
+    plan assertions (files opened < files live) are pinned in
+    tests/test_stats.py."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="stats_q_")
+    ev = _t(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is NTZ; session tz UTC
+    hi, lo_us, hi_us = ev.agg(F.max("event_id"), F.min(ts_us), F.max(ts_us)).first()
+    quart = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("event_id", True)],
+        properties={"stats.cols": '["event_id", "ts"]'},
+    )
+    for a, b in zip(quart, quart[1:]):
+        t.append_delta(rows.where((F.col("event_id") > a) & (F.col("event_id") <= b)))
+    mid_us = (3 * lo_us + hi_us) // 4  # 25th-percentile timestamp
+    import datetime as _dt
+
+    mid_dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=mid_us)
+    got = t.read(
+        filters=[
+            ("event_id", ">", quart[1]),
+            ("event_id", "<=", quart[2]),
+            ("ts", ">=", mid_dt),
+        ]
+    )
+    return got.select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -944,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "repetition_stats": q_repetition_stats,
         "changelog_read": q_changelog_read,
+        "changelog_consume": q_changelog_consume,
+        "stats_prune_scan": q_stats_prune_scan,
     }
 
 
@@ -1411,5 +1512,22 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END "
             "    AS change_type "
             "FROM events, m"
+        ),
+        # consumer cascade: final derived state == transform over live
+        # events (deletes cascaded out by tombstones='drop')
+        "changelog_consume": (
+            "SELECT event_id, user_id, event_type, "
+            "  CAST(length(coalesce(props, '')) AS BIGINT) AS props_chars "
+            "FROM events WHERE event_id % 13 <> 0"
+        ),
+        # stats-pruned scan == the plain filter (file skipping is invisible
+        # to semantics; the files-opened bound is asserted in pytest)
+        "stats_prune_scan": (
+            "WITH m AS (SELECT max(event_id) AS hi, "
+            "  (3 * epoch_us(min(ts)) + epoch_us(max(ts))) // 4 AS mid_us FROM events) "
+            "SELECT event_id, ts, user_id, event_type, value "
+            "FROM events, m "
+            "WHERE event_id > hi // 4 AND event_id <= hi // 2 "
+            "  AND epoch_us(ts) >= mid_us"
         ),
     }

@@ -153,6 +153,8 @@ def main() -> None:
         "contamination_check",
         "repetition_stats",
         "changelog_read",
+        "changelog_consume",
+        "stats_prune_scan",
     ):
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))

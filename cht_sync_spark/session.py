@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", jvm_extra)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (the legacy default) carries NO parquet min/max statistics:
+        # it silently disables row-group pushdown AND the manifest file
+        # bounds (tables/format.py) for every timestamp column. MICROS is
+        # the modern parquet timestamp — stats, pushdown, and pyarrow/DuckDB
+        # interop all work.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,4 +1,5 @@
+from cht_sync_spark.streaming.consumer import ChangelogConsumer
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.streaming.stream import StreamingReplay
 
-__all__ = ["ReplayPipeline", "StreamingReplay"]
+__all__ = ["ChangelogConsumer", "ReplayPipeline", "StreamingReplay"]

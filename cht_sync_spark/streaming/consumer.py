@@ -1,0 +1,184 @@
+"""Table-to-table incremental pipelines: tail a SnapshotTable's changelog.
+
+``ChangelogConsumer`` is the downstream half of CDC composition — the same
+relationship the ingest pipeline has to the external changes feed
+(reference couch2pg tails CouchDB ``_changes``; a consumer here tails an
+ENGINE table the same way, reference-style cursors included). It turns the
+lakehouse into a medallion cascade that crosses job boundaries: the ingest
+pipeline (own lifecycle) commits the landing table; any number of
+independently-scheduled consumers (own lifecycles, own checkpoints)
+incrementally derive further tables from it via
+:meth:`cht_sync_spark.tables.format.SnapshotTable.changes`.
+
+Exactly-once, without coordination between producer and consumer:
+
+- the consumer's cursor (``consumer.<name>.version`` — the last source
+  snapshot version fully applied) lives in the TARGET table's snapshot
+  properties and is committed atomically with the derived data it
+  describes, exactly like the ingest pipeline's per-source seq checkpoints
+  (SURVEY §2.1 S5/S6; reference ``couchdb_progress`` updated in the same
+  transaction, importer.js:171-172);
+- a crash between reading the changelog and committing leaves the cursor
+  unmoved -> the batch replays; the merge is the engine's idempotent LWW
+  MERGE, so replay is a byte-level no-op (at-least-once + idempotent
+  apply = exactly-once, §7.3 #1);
+- work per cycle is O(changed files), not O(source table): ``changes``
+  plans from the manifest-name diff and compaction snapshots are invisible,
+  so a consumer never re-reads data because the producer compacted.
+
+Scale: at 10^10 rows the consumer's cost profile is the ingest pipeline's —
+one keyed shuffle per batch for the LWW fold plus the bucket-pruned merge.
+Producer ``expire_snapshots(keep_last=k)`` bounds how far a consumer may
+lag (k snapshots), the same contract Iceberg gives incremental readers.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import MergeStats, merge_upsert
+
+
+@dataclass
+class ConsumeResult:
+    """One consumed changelog range."""
+
+    from_version: int  # exclusive
+    to_version: int  # inclusive
+    rows: int
+    merge: MergeStats | None  # None when the range held no logical change
+
+
+class ChangelogConsumer:
+    """Incrementally derive ``target`` from ``source``'s changelog.
+
+    ``transform(df) -> DataFrame`` receives the changelog slice (source
+    schema + ``_change_version``/``_change_type``) and returns rows for the
+    target. It must keep the target's key columns and SHOULD carry
+    ``_deleted`` through (or derive it from ``_change_type == 'delete'``)
+    so tombstones cascade; identity (None) passes the source rows through
+    minus the changelog metadata.
+
+    ``tombstones='keep'`` mirrors a landing table; ``'drop'`` builds a
+    live-rows-only derived table (deletes physically removed, reference
+    contacts.sql:6).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapshotTable | str,
+        target: SnapshotTable,
+        name: str,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        tombstones: str = "keep",
+        strict: bool = True,
+    ):
+        self.spark = spark
+        self.source = (
+            source if isinstance(source, SnapshotTable) else SnapshotTable(spark, source)
+        )
+        self.target = target
+        self.name = name
+        self.transform = transform
+        self.tombstones = tombstones
+        self.strict = strict
+
+    # ------------------------------------------------------------- cursor
+    @property
+    def _ckpt_key(self) -> str:
+        return f"consumer.{self.name}.version"
+
+    def position(self) -> int:
+        """Last source snapshot version fully applied to the target
+        (0 = nothing consumed; version 1 is the source's empty CREATE)."""
+        v = self.target.snapshot().properties.get(self._ckpt_key)
+        return int(v) if v is not None else 0
+
+    def pending_versions(self) -> int:
+        """Source snapshots not yet consumed — the consumer-side lag probe
+        (reference S2 pending), O(1) driver metadata."""
+        return max(0, self.source.current_version() - max(self.position(), 1))
+
+    # ---------------------------------------------------------------- run
+    def run_once(self) -> ConsumeResult | None:
+        """Consume everything committed since the cursor, or None if the
+        consumer is caught up. One changelog scan, one idempotent merge,
+        cursor committed atomically with the derived rows."""
+        tip = self.source.current_version()
+        from_v = max(self.position(), 1)  # v1 is the empty CREATE snapshot
+        if tip <= from_v:
+            return None
+        ch = self.source.changes(from_v, tip, strict=self.strict)
+        out = self.transform(ch) if self.transform is not None else ch
+        if "_deleted" not in out.columns and "_change_type" in out.columns:
+            out = out.withColumn("_deleted", F.col("_change_type") == "delete")
+        out = out.drop("_change_version", "_change_type")
+        n = out.count()
+        if n == 0:
+            # an empty logical range (e.g. all-tombstone batch filtered by
+            # the transform) still advances the cursor — atomically, via a
+            # data-free property commit
+            self.target.commit(
+                add_files=[], properties_update={self._ckpt_key: str(tip)}
+            )
+            return ConsumeResult(from_v, tip, 0, None)
+        stats = merge_upsert(
+            self.target,
+            out,
+            tombstones=self.tombstones,  # type: ignore[arg-type]
+            properties_update={self._ckpt_key: str(tip)},
+        )
+        return ConsumeResult(from_v, tip, n, stats)
+
+    def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[ConsumeResult]:
+        """Drain loop (the downstream S9 analogue): consume until caught up;
+        with ``poll_seconds`` keep tailing until ``max_cycles``."""
+        results: list[ConsumeResult] = []
+        cycles = 0
+        while True:
+            r = self.run_once()
+            if r is not None:
+                results.append(r)
+            cycles += 1
+            if max_cycles is not None and cycles >= max_cycles:
+                return results
+            if r is None:
+                if poll_seconds <= 0:
+                    return results
+                time.sleep(poll_seconds)
+
+    # ---------------------------------------------------------------- DDL
+    @classmethod
+    def create_target(
+        cls,
+        spark: SparkSession,
+        source: SnapshotTable | str,
+        target_path: str,
+        name: str,
+        schema: T.StructType | None = None,
+        key_cols: list[str] | None = None,
+        **table_kw,
+    ) -> "SnapshotTable":
+        """Bootstrap a target table shaped like the source (schema and key
+        inherited unless overridden) — the consumer-side DDL analogue of
+        the pipeline's S7 bootstrap."""
+        src = source if isinstance(source, SnapshotTable) else SnapshotTable(spark, source)
+        snap = src.snapshot()
+        return SnapshotTable.create(
+            spark,
+            target_path,
+            schema or snap.schema,
+            key_cols=key_cols or list(snap.key_cols),
+            num_buckets=table_kw.pop("num_buckets", snap.num_buckets),
+            sort_cols=table_kw.pop("sort_cols", list(snap.sort_cols)),
+            lww_order=table_kw.pop("lww_order", list(snap.lww_order)),
+            **table_kw,
+        )

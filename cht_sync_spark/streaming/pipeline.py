@@ -89,6 +89,7 @@ class ReplayPipeline:
         maintenance_every: int | None = None,
         maintenance_keep_snapshots: int = 20,
         dlq_path: str | None = None,
+        table_properties: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.feed = feed
@@ -125,9 +126,14 @@ class ReplayPipeline:
         # Tradeoff: a pathologically hot conversation concentrates in one
         # bucket's write task; pass bucket_cols=TRANSCRIPT_KEY to spread it
         # if no grouped models need pruning.
+        # table_properties passes through to CREATE (e.g. 'cdc.enabled':
+        # 'true' so a COW landing table emits exact change-data files per
+        # merge and downstream ChangelogConsumers can tail it strictly;
+        # MOR landings need no CDF — their appends ARE the changelog)
         self.table = SnapshotTable.create(
             spark, table_path, TRANSCRIPT, TRANSCRIPT_KEY,
             num_buckets=num_buckets, bucket_cols=bucket_cols or ["conv_id"],
+            properties=table_properties,
         )
         self.lineage = (
             SnapshotTable.create(

@@ -142,6 +142,121 @@ def bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
+# ---------------------------------------------------------- file-level stats
+# Per-data-file column min/max bounds recorded in manifest entries at write
+# time (Iceberg's lower_bounds/upper_bounds) and consulted at scan planning:
+# a filtered read opens only the files whose range can contain matches. This
+# is the file-granular layer of the skipping stack — bucket pruning (hash
+# layout) > file skipping (manifest bounds, driver-side, no I/O beyond the
+# already-cached manifest) > parquet row-group pushdown (page stats from the
+# sort_cols write order). At 10^10 rows the middle layer is what keeps a
+# point/range lookup from *opening* every file of a bucket.
+
+_STR_BOUND_CAP = 64  # chars; beyond this a string upper bound is dropped
+
+
+def _norm_bound(v: Any, dtype: T.DataType) -> Any:
+    """Normalize a bound/filter value into its JSON-storable, totally-ordered
+    compare domain: timestamps -> epoch micros (int), dates -> ISO string
+    (lexicographic == chronological), numerics/strings/bools unchanged."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.TimestampType) or isinstance(dtype, T.TimestampNTZType):
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch).total_seconds() * 1_000_000)
+        return int(v)  # already micros
+    if isinstance(dtype, T.DateType):
+        return v.isoformat() if isinstance(v, _dt.date) else str(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    return v
+
+
+def _file_stats(
+    abs_path: str, stat_cols: list[str], schema: T.StructType
+) -> dict[str, dict[str, Any]]:
+    """Column bounds of one parquet file from its FOOTER metadata (no data
+    pages read; ~ms per file, driver-side). A bound side is ``None`` when
+    unknowable (all-null chunk, missing stats, over-cap string upper bound)
+    — ``None`` disables pruning on that side, never causes a false skip.
+    String lower bounds may be truncated (a prefix is a valid lower bound);
+    string upper bounds are kept only when exact."""
+    import pyarrow.parquet as pq
+
+    by_name = {f.name: f.dataType for f in schema.fields}
+    md = pq.ParquetFile(abs_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, dict[str, Any]] = {}
+    for col in stat_cols:
+        if col not in idx or col not in by_name:
+            continue
+        dtype = by_name[col]
+        lo: Any = None
+        hi: Any = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            ch = md.row_group(rg).column(idx[col])
+            st = ch.statistics
+            if st is None or not st.has_min_max:
+                if ch.num_values and (st is None or st.null_count != ch.num_values):
+                    ok = False  # real values with no stats: bounds unknowable
+                    break
+                continue  # all-null chunk contributes nothing
+            mn, mx = _norm_bound(st.min, dtype), _norm_bound(st.max, dtype)
+            lo = mn if lo is None or (mn is not None and mn < lo) else lo
+            hi = mx if hi is None or (mx is not None and mx > hi) else hi
+        if not ok:
+            out[col] = {"lo": None, "hi": None}
+            continue
+        if isinstance(dtype, T.StringType):
+            if lo is not None and len(lo) > _STR_BOUND_CAP:
+                lo = lo[:_STR_BOUND_CAP]  # prefix: still a valid lower bound
+            if hi is not None and len(hi) > _STR_BOUND_CAP:
+                hi = None  # a truncated upper bound would over-prune
+        out[col] = {"lo": lo, "hi": hi}
+    return out
+
+
+_FILTER_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _entry_matches(entry: dict[str, Any], filters: list[tuple[str, str, Any]]) -> bool:
+    """Can this manifest entry's file contain rows satisfying ALL filters?
+    Conservative: a file with no recorded stats (legacy entries, uncovered
+    columns, unknown bound sides) is always kept."""
+    stats = entry.get("stats")
+    if not stats:
+        return True
+    for col, op, v in filters:
+        b = stats.get(col)
+        if b is None:
+            continue
+        lo, hi = b.get("lo"), b.get("hi")
+        if op == "=":
+            if (lo is not None and v < lo) or (hi is not None and v > hi):
+                return False
+        elif op == "<":
+            if lo is not None and lo >= v:
+                return False
+        elif op == "<=":
+            if lo is not None and lo > v:
+                return False
+        elif op == ">":
+            if hi is not None and hi <= v:
+                return False
+        elif op == ">=":
+            if hi is not None and hi < v:
+                return False
+        else:
+            raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
+    return True
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -382,6 +497,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         levels: tuple[str, ...] = ("base", "delta"),
+        filters: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame:
         """Raw file-level read (no LWW reconciliation).
 
@@ -389,6 +505,13 @@ class SnapshotTable:
         columns added later read as null (additive evolution). Bucket
         pruning: only files of the requested buckets are listed, so Spark
         never opens the rest.
+
+        ``filters`` — ``[(col, op, value), ...]`` with op in ``= < <= > >=``
+        — adds manifest-bounds file skipping: files whose recorded column
+        range cannot contain matches are never listed (driver-side, no
+        I/O), and the residual row predicate is applied to the survivors,
+        where parquet row-group pushdown finishes the job. Files without
+        stats for a column are conservatively kept.
         """
         snap = self.snapshot(version)
         files = [
@@ -396,6 +519,16 @@ class SnapshotTable:
             for f in snap.files
             if f["level"] in levels and (buckets is None or f["bucket"] in buckets)
         ]
+        norm: list[tuple[str, str, Any]] = []
+        if filters:
+            by_name = {f.name: f.dataType for f in snap.schema.fields}
+            for col, op, v in filters:
+                if col not in by_name:
+                    raise ValueError(f"filter column {col!r} not in table schema")
+                if op not in _FILTER_OPS:
+                    raise ValueError(f"unsupported filter op {op!r}")
+                norm.append((col, op, _norm_bound(v, by_name[col])))
+            files = [f for f in files if _entry_matches(f, norm)]
         # scan-size instrumentation: tests assert pruned reads open fewer
         # files than the table holds (the file-count analogue of Iceberg's
         # scan-planning metrics)
@@ -403,13 +536,36 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f["path"]) for f in files]
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        df = self.spark.read.schema(snap.schema).parquet(*paths)
+        if filters:
+            for col, op, v in filters:
+                c = F.col(col)
+                df = df.where(
+                    {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+                )
+        return df
+
+    def bucket_for(self, values: dict[str, Any]) -> int:
+        """Bucket id of a fully specified bucket key — the driver-side
+        entry to point-lookup pruning. Evaluated with the table's OWN
+        Catalyst bucket expression over literals (constant-folded single-row
+        job, ~0.1 s) so it can never disagree with the layout hash."""
+        snap = self.snapshot()
+        missing = [c for c in snap.bucket_cols if c not in values]
+        if missing:
+            raise ValueError(f"bucket_for needs all bucket cols; missing {missing}")
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        row = self.spark.range(1).select(
+            *[F.lit(values[c]).cast(by_name[c]).alias(c) for c in snap.bucket_cols]
+        )
+        return row.select(bucket_expr(snap.bucket_cols, snap.num_buckets).alias("b")).first()["b"]
 
     def read_current(
         self,
         version: int | None = None,
         drop_tombstones: bool = False,
         buckets: list[int] | None = None,
+        filters: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame:
         """Reconciled current state: base ∪ deltas -> LWW winner per key.
 
@@ -421,11 +577,31 @@ class SnapshotTable:
         is a pure function of ``bucket_cols`` ⊆ key, every row of a key
         lives in one bucket, so per-bucket LWW equals global LWW restricted
         to those buckets — pruning is semantics-preserving.
+
+        ``filters`` (KEY columns only) adds file skipping + the row
+        predicate BEFORE reconciliation — safe for the same reason bucket
+        pruning is: every version of a key carries identical key-column
+        values, so filtering can never split a key's history. Equality
+        filters covering all ``bucket_cols`` additionally derive the bucket
+        id, turning a point lookup into one-bucket + skipped-files scan.
+        Non-key predicates must be applied AFTER read_current (a .where on
+        the result), never here.
         """
         from cht_sync_spark.operators.lww import lww_dedup  # circular-safe
 
         snap = self.snapshot(version)
-        df = self.read(version=version, buckets=buckets)
+        if filters:
+            bad = [c for c, _, _ in filters if c not in snap.key_cols]
+            if bad:
+                raise ValueError(
+                    f"read_current filters must be on key columns {snap.key_cols}; "
+                    f"got {bad} — apply non-key predicates to the result instead"
+                )
+            if buckets is None:
+                eq = {c: v for c, op, v in filters if op == "="}
+                if all(c in eq for c in snap.bucket_cols):
+                    buckets = [self.bucket_for(eq)]
+        df = self.read(version=version, buckets=buckets, filters=filters)
         has_delta = any(
             f["level"] == "delta" and (buckets is None or f["bucket"] in buckets)
             for f in snap.files
@@ -480,7 +656,33 @@ class SnapshotTable:
                             "commit": commit_id,
                         }
                     )
+        self._attach_stats(entries, snap)
         return entries
+
+    def _stats_cols(self, snap: Snapshot) -> list[str]:
+        """Columns whose per-file bounds are recorded in manifest entries.
+        Table property ``stats.cols`` (JSON list; ``[]`` disables) overrides
+        the default of ``sort_cols`` — the columns the write order already
+        clusters, so their per-file ranges are tight and skippable."""
+        raw = snap.properties.get("stats.cols")
+        return list(json.loads(raw)) if raw is not None else list(snap.sort_cols)
+
+    def _attach_stats(self, entries: list[dict[str, Any]], snap: Snapshot) -> None:
+        """Record column bounds on freshly written manifest entries, read
+        from parquet footers concurrently (O(files-in-commit) ms-scale
+        driver work — the same place Iceberg's writer gathers its bounds)."""
+        scols = self._stats_cols(snap)
+        if not scols or not entries:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(e: dict[str, Any]) -> dict[str, dict[str, Any]]:
+            return _file_stats(os.path.join(self.path, e["path"]), scols, snap.schema)
+
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+            for e, st in zip(entries, ex.map(one, entries)):
+                if st:
+                    e["stats"] = st
 
     def commit(
         self,
@@ -663,6 +865,7 @@ class SnapshotTable:
         rel = os.path.join(rel_dir, "part-00000.parquet")
         pq.write_table(table, os.path.join(self.path, rel))
         entry = {"path": rel, "bucket": 0, "level": "delta", "commit": commit_id}
+        self._attach_stats([entry], snap)
         return self.commit(add_files=[entry], properties_update=properties_update or {})
 
     def compact(self, max_retries: int = 5) -> Snapshot:
@@ -681,7 +884,12 @@ class SnapshotTable:
                 return self.commit(
                     add_files=files,
                     remove_buckets=set(range(snap.num_buckets)),
-                    remove_level=("base", "delta"),
+                    # 'cdc' change-feed entries leave the LIVE fold here so
+                    # metadata stays bounded; their files remain on disk
+                    # (and changes()-readable) for the snapshot-retention
+                    # window, since vacuum keeps anything a retained
+                    # historical snapshot references
+                    remove_level=("base", "delta", "cdc"),
                     expected_version=snap.version,
                     operation="replace",  # physical-only: changelog skips it
                 )
@@ -763,19 +971,39 @@ class SnapshotTable:
                 continue  # no logical change
             if snap.operation not in ("append", "overwrite", "unknown"):
                 raise ValueError(f"unknown snapshot operation {snap.operation!r} at v{v}")
-            if snap.operation in ("overwrite", "unknown") and strict:
-                raise ValueError(
-                    f"v{v} is a logical rewrite ({snap.operation}); incremental read "
-                    "supports append snapshots only — pass strict=False to accept "
-                    "over-delivery of restated rows (safe for LWW consumers)"
-                )
             parent = self.snapshot(v - 1) if snap.parent is not None else None
+            prev = {f["path"] for f in (parent.files if parent else [])}
             if snap.manifests is not None and parent is not None and parent.manifests is not None:
+                # manifest-NAME diff bounds the I/O to O(changed manifests);
+                # the path-level subtraction against the parent's in-memory
+                # fold then drops survivor entries that a removal commit
+                # carried into a REWRITTEN manifest (same rows, new manifest
+                # name) — without it a COW merge's untouched-row survivors
+                # would re-deliver as changes
                 added_refs = [m for m in snap.manifests if m not in set(parent.manifests)]
-                entries = [e for ref in added_refs for e in self._load_manifest(ref)]
+                entries = [
+                    e
+                    for ref in added_refs
+                    for e in self._load_manifest(ref)
+                    if e["path"] not in prev
+                ]
             else:  # legacy inline file lists: diff by path
-                prev = {f["path"] for f in (parent.files if parent else [])}
                 entries = [f for f in snap.files if f["path"] not in prev]
+            cdc = [e for e in entries if e.get("level") == "cdc"]
+            if cdc:
+                # change-data-feed files (COW merge with cdc.enabled): the
+                # EXACT change records of this commit — use them and ignore
+                # the restated bucket files, making an overwrite snapshot
+                # as precisely readable as an append
+                entries = cdc
+            elif snap.operation in ("overwrite", "unknown") and strict:
+                raise ValueError(
+                    f"v{v} is a logical rewrite ({snap.operation}) with no change-data "
+                    "files; incremental read supports append and cdc.enabled snapshots "
+                    "only — enable the 'cdc.enabled' table property on the producer, or "
+                    "pass strict=False to accept over-delivery of restated rows (safe "
+                    "for LWW consumers)"
+                )
             if not entries:
                 continue
             n_files += len(entries)

@@ -166,6 +166,7 @@ def _merge_once(
 
     target = table.read(buckets=affected)
     target = _conform(target, schema).withColumn("__existing", F.lit(1))
+    cdc_batch = batch  # deduped+conformed: the exact change records
     batch = batch.withColumn("__existing", F.lit(0))
 
     # LWW across old+new; the `prefer` side wins a full order-column tie
@@ -178,6 +179,17 @@ def _merge_once(
 
     write_snap = Snapshot(**{**snap.__dict__, "schema": schema})
     files = table._write_data(merged, write_snap, level="base")
+    if snap.properties.get("cdc.enabled") == "true":
+        # Change Data Feed (Delta's CDF / table_changes, opt-in per table):
+        # a COW merge restates whole buckets, so its added base files are
+        # useless as a changelog. Recording the (already deduped+conformed)
+        # batch as 'cdc'-level files in the SAME commit gives changes()
+        # exact change records for overwrite snapshots — O(batch) extra
+        # write, invisible to normal reads (read() lists base/delta only),
+        # dropped from the live fold at compaction, retained on disk for
+        # exactly the snapshot-retention window (vacuum keeps any file a
+        # retained snapshot references).
+        files = files + table._write_data(cdc_batch, write_snap, level="cdc")
     props = dict(properties_update or {})
     if properties_fn is not None:
         # post-write, pre-commit: Observation metrics from the write job
