@@ -52,8 +52,8 @@ class ConsumeResult:
 
     from_version: int  # exclusive
     to_version: int  # inclusive
-    rows: int
-    merge: MergeStats | None  # None when the range held no logical change
+    rows: int  # change rows applied (post transform + LWW dedup)
+    merge: MergeStats
 
 
 class ChangelogConsumer:
@@ -121,22 +121,16 @@ class ChangelogConsumer:
         if "_deleted" not in out.columns and "_change_type" in out.columns:
             out = out.withColumn("_deleted", F.col("_change_type") == "delete")
         out = out.drop("_change_version", "_change_type")
-        n = out.count()
-        if n == 0:
-            # an empty logical range (e.g. all-tombstone batch filtered by
-            # the transform) still advances the cursor — atomically, via a
-            # data-free property commit
-            self.target.commit(
-                add_files=[], properties_update={self._ckpt_key: str(tip)}
-            )
-            return ConsumeResult(from_v, tip, 0, None)
+        # ONE pass over the changed files: the merge counts the batch itself
+        # (MergeStats.rows_in_batch) and its empty-batch path still commits
+        # the cursor atomically — no separate count() job, no second scan.
         stats = merge_upsert(
             self.target,
             out,
             tombstones=self.tombstones,  # type: ignore[arg-type]
             properties_update={self._ckpt_key: str(tip)},
         )
-        return ConsumeResult(from_v, tip, n, stats)
+        return ConsumeResult(from_v, tip, stats.rows_in_batch, stats)
 
     def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[ConsumeResult]:
         """Drain loop (the downstream S9 analogue): consume until caught up;

@@ -104,10 +104,10 @@ def test_producer_compaction_is_invisible(spark, tmp_path):
     r = c.run_once()
     assert r is not None and r.rows == 1  # ...but only the real change flows
     assert _state(tgt) == _state(src)
-    # a compaction-only range advances the cursor without a merge
+    # a compaction-only range advances the cursor with a data-free commit
     src.compact()
     r2 = c.run_once()
-    assert r2 is not None and r2.rows == 0 and r2.merge is None
+    assert r2 is not None and r2.rows == 0
     assert c.run_once() is None
 
 
