@@ -941,6 +941,42 @@ def q_changelog_consume(spark, sf):
     return tgt.read_current().select("event_id", "user_id", "event_type", "props_chars")
 
 
+def q_sql_view(spark, sf):
+    """SQL surface (tables/format.py SnapshotTable.as_view): the reference
+    exposes its landing/model tables to downstream SQL consumers as
+    Postgres relations (couch2pg -> dbt -> sql-exporter); here the
+    reconciled current state registers as a Spark SQL temp view and an
+    ad-hoc aggregation runs over it in plain SQL. The table holds an
+    initial load PLUS a LWW update merge, so the oracle only matches if
+    the view folds winners exactly like read_current."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+    from cht_sync_spark.tables.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="view_q_")
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        "event_id", "event_type", "user_id", F.col("event_id").alias("seq"),
+        F.lit(False).alias("_deleted"),
+    )
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("seq", False)],
+    )
+    t.append_delta(rows)
+    upd = rows.where(F.col("event_id") % 10 == 0).select(
+        "event_id", F.lit("updated").alias("event_type"), "user_id",
+        (F.col("seq") + F.lit(10**9)).alias("seq"), "_deleted",
+    )
+    merge_upsert(t, upd)
+    t.as_view("events_current")
+    return spark.sql(
+        "SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_id "
+        "FROM events_current GROUP BY event_type"
+    )
+
+
 def q_stats_prune_scan(spark, sf):
     """Manifest-bounds file skipping (tables/format.py file-level column
     statistics — Iceberg's lower_bounds/upper_bounds): commit the events
@@ -1045,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
         "stats_prune_scan": q_stats_prune_scan,
+        "sql_view": q_sql_view,
     }
 
 
@@ -1512,6 +1549,15 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END "
             "    AS change_type "
             "FROM events, m"
+        ),
+        # SQL view over the LWW-reconciled table == grouped winners
+        "sql_view": (
+            "SELECT CASE WHEN event_id % 10 = 0 THEN 'updated' "
+            "  ELSE event_type END AS event_type, "
+            "  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id "
+            "FROM events "
+            "GROUP BY CASE WHEN event_id % 10 = 0 THEN 'updated' "
+            "  ELSE event_type END"
         ),
         # consumer cascade: final derived state == transform over live
         # events (deletes cascaded out by tombstones='drop')

@@ -560,6 +560,19 @@ class SnapshotTable:
         )
         return row.select(bucket_expr(snap.bucket_cols, snap.num_buckets).alias("b")).first()["b"]
 
+    def as_view(self, name: str, drop_tombstones: bool = True) -> str:
+        """Register the reconciled current state as a Spark SQL temp view —
+        the engine's SQL surface (the reference exposes its landing/model
+        tables to downstream SQL consumers as Postgres tables/views;
+        couch2pg feeds dbt which feeds sql-exporter). The view is a LOGICAL
+        plan over the snapshot current at call time: re-register after new
+        commits to advance it (same re-resolution contract as a Postgres
+        view over a swapped table). All scan pruning (bucket layout, file
+        bounds, row-group pushdown) stays available to Catalyst underneath
+        the view; the LWW window folds exactly as read_current."""
+        self.read_current(drop_tombstones=drop_tombstones).createOrReplaceTempView(name)
+        return name
+
     def read_current(
         self,
         version: int | None = None,
