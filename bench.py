@@ -155,6 +155,7 @@ def main() -> None:
         "changelog_read",
         "changelog_consume",
         "stats_prune_scan",
+        "sql_view",
     ):
         t0 = time.monotonic()
         _force(qs[name](spark, sf_dir))

@@ -184,3 +184,32 @@ def test_pending_probe_in_checkpoints(spark, feed_df, tmp_path):
     }
     assert got == want
     assert all(v > 0 for v in got.values())  # first batch leaves a backlog
+
+
+def test_incremental_compaction_folds_only_touched_buckets(spark, tmp_path):
+    """compact() is O(touched buckets): only buckets holding delta (or cdc)
+    files are refolded; untouched buckets keep their base files verbatim,
+    and the result equals a full rewrite."""
+    path = str(tmp_path / "inc")
+    t = SnapshotTable.create(spark, path, KV, ["k"], num_buckets=8)
+    t.append_delta(_kv(spark, 0, 400, "base", 1))
+    t.compact()  # all 8 buckets get a base
+    base_paths = {f["path"]: f["bucket"] for f in t.snapshot().files}
+    # a localized update: single key -> one bucket's delta
+    t.append_delta(_kv(spark, 7, 8, "edit", 2))
+    touched = {f["bucket"] for f in t.snapshot().files if f["level"] == "delta"}
+    assert len(touched) == 1
+    want = {(r.k, r.v) for r in t.read_current().collect()}
+    t.compact()
+    after = t.snapshot()
+    assert not any(f["level"] == "delta" for f in after.files)
+    # untouched buckets kept their ORIGINAL base files (no rewrite)
+    untouched_kept = [
+        f for f in after.files if f["path"] in base_paths and f["bucket"] not in touched
+    ]
+    assert len(untouched_kept) == len(base_paths) - 1
+    assert {(r.k, r.v) for r in t.read_current().collect()} == want
+    # no-op when nothing to fold: version does not advance
+    v = t.current_version()
+    t.compact()
+    assert t.current_version() == v
