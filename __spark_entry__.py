@@ -834,6 +834,22 @@ def q_repetition_stats(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing (functions/corpus.py pack_sequences): lay the
+    documents out deterministically within each source shard and chunk the
+    token stream into 2048-token training bins — concat-then-chunk
+    packed-example assembly. Per-shard window => parallel across shards;
+    the oracle replays the identical prefix-sum arithmetic in SQL."""
+    from cht_sync_spark.functions.corpus import pack_sequences
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"), "source"
+    )
+    return pack_sequences(docs, budget=2048).select(
+        "doc_id", "source", "n_tokens", "bin_id", "bin_offset"
+    )
+
+
 def q_changelog_read(spark, sf):
     """Incremental changelog read (tables/format.py SnapshotTable.changes —
     the Iceberg incremental append scan / downstream-CDC surface): commit
@@ -1078,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
         "stats_prune_scan": q_stats_prune_scan,
@@ -1537,6 +1554,19 @@ def oracle_sql() -> dict[str, str]:
             "  round(CASE WHEN coalesce(n3, 0) > 0 THEN coalesce(dup3, 0) / n3 "
             "    ELSE 0 END, 6) AS dup3_frac "
             "FROM n LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"
+        ),
+        # sequence packing: identical prefix-sum chunking in SQL
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, source, "
+            "  CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+            "    ELSE length(regexp_split_to_array(trim(text), '\\s+')) END "
+            "    AS n_tokens FROM documents) "
+            "SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  CAST((SUM(n_tokens) OVER w - n_tokens) // 2048 AS BIGINT) AS bin_id, "
+            "  CAST((SUM(n_tokens) OVER w - n_tokens) % 2048 AS BIGINT) AS bin_offset "
+            "FROM t "
+            "WINDOW w AS (PARTITION BY source ORDER BY doc_id "
+            "  ROWS UNBOUNDED PRECEDING)"
         ),
         # changelog: exactly-once delivery with commit attribution —
         # batch = event_id third; tombstone rows type as 'delete'

@@ -152,6 +152,7 @@ def main() -> None:
         "dlq_classify",
         "contamination_check",
         "repetition_stats",
+        "pack_sequences",
         "changelog_read",
         "changelog_consume",
         "stats_prune_scan",

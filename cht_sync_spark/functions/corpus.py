@@ -43,6 +43,7 @@ from .text import normalize_text, spread
 __all__ = [
     "contamination",
     "hash_split",
+    "pack_sequences",
     "sample_stratified",
     "repetition_stats",
     "split_threshold_hex",
@@ -287,4 +288,59 @@ def repetition_stats(
         F.round(
             F.when(n3 > 0, s3["dup_items"] / n3).otherwise(0.0), 6
         ).alias("dup3_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-then-chunk training-example assembly)
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins — the
+    concat-then-chunk packing every pretraining pipeline runs between
+    curation and tokenization: documents are laid out in a deterministic
+    order (``id_col`` within ``shard_col``) and the stream is chunked into
+    ``budget``-token windows; each document is attributed to the bin where
+    it STARTS, with its offset inside that bin.
+
+    Output: the input plus ``n_tokens``, ``bin_id`` (per shard, 0-based)
+    and ``bin_offset`` (token position of the doc's first token within its
+    bin). A document longer than the remaining bin space straddles into the
+    next bin(s), exactly like the GPT-style packed-example writer; the
+    consumer slicing physical examples re-derives boundaries from
+    (bin_id, bin_offset, n_tokens).
+
+    Scale: the running sum is a window PARTITIONED BY the shard column —
+    embarrassingly parallel across shards, sequential only within one
+    (a total order over 10^10 docs would be a single-task prefix sum; the
+    per-shard form is how production packers shard the problem, and
+    shard_col granularity is the parallelism knob). Token counts default to
+    whitespace tokens (``token_col`` supplies real tokenizer counts when
+    available). Deterministic: same input -> same bins on any partitioning,
+    any engine (DuckDB oracle replays it verbatim).
+    """
+    from .text import token_count
+
+    toks = F.col(token_col) if token_col else token_count(F.col(text_col))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", toks.cast("long"))
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return (
+        out.withColumn("__before", before)
+        .withColumn("bin_id", (F.col("__before") / F.lit(budget)).cast("long"))
+        .withColumn("bin_offset", F.col("__before") % F.lit(budget))
+        .drop("__before")
     )

@@ -152,3 +152,47 @@ def test_hash_split_zero_shuffle_plan(spark):
     d = _docs(spark, [(1, "a", "en")])
     plan = hash_split(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------- packing
+def test_pack_sequences_hand_computed(spark):
+    from cht_sync_spark.functions.corpus import pack_sequences
+
+    rows = [
+        (1, "a b c", "s1"),          # 3 tokens, before=0  -> bin 0 @ 0
+        (2, "d e f g", "s1"),        # 4 tokens, before=3  -> bin 0 @ 3
+        (3, "h i j k l m", "s1"),    # 6 tokens, before=7  -> bin 0 @ 7 (straddles)
+        (4, "n", "s1"),              # 1 token,  before=13 -> bin 1 @ 3
+        (5, "x y", "s2"),            # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+        for r in pack_sequences(df, budget=10).collect()
+    }
+    assert out == {
+        1: (3, 0, 0),
+        2: (4, 0, 3),
+        3: (6, 0, 7),
+        4: (1, 1, 3),
+        5: (2, 0, 0),
+    }
+
+
+def test_pack_sequences_partition_invariant_and_reconstructs(spark):
+    from cht_sync_spark.functions.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (1 + i % 17)), f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = pack_sequences(df, budget=64).collect()
+    b = pack_sequences(df.repartition(7), budget=64).collect()
+    key = lambda r: (r.doc_id, r.bin_id, r.bin_offset)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # stream reconstruction: within a shard, each doc starts exactly where
+    # the previous one ended (offset arithmetic mod budget)
+    for shard in ("s0", "s1", "s2"):
+        seq = sorted((r for r in a if r.source == shard), key=lambda r: r.doc_id)
+        pos = 0
+        for r in seq:
+            assert (r.bin_id, r.bin_offset) == (pos // 64, pos % 64)
+            pos += r.n_tokens
