@@ -336,11 +336,16 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn("n_tokens", toks.cast("long"))
+    # null text packs as a 0-token doc (size(NULL) is NULL, which would
+    # otherwise null the whole running sum and silently unplace documents)
+    out = df.withColumn("n_tokens", F.coalesce(toks.cast("long"), F.lit(0)))
     before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return (
         out.withColumn("__before", before)
-        .withColumn("bin_id", (F.col("__before") / F.lit(budget)).cast("long"))
+        # integer `div`, not float `/`: a double loses exactness past 2^53,
+        # which a hot shard's cumulative token count can reach — float
+        # rounding there would disagree with the SQL oracle's `//`
+        .withColumn("bin_id", F.expr(f"__before div CAST({int(budget)} AS BIGINT)"))
         .withColumn("bin_offset", F.col("__before") % F.lit(budget))
         .drop("__before")
     )

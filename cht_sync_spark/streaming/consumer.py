@@ -29,7 +29,10 @@ Exactly-once, without coordination between producer and consumer:
 Scale: at 10^10 rows the consumer's cost profile is the ingest pipeline's —
 one keyed shuffle per batch for the LWW fold plus the bucket-pruned merge.
 Producer ``expire_snapshots(keep_last=k)`` bounds how far a consumer may
-lag (k snapshots), the same contract Iceberg gives incremental readers.
+lag: the changelog diff also opens the cursor version itself as the diff
+parent, so the safe lag is **k-1 snapshots** (a consumer exactly k behind
+finds its parent snapshot expired) — the same retention contract Iceberg
+gives incremental readers.
 """
 
 from __future__ import annotations
@@ -166,6 +169,11 @@ class ChangelogConsumer:
         the pipeline's S7 bootstrap."""
         src = source if isinstance(source, SnapshotTable) else SnapshotTable(spark, source)
         snap = src.snapshot()
+        # bucket_cols inherit too (a source bucketed by a key PREFIX, e.g.
+        # conv_id, must not silently become a full-key-bucketed mirror —
+        # that would strip group pruning and point-lookup bucket derivation
+        # from every derived table); only valid when the key is inherited
+        inherit_buckets = (key_cols or list(snap.key_cols)) == list(snap.key_cols)
         return SnapshotTable.create(
             spark,
             target_path,
@@ -174,5 +182,8 @@ class ChangelogConsumer:
             num_buckets=table_kw.pop("num_buckets", snap.num_buckets),
             sort_cols=table_kw.pop("sort_cols", list(snap.sort_cols)),
             lww_order=table_kw.pop("lww_order", list(snap.lww_order)),
+            bucket_cols=table_kw.pop(
+                "bucket_cols", list(snap.bucket_cols) if inherit_buckets else None
+            ),
             **table_kw,
         )

@@ -164,7 +164,13 @@ def _norm_bound(v: Any, dtype: T.DataType) -> Any:
         return None
     if isinstance(dtype, T.TimestampType) or isinstance(dtype, T.TimestampNTZType):
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # anchor at the UNIX epoch: tz-aware values subtract against
+            # the UTC epoch (an epoch carrying v's own offset would shift
+            # the result by that offset and silently mis-prune); naive
+            # values are taken as UTC wall time, matching parquet stats
+            epoch = _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc if v.tzinfo is not None else None
+            )
             return int((v - epoch).total_seconds() * 1_000_000)
         return int(v)  # already micros
     if isinstance(dtype, T.DateType):
@@ -526,6 +532,11 @@ class SnapshotTable:
                     raise ValueError(f"filter column {col!r} not in table schema")
                 if op not in _FILTER_OPS:
                     raise ValueError(f"unsupported filter op {op!r}")
+                if v is None:
+                    raise ValueError(
+                        f"filter value for {col!r} must not be None "
+                        "(a null comparison matches no rows)"
+                    )
                 norm.append((col, op, _norm_bound(v, by_name[col])))
             files = [f for f in files if _entry_matches(f, norm)]
         # scan-size instrumentation: tests assert pruned reads open fewer
@@ -904,31 +915,47 @@ class SnapshotTable:
         last_err: CommitConflict | None = None
         for _ in range(max_retries):
             snap = self.snapshot()
-            todo = (
-                # delta buckets need folding; cdc-holding buckets need
-                # their change-feed entries retired from the live fold
-                # (pure-COW tables have no deltas but do accrete cdc)
-                sorted({f["bucket"] for f in snap.files if f["level"] in ("delta", "cdc")})
-                if buckets is None
-                else sorted(set(buckets))
-            )
-            if not todo:
-                return snap  # nothing to fold
-            cur = self.read_current(buckets=todo)
-            files = self._write_data(cur, snap, level="base")
-            try:
-                return self.commit(
-                    add_files=files,
-                    remove_buckets=set(todo),
-                    # 'cdc' change-feed entries leave the LIVE fold here so
-                    # metadata stays bounded; their files remain on disk
-                    # (and changes()-readable) for the snapshot-retention
-                    # window, since vacuum keeps anything a retained
-                    # historical snapshot references
-                    remove_level=("base", "delta", "cdc"),
-                    expected_version=snap.version,
-                    operation="replace",  # physical-only: changelog skips it
+            if buckets is None:
+                refold = sorted({f["bucket"] for f in snap.files if f["level"] == "delta"})
+                # buckets holding ONLY change-feed entries (pure-COW tables
+                # accrete cdc with no deltas) need a METADATA-ONLY commit to
+                # retire those entries from the live fold — rewriting their
+                # identical base files just to drop manifest rows would
+                # double every merge's write I/O over a maintenance cycle
+                cdc_only = sorted(
+                    {f["bucket"] for f in snap.files if f["level"] == "cdc"}
+                    - set(refold)
                 )
+            else:
+                refold, cdc_only = sorted(set(buckets)), []
+            if not refold and not cdc_only:
+                return snap  # nothing to fold
+            try:
+                out = snap
+                if refold:
+                    cur = self.read_current(buckets=refold)
+                    files = self._write_data(cur, snap, level="base")
+                    out = self.commit(
+                        add_files=files,
+                        remove_buckets=set(refold),
+                        # 'cdc' entries of refolded buckets leave the LIVE
+                        # fold too; their files remain on disk (and
+                        # changes()-readable) for the snapshot-retention
+                        # window, since vacuum keeps anything a retained
+                        # historical snapshot references
+                        remove_level=("base", "delta", "cdc"),
+                        expected_version=snap.version,
+                        operation="replace",  # physical-only: changelog skips
+                    )
+                if cdc_only:
+                    out = self.commit(
+                        add_files=[],
+                        remove_buckets=set(cdc_only),
+                        remove_level=("cdc",),
+                        expected_version=out.version,
+                        operation="replace",
+                    )
+                return out
             except CommitConflict as e:
                 last_err = e  # concurrent append landed: refold from tip
         raise last_err  # type: ignore[misc]
@@ -980,13 +1007,24 @@ class SnapshotTable:
         - ``overwrite``/``unknown`` — a logical rewrite's added files
           restate whole buckets, not just changes. ``strict=True`` (default)
           raises — same contract as Iceberg, whose incremental read
-          supports append snapshots only. ``strict=False`` emits the added
-          files as upserts: an OVER-delivery (unchanged rows reappear) that
-          is safe for any idempotent/LWW consumer and documented as such.
+          supports append snapshots only (enable ``cdc.enabled`` on the
+          producer for exact change files instead). ``strict=False`` emits
+          the added files as upserts: an OVER-delivery (unchanged rows
+          reappear) that is safe for idempotent/LWW consumers PROVIDED the
+          rewrite only restates/upserts rows. A rewrite that REMOVES keys
+          (``overwrite()`` full refresh dropping rows, a
+          ``tombstones='drop'`` COW merge physically deleting) is
+          UNDER-delivered — the removal is invisible to any changelog
+          reader without change files, and a non-strict consumer's target
+          will retain the removed keys. Keep deletes as tombstone rows (the
+          landing-table convention) or enable ``cdc.enabled``.
 
         Snapshots expired by ``expire_snapshots`` cannot be read
-        incrementally (their manifests may be vacuumed) — callers keep
-        ``keep_last`` above their consumer lag, as with Iceberg."""
+        incrementally (their manifests may be vacuumed); reading version
+        range (from, to] also opens ``from``'s own snapshot as the diff
+        parent, so a consumer at cursor c needs ``keep_last >= tip - c + 1``
+        — equivalently, safe lag is ``keep_last - 1`` snapshots, as with
+        Iceberg."""
         to_version = to_version if to_version is not None else self.current_version()
         if to_version < from_version:
             raise ValueError(f"to_version {to_version} < from_version {from_version}")
@@ -1016,7 +1054,8 @@ class SnapshotTable:
                 # carried into a REWRITTEN manifest (same rows, new manifest
                 # name) — without it a COW merge's untouched-row survivors
                 # would re-deliver as changes
-                added_refs = [m for m in snap.manifests if m not in set(parent.manifests)]
+                prev_refs = set(parent.manifests)
+                added_refs = [m for m in snap.manifests if m not in prev_refs]
                 entries = [
                     e
                     for ref in added_refs

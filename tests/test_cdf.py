@@ -149,3 +149,20 @@ def test_strict_consumer_tails_cow_producer(spark, tmp_path):
     assert r2 is not None and r2.rows == 2  # exact: only the changed keys
     assert _state(tgt) == _state(src)
     assert c.run_once() is None
+
+
+def test_cdc_only_buckets_retire_without_data_rewrite(spark, tmp_path):
+    """Compacting a pure-COW table (no deltas, only cdc entries) is a
+    METADATA-only commit: base files carry over verbatim, cdc entries
+    leave the live fold (review finding — refolding identical bases just
+    to drop manifest rows doubles merge write I/O)."""
+    t = _mk(spark, tmp_path / "t")
+    merge_upsert(t, _rows(spark, [("a", 0, "x", 1, False), ("b", 0, "y", 2, False)]))
+    pre = t.snapshot()
+    base_paths = {f["path"] for f in pre.files if f["level"] == "base"}
+    assert any(f["level"] == "cdc" for f in pre.files)
+    t.compact()
+    post = t.snapshot()
+    assert not any(f["level"] == "cdc" for f in post.files)
+    assert {f["path"] for f in post.files if f["level"] == "base"} == base_paths
+    assert _state(t) == {("a", 0, "x", 1), ("b", 0, "y", 2)}

@@ -196,3 +196,14 @@ def test_pack_sequences_partition_invariant_and_reconstructs(spark):
         for r in seq:
             assert (r.bin_id, r.bin_offset) == (pos // 64, pos % 64)
             pos += r.n_tokens
+
+
+def test_pack_sequences_null_text_is_zero_tokens(spark):
+    from cht_sync_spark.functions.corpus import pack_sequences
+
+    rows = [(1, "a b", "s"), (2, None, "s"), (3, "c", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: (r.n_tokens, r.bin_id, r.bin_offset)
+           for r in pack_sequences(df, budget=4).collect()}
+    # the null doc occupies zero tokens and stays PLACED (not null bins)
+    assert out == {1: (2, 0, 0), 2: (0, 0, 2), 3: (1, 0, 2)}

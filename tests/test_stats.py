@@ -197,3 +197,31 @@ def test_stats_survive_compaction_and_prune_after(spark, tmp_path):
     assert got.count() == 100
     # only the post-compaction commit's files match the range
     assert t.last_scan_files < len(t.snapshot().files)
+
+
+def test_tz_aware_filter_values_normalize_to_utc(spark, tmp_path):
+    """A tz-aware filter value must anchor at the UTC epoch — an epoch
+    carrying the value's own offset shifts the normalized micros by that
+    offset and silently over-prunes files (review finding)."""
+    import datetime as dt
+
+    t = _mk(spark, tmp_path / "t", properties={"stats.cols": '["ts"]'})
+    _commit_ranges(spark, t, [(0, 50)])  # ts spans 2024-01-01T00:00:00..49s
+    # +05:00 representation of 2024-01-01T00:00:10 UTC
+    aware = dt.datetime(2024, 1, 1, 5, 0, 10, tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    naive = dt.datetime(2024, 1, 1, 0, 0, 10)
+    from cht_sync_spark.tables.format import _norm_bound
+    from pyspark.sql import types as T
+
+    assert _norm_bound(aware, T.TimestampType()) == _norm_bound(naive, T.TimestampType())
+    got = t.read(filters=[("ts", ">=", naive)])
+    assert got.count() == 40 and t.last_scan_files >= 1
+
+
+def test_none_filter_value_rejected(spark, tmp_path):
+    import pytest
+
+    t = _mk(spark, tmp_path / "t")
+    _commit_ranges(spark, t, [(0, 10)])
+    with pytest.raises(ValueError, match="must not be None"):
+        t.read(filters=[("seq", ">", None)])
