@@ -468,6 +468,22 @@ def q_dedup_ngram_jaccard(spark, sf):
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate-cluster resolution (functions/dedup.py
+    connected_components): near-dup PAIRS collapse into components via
+    min-label propagation, giving every involved doc a cluster id = the
+    minimum reachable doc id (the canonical keeper). The oracle recomputes
+    the same components from the same exact-Jaccard pair set with a
+    recursive CTE, so a wrong merge or a missed transitive link
+    hash-mismatches."""
+    from cht_sync_spark.functions.dedup import connected_components, jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = jaccard_pairs(d, n=2, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash banding + exact-Jaccard verify, fully oracle-checked: the
     md5-permutation signatures (dedup._md5_signature_from_shingles) are
@@ -1074,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_source_naming": q_p6_source_naming,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1268,6 +1285,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
             "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
             "WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"
+        ),
+        # clusters: recursive CTE re-derives min-reachable-id components
+        # over the SAME exact-jaccard pair set
+        "dedup_clusters": (
+            f"WITH RECURSIVE docs AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES2} AS s FROM docs), "
+            "sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh), "
+            "post AS (SELECT doc_id, unnest(s) AS tok FROM sh), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+            "  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+            "  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT u FROM edges), "
+            "reach(u, x) AS (SELECT u, u FROM nodes "
+            "  UNION SELECT e.u, r.x FROM edges e JOIN reach r ON e.v = r.u) "
+            "SELECT u AS doc_id, CAST(min(x) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY u"
         ),
         "similarity_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "

@@ -143,6 +143,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "dedup_simhash",
         "text_stats",
         "similarity_topk",

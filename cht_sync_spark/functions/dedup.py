@@ -441,3 +441,69 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", cosine(F.col("sa.v"), F.col("sb.v")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list — the cluster-resolution step
+    every dedup pipeline runs after pair generation: near-dup PAIRS are not
+    deletable directly (A~B, B~C must collapse to ONE keeper even when A~C
+    was never emitted); components give each doc a cluster id = the MINIMUM
+    doc id reachable from it, which doubles as the canonical-keeper id.
+
+    Algorithm: min-label propagation — each round every node takes the min
+    label in its closed neighborhood (one keyed join + one groupBy-min, all
+    Catalyst). Converges in O(graph diameter) rounds; near-dup graphs are
+    star/clique-shaped (tiny diameter), so this beats the O(log n)
+    large-star/small-star dance in practice while using the same per-round
+    shuffle budget. Every round ``localCheckpoint``s the label frame —
+    without it the iterative plan grows unboundedly and Catalyst re-derives
+    the whole history each round. Raises after ``max_iters`` non-converged
+    rounds (pathological chain graphs; raise the cap or pre-bucket).
+
+    Deterministic: labels are data values (min ids), independent of
+    partitioning and engine — a recursive-CTE SQL oracle replays it.
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = sym.select("u").distinct().withColumn("comp", F.col("u")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(
+                lab.select(F.col("u").alias("v"), F.col("comp").alias("vcomp")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("ncomp"))
+        )
+        new = (
+            lab.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "nc")
+            .join(lab, "u")
+            .where(F.col("nc") != F.col("comp"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select(F.col("u").alias("node"), "comp")
+    raise RuntimeError(f"connected_components: no convergence in {max_iters} rounds")

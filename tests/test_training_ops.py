@@ -380,3 +380,34 @@ def test_quantize_int8_bound_and_cosine_approx(spark):
     )
     max_dev = cmp.select(F.max(F.abs(F.col("c_f") - F.col("c_q"))).alias("d")).first()["d"]
     assert max_dev < 0.02, max_dev
+
+
+# ---------------------------------------------------- cluster resolution
+def test_connected_components_transitive_merge(spark):
+    from cht_sync_spark.functions.dedup import connected_components
+
+    # chain 1-2-3 plus isolated pair 10-11: transitivity must merge the
+    # chain even though (1,3) was never emitted as a pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_partition_invariant(spark):
+    from cht_sync_spark.functions.dedup import connected_components
+
+    import random
+
+    rnd = random.Random(7)
+    # several star clusters + a longer chain
+    edges = [(100 * c, 100 * c + i) for c in range(1, 6) for i in range(1, 8)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(10)]
+    rnd.shuffle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r.node, r.comp) for r in connected_components(df).collect()}
+    b = {(r.node, r.comp) for r in connected_components(df.repartition(13)).collect()}
+    assert a == b
+    # every chain node folds to the chain minimum
+    assert all(comp == 1000 for n, comp in a if n >= 1000)
