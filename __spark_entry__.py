@@ -973,6 +973,36 @@ def q_changelog_consume(spark, sf):
     return tgt.read_current().select("event_id", "user_id", "event_type", "props_chars")
 
 
+def q_time_travel_tag(spark, sf):
+    """Named-ref time travel (tables/format.py tag/resolve_ref — Iceberg
+    table refs): commit the events table twice, tag the first snapshot,
+    run maintenance (expire+vacuum with keep_last=1, which would destroy
+    untagged history), then read back THROUGH the tag. The oracle is the
+    first commit's slice recomputed from raw events — a tag that failed to
+    pin its snapshot (or a read that leaked post-tag rows) mismatches."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="tag_q_")
+    ev = _t(spark, sf, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    rows = ev.select("event_id", "user_id", "event_type", "value")
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("event_id", True)],
+    )
+    t.append_delta(rows.where(F.col("event_id") <= hi // 2))
+    t.tag("first_half")
+    t.append_delta(rows.where(F.col("event_id") > hi // 2))
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(grace_seconds=0.0)
+    return t.read(version=t.resolve_ref("first_half")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 def q_sql_view(spark, sf):
     """SQL surface (tables/format.py SnapshotTable.as_view): the reference
     exposes its landing/model tables to downstream SQL consumers as
@@ -1116,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_consume": q_changelog_consume,
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
+        "time_travel_tag": q_time_travel_tag,
     }
 
 
@@ -1617,6 +1648,12 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END "
             "    AS change_type "
             "FROM events, m"
+        ),
+        # tag time travel: the pinned first commit == the raw first half
+        "time_travel_tag": (
+            "WITH m AS (SELECT max(event_id) AS hi FROM events) "
+            "SELECT event_id, user_id, event_type, value "
+            "FROM events, m WHERE event_id <= hi // 2"
         ),
         # SQL view over the LWW-reconciled table == grouped winners
         "sql_view": (

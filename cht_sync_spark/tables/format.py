@@ -752,7 +752,11 @@ class SnapshotTable:
                 )
             keep_refs, keep = self._keep_manifests(parent, remove_buckets, remove_level)
             props = dict(parent.properties)
-            props.update(properties_update or {})
+            for k, v in (properties_update or {}).items():
+                if v is None:
+                    props.pop(k, None)  # None deletes the key (tag removal)
+                else:
+                    props[k] = v
             snap = Snapshot(
                 version=parent.version + 1,
                 schema=new_schema or parent.schema,
@@ -1102,6 +1106,38 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    # ----------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named TAG to a snapshot version (Iceberg table refs): the
+        tagged snapshot survives ``expire_snapshots`` (and therefore its
+        files survive ``vacuum``) until the tag is dropped — the audit /
+        reproducibility handle ('the table as training run X saw it').
+        The tag itself is a table property committed atomically, so it is
+        as crash-safe as any commit. Returns the pinned version."""
+        v = version if version is not None else self.current_version()
+        if v not in self._versions():
+            raise ValueError(f"version {v} does not exist (or was expired)")
+        self.commit(add_files=[], properties_update={f"tag.{name}": str(v)})
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the snapshot it pinned becomes expirable again."""
+        self.commit(add_files=[], properties_update={f"tag.{name}": None})
+
+    def tags(self) -> dict[str, int]:
+        return {
+            k[len("tag."):]: int(v)
+            for k, v in self.snapshot().properties.items()
+            if k.startswith("tag.")
+        }
+
+    def resolve_ref(self, name: str) -> int:
+        """Tag name -> pinned snapshot version (for ``read(version=...)``)."""
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"unknown tag {name!r}; have {sorted(t)}")
+        return t[name]
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Remove manifests older than the last ``keep_last`` snapshots
@@ -1110,9 +1146,15 @@ class SnapshotTable:
         deltas-since-compaction), and expiry keeps the manifest DIRECTORY
         from growing O(commits) over a long replay. Returns the number of
         manifests removed. Time travel remains available across the kept
-        window only."""
+        window only — EXCEPT tagged versions (:meth:`tag`), which are
+        retained regardless of age until their tag is dropped."""
         versions = self._versions()
-        expired = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        pinned = set(self.tags().values())
+        expired = [
+            v
+            for v in (versions[:-keep_last] if keep_last > 0 else versions[:-1])
+            if v not in pinned
+        ]
         d = os.path.join(self.path, _SNAPDIR)
         for v in expired:
             os.remove(os.path.join(d, f"v{v:08d}.json"))

@@ -213,3 +213,31 @@ def test_incremental_compaction_folds_only_touched_buckets(spark, tmp_path):
     v = t.current_version()
     t.compact()
     assert t.current_version() == v
+
+
+def test_tags_pin_snapshots_through_expire_and_vacuum(spark, tmp_path):
+    """A tagged snapshot (Iceberg ref) survives expire_snapshots + vacuum:
+    time travel to the tag keeps working and its files stay on disk; after
+    drop_tag the snapshot becomes expirable again."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, KV, ["k"], num_buckets=2)
+    t.append_delta(_kv(spark, 0, 30, "v0", 1))
+    pinned = t.tag("audit")
+    want = {(r.k, r.v) for r in t.read(version=pinned).collect()}
+    for i in range(1, 4):
+        t.append_delta(_kv(spark, 0, 30, f"v{i}", i + 1))
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(grace_seconds=0)
+    assert t.tags() == {"audit": pinned}
+    # historical read through the tag is intact post-maintenance
+    got = {(r.k, r.v) for r in t.read(version=t.resolve_ref("audit")).collect()}
+    assert got == want and all(v == "v0" for _, v in got)
+    # dropping the tag releases the pin
+    t.drop_tag("audit")
+    t.expire_snapshots(keep_last=1)
+    assert t.vacuum(grace_seconds=0) > 0
+    import pytest
+
+    with pytest.raises(Exception):
+        t.read(version=pinned)
