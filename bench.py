@@ -32,6 +32,14 @@ _default_tmp = "/dev/shm/cht_sync_bench" if os.path.isdir("/dev/shm") else "/tmp
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", _default_tmp)
 # page-zero the heap at JVM startup, outside the timed sections
 os.environ.setdefault("SPARK_GRAFT_JVM_OPTS", "-Xms16g -XX:+AlwaysPreTouch")
+# table-building driver queries (changelog/consumer/stats/tag) create their
+# working tables via tempfile.mkdtemp — put those on tmpfs too, or the
+# shared virtual disk adds 2x noise to exactly those queries
+os.makedirs(os.path.join(BENCH_TMP, "qtmp"), exist_ok=True)
+os.environ.setdefault("TMPDIR", os.path.join(BENCH_TMP, "qtmp"))
+import tempfile
+
+tempfile.tempdir = None  # re-read TMPDIR on next use
 
 
 def _sf_of(sf_dir: str) -> float:
