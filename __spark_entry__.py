@@ -1086,6 +1086,91 @@ def q_multimodal_meta(spark, sf):
     return decode_media(media, mode="fake").select("media_id", "kind", "n_bytes", "sha256")
 
 
+def _events_as_feed(spark, sf):
+    """events → CHANGE_EVENT-shaped feed rows (seq=event_id), split into two
+    feed-partition directories by user parity (the S8 multi-source layout)."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("h/db"), (F.col("user_id") % 3).cast("string")).alias("source"),
+        F.col("event_type").alias("op"),
+        F.col("event_id").cast("string").alias("id"),
+        F.concat(F.lit("1-"), F.md5(F.col("event_id").cast("string"))).alias("rev"),
+        F.col("props").alias("doc"),
+        (F.col("user_id") % 2).cast("int").alias("fpart"),
+    )
+
+
+def q_datasource_changes_pull(spark, sf):
+    """Batch read through the `cht_changes` Python Data Source
+    (sources/datasource.py — the reference's `_changes?since=&limit=` pull,
+    importer.js:142-175, as a registered Spark format): two feed-partition
+    dirs, seq-range options pruned at the planner from parquet footers, a
+    declared-source filter, Arrow batches end-to-end. The oracle recomputes
+    every projected column (incl. the md5 rev and the slice id) from raw
+    events, so a dropped/duplicated/mis-sliced row hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.sources.datasource import register
+    from cht_sync_spark.sources.feedgen import write_feed
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="ds_pull_q_")
+    rows = _events_as_feed(spark, sf)
+    for p in (0, 1):
+        write_feed(rows.where(F.col("fpart") == p).drop("fpart"), f"{work}/f{p}", n_files=2)
+    hi = _t(spark, sf, "events").agg(F.max("event_id")).first()[0]
+    lo, up = hi // 5, (4 * hi) // 5
+    got = (
+        spark.read.format("cht_changes")
+        .option("path", f"{work}/f0,{work}/f1")
+        .option("since", lo)
+        .option("until", up)
+        .option("sources", "h/db0,h/db2")
+        .load()
+    )
+    return got.withColumnRenamed("_feed_partition", "feed_part")
+
+
+def q_datasource_stream_drain(spark, sf):
+    """Admission-capped streaming drain through `cht_changes` readStream:
+    offsets are per-feed-partition seq cursors in Spark's OWN offset log
+    (the couchdb_progress side table, importer.js:177-183, replaced by the
+    engine checkpoint). Drains the feed in capped micro-batches into
+    per-epoch sinks, then drains AGAIN from the same checkpoint (must
+    deliver zero), and returns per-source totals over everything delivered —
+    a duplicated or lost event breaks count/min/max/sum vs raw events."""
+    import tempfile
+
+    from cht_sync_spark.sources.datasource import drain
+
+    work = tempfile.mkdtemp(prefix="ds_drain_q_")
+    from cht_sync_spark.sources.feedgen import write_feed
+
+    write_feed(_events_as_feed(spark, sf).drop("fpart"), f"{work}/feed", n_files=8)
+    sink = f"{work}/sink"
+
+    def apply(df, epoch_id):
+        # per-epoch overwrite -> idempotent under foreachBatch retries
+        df.drop("_feed_partition").write.mode("overwrite").parquet(f"{sink}/{epoch_id}")
+
+    drain(spark, f"{work}/feed", f"{work}/ck", apply, events_per_batch=2500)
+    redelivered: list[int] = []
+    drain(
+        spark, f"{work}/feed", f"{work}/ck",
+        lambda df, _e: redelivered.append(df.count()),
+        events_per_batch=2500,
+    )
+    assert sum(redelivered) == 0, "re-drain from committed checkpoint delivered rows"
+    got = spark.read.parquet(f"{sink}/*")
+    return got.groupBy("source").agg(
+        F.count("*").alias("n_events"),
+        F.min("seq").alias("lo_seq"),
+        F.max("seq").alias("hi_seq"),
+        F.sum("seq").alias("seq_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_changes_batch_pull": q_s1_changes_batch_pull,
@@ -1144,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
+        "datasource_changes_pull": q_datasource_changes_pull,
+        "datasource_stream_drain": q_datasource_stream_drain,
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
@@ -1670,6 +1757,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, "
             "  CAST(length(coalesce(props, '')) AS BIGINT) AS props_chars "
             "FROM events WHERE event_id % 13 <> 0"
+        ),
+        # cht_changes batch pull: every projected column recomputed from raw
+        # events (seq range, declared-source filter, md5 rev, slice id)
+        "datasource_changes_pull": (
+            "WITH m AS (SELECT max(event_id) AS hi FROM events) "
+            "SELECT event_id AS seq, "
+            "  'h/db' || CAST(user_id % 3 AS VARCHAR) AS source, "
+            "  event_type AS op, CAST(event_id AS VARCHAR) AS id, "
+            "  '1-' || md5(CAST(event_id AS VARCHAR)) AS rev, props AS doc, "
+            "  CAST(user_id % 2 AS INT) AS feed_part "
+            "FROM events, m "
+            "WHERE event_id > hi // 5 AND event_id <= (4 * hi) // 5 "
+            "  AND (user_id % 3) IN (0, 2)"
+        ),
+        # capped streaming drain + re-drain: per-source totals over the
+        # union of all micro-batches == raw events (dups/loss break sums)
+        "datasource_stream_drain": (
+            "SELECT 'h/db' || CAST(user_id % 3 AS VARCHAR) AS source, "
+            "  COUNT(*) AS n_events, MIN(event_id) AS lo_seq, "
+            "  MAX(event_id) AS hi_seq, CAST(SUM(event_id) AS BIGINT) AS seq_sum "
+            "FROM events GROUP BY 1"
         ),
         # stats-pruned scan == the plain filter (file skipping is invisible
         # to semantics; the files-opened bound is asserted in pytest)

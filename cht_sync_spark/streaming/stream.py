@@ -65,11 +65,20 @@ class StreamingReplay:
         maintenance_every: int | None = None,
         maintenance_keep_snapshots: int = 20,
         dlq_path: str | None = None,
+        source_format: Literal["parquet", "cht_changes"] = "parquet",
+        events_per_trigger: int = 0,
     ):
         self.spark = spark
         self.feed_path = feed_path
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        # "parquet": the built-in file stream (batch boundaries = files,
+        # maxFilesPerTrigger). "cht_changes": the custom Python data source
+        # (sources/datasource.py) — offsets ARE per-feed-partition seq
+        # cursors and batch boundaries are event-count caps
+        # (events_per_trigger, 0 = unthrottled), independent of file layout.
+        self.source_format = source_format
+        self.events_per_trigger = events_per_trigger
         self.mode = mode
         self.sources = sources
         self.fail_after_batches = fail_after_batches
@@ -294,6 +303,18 @@ class StreamingReplay:
 
     # ------------------------------------------------------------------ runs
     def _stream(self) -> DataFrame:
+        if self.source_format == "cht_changes":
+            from cht_sync_spark.sources.datasource import register
+
+            register(self.spark)
+            reader = self.spark.readStream.format("cht_changes").option(
+                "path", self.feed_path
+            )
+            if self.events_per_trigger:
+                reader = reader.option("eventsPerBatch", self.events_per_trigger)
+            # source filtering happens in _apply_batch for both forms; the
+            # slice id column is the file stream's schema parity drop
+            return reader.load().drop("_feed_partition")
         return (
             self.spark.readStream.schema(CHANGE_EVENT)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
@@ -303,6 +324,21 @@ class StreamingReplay:
     def run_available_now(self, timeout_sec: int = 3600) -> None:
         """Drain everything currently in the feed, then stop
         (trigger(availableNow) — the reference's drain-until-empty loop)."""
+        if self.source_format == "cht_changes" and self.events_per_trigger:
+            # capped multi-batch drain: trigger(availableNow) on a capped
+            # Python source stops after ONE cap's worth (no
+            # SupportsTriggerAvailableNow hook) — loop until caught up
+            from cht_sync_spark.sources.datasource import drain
+
+            drain(
+                self.spark,
+                self.feed_path,
+                self.checkpoint_dir,
+                lambda df, eid: self._apply_batch(df.drop("_feed_partition"), eid),
+                events_per_batch=self.events_per_trigger,
+                timeout_sec=timeout_sec,
+            )
+            return
         q = (
             self._stream()
             .writeStream.foreachBatch(self._apply_batch)
