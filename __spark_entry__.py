@@ -1086,7 +1086,7 @@ def q_multimodal_meta(spark, sf):
     return decode_media(media, mode="fake").select("media_id", "kind", "n_bytes", "sha256")
 
 
-def _events_as_feed(spark, sf):
+def _events_as_feed_rows(spark, sf):
     """events → CHANGE_EVENT-shaped feed rows (seq=event_id), split into two
     feed-partition directories by user parity (the S8 multi-source layout)."""
     ev = _t(spark, sf, "events")
@@ -1116,7 +1116,7 @@ def q_datasource_changes_pull(spark, sf):
 
     register(spark)
     work = tempfile.mkdtemp(prefix="ds_pull_q_")
-    rows = _events_as_feed(spark, sf)
+    rows = _events_as_feed_rows(spark, sf)
     for p in (0, 1):
         write_feed(rows.where(F.col("fpart") == p).drop("fpart"), f"{work}/f{p}", n_files=2)
     hi = _t(spark, sf, "events").agg(F.max("event_id")).first()[0]
@@ -1147,7 +1147,7 @@ def q_datasource_stream_drain(spark, sf):
     work = tempfile.mkdtemp(prefix="ds_drain_q_")
     from cht_sync_spark.sources.feedgen import write_feed
 
-    write_feed(_events_as_feed(spark, sf).drop("fpart"), f"{work}/feed", n_files=8)
+    write_feed(_events_as_feed_rows(spark, sf).drop("fpart"), f"{work}/feed", n_files=8)
     sink = f"{work}/sink"
 
     def apply(df, epoch_id):

@@ -266,6 +266,10 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # branch handles point at a sibling snapshot dir; data files and
+        # manifest files are SHARED across branches (immutable, content-
+        # addressed), so a branch is metadata-only until it commits
+        self._snapdir = _SNAPDIR
         self.last_scan_files = 0  # files opened by the most recent read()
         # Manifest parse cache keyed by version. Manifests are IMMUTABLE
         # once committed (O_EXCL claim + atomic rename), so a parsed
@@ -306,7 +310,7 @@ class SnapshotTable:
 
             names = {f.name for f in schema.fields}
             lww_order = [(c, asc) for c, asc in LWW_ORDER if c in names]
-        os.makedirs(os.path.join(path, _SNAPDIR), exist_ok=True)
+        os.makedirs(os.path.join(path, t._snapdir), exist_ok=True)
         os.makedirs(os.path.join(path, _DATADIR), exist_ok=True)
         try:
             t._write_manifest(
@@ -333,7 +337,7 @@ class SnapshotTable:
         return t
 
     def exists(self) -> bool:
-        d = os.path.join(self.path, _SNAPDIR)
+        d = os.path.join(self.path, self._snapdir)
         return os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d))
 
     # ------------------------------------------------------------- snapshots
@@ -342,7 +346,7 @@ class SnapshotTable:
         is empty until the atomic rename lands, so zero-size manifests are
         in-flight commits, not visible snapshots (reading one raced a
         JSONDecodeError before this guard)."""
-        d = os.path.join(self.path, _SNAPDIR)
+        d = os.path.join(self.path, self._snapdir)
         out = []
         for f in os.listdir(d):
             if not (f.startswith("v") and f.endswith(".json")):
@@ -380,7 +384,7 @@ class SnapshotTable:
         cached = self._snap_cache.get(v)
         if cached is not None:
             return cached
-        fp = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
+        fp = os.path.join(self.path, self._snapdir, f"v{v:08d}.json")
         # Retry window for the claim->rename race when an explicit version
         # is requested (the default path already filters in-flight claims).
         m = None
@@ -460,7 +464,7 @@ class SnapshotTable:
         return [self.snapshot(v) for v in self._versions()]
 
     def _write_manifest(self, snap: Snapshot) -> None:
-        d = os.path.join(self.path, _SNAPDIR)
+        d = os.path.join(self.path, self._snapdir)
         final = os.path.join(d, f"v{snap.version:08d}.json")
         # O_EXCL claim: a concurrent writer racing to the same version loses
         # here and must retry on top of the new snapshot.
@@ -1008,7 +1012,7 @@ class SnapshotTable:
           rows, else 'upsert'; consumers apply the table's own LWW to fold,
           exactly like ``read_current``).
         - ``replace`` (compaction) — no logical change; SKIPPED.
-        - ``overwrite``/``unknown`` — a logical rewrite's added files
+        - ``overwrite``/``unknown``/``rollback`` — a logical rewrite's added files
           restate whole buckets, not just changes. ``strict=True`` (default)
           raises — same contract as Iceberg, whose incremental read
           supports append snapshots only (enable ``cdc.enabled`` on the
@@ -1047,7 +1051,7 @@ class SnapshotTable:
             snap = self.snapshot(v)
             if snap.operation in ("replace", "create"):
                 continue  # no logical change
-            if snap.operation not in ("append", "overwrite", "unknown"):
+            if snap.operation not in ("append", "overwrite", "unknown", "rollback"):
                 raise ValueError(f"unknown snapshot operation {snap.operation!r} at v{v}")
             parent = self.snapshot(v - 1) if snap.parent is not None else None
             prev = {f["path"] for f in (parent.files if parent else [])}
@@ -1069,7 +1073,24 @@ class SnapshotTable:
             else:  # legacy inline file lists: diff by path
                 entries = [f for f in snap.files if f["path"] not in prev]
             cdc = [e for e in entries if e.get("level") == "cdc"]
-            if cdc:
+            if snap.operation == "rollback":
+                # a rollback RESTORES an old snapshot's file set; any
+                # resurrected cdc-level files (re-added because a later
+                # compaction had dropped them from the fold) are the change
+                # records of a PAST commit, not this one — never deliver
+                # them as a precise feed, and drop them from the non-strict
+                # over-delivery set (their stale tombstone markers are not
+                # part of the restored state)
+                entries = [e for e in entries if e.get("level") != "cdc"]
+                if strict:
+                    raise ValueError(
+                        f"v{v} is a logical rewrite (rollback) — a restore is not "
+                        "expressible as row-level deltas; re-seed the consumer from "
+                        "the restored state, or pass strict=False to accept "
+                        "over-delivery of restated rows (safe for LWW consumers "
+                        "only if their fold tolerates resurrected older versions)"
+                    )
+            elif cdc:
                 # change-data-feed files (COW merge with cdc.enabled): the
                 # EXACT change records of this commit — use them and ignore
                 # the restated bucket files, making an overwrite snapshot
@@ -1138,6 +1159,176 @@ class SnapshotTable:
             raise ValueError(f"unknown tag {name!r}; have {sorted(t)}")
         return t[name]
 
+    # ------------------------------------------------------------- branches
+    # A branch is an independent snapshot CHAIN over the same table
+    # directory (Iceberg branch refs / the write-audit-publish pattern):
+    # its snapshots live in a sibling `_snapshots.br-<name>/` dir while data
+    # files and manifest files are shared immutably, so forking is a
+    # metadata-only copy of one snapshot JSON and branch writes never touch
+    # what main readers see. vacuum() treats every branch's snapshots as
+    # retention roots, so branch-only files survive until the branch is
+    # dropped.
+
+    def _branch_snapdir(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad branch name {name!r}")
+        return f"{_SNAPDIR}.br-{name}"
+
+    def create_branch(self, name: str, version: int | None = None) -> "SnapshotTable":
+        """Fork a branch at ``version`` (default: current tip). The fork is
+        one snapshot-JSON copy — O(1), no data movement. Returns the branch
+        handle; every write/read/merge API works on it unchanged.
+
+        The branch DIRECTORY is the exclusivity claim (``mkdir`` is atomic),
+        so two racing creates — even at different fork versions — resolve to
+        exactly one winner; the loser gets FileExistsError. A create that
+        crashes between mkdir and the snapshot rename leaves an empty claim
+        dir: ``branch()`` refuses it (no snapshot) and ``drop_branch``
+        removes it."""
+        if self._snapdir != _SNAPDIR:
+            raise ValueError("branches fork from the main table, not from a branch")
+        v = version if version is not None else self.current_version()
+        src = os.path.join(self.path, self._snapdir, f"v{v:08d}.json")
+        d = os.path.join(self.path, self._branch_snapdir(name))
+        try:
+            os.mkdir(d)  # atomic claim — no TOCTOU window
+        except FileExistsError as e:
+            raise FileExistsError(f"branch {name!r} already exists at {self.path}") from e
+        with open(src) as fh:
+            body = fh.read()  # copy RAW bytes: the fork is byte-identical
+        tmp = os.path.join(d, f"v{v:08d}.json.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(body)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(d, f"v{v:08d}.json"))
+        _fsync_dir(d)
+        return self.branch(name)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Handle for an existing branch (same table path, sibling snapshot
+        chain). Shares this handle's parsed-manifest cache — manifest files
+        are immutable and uuid-named, so entries are chain-agnostic."""
+        t = SnapshotTable(self.spark, self.path)
+        t._snapdir = self._branch_snapdir(name)
+        t._manifest_cache = self._manifest_cache
+        if not t.exists():
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        return t
+
+    def branches(self) -> list[str]:
+        pre = f"{_SNAPDIR}.br-"
+        try:
+            return sorted(
+                d[len(pre):] for d in os.listdir(self.path) if d.startswith(pre)
+            )
+        except OSError:
+            return []
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's snapshot chain (abandoning a failed audit).
+        Branch-ONLY data/manifest files become unreferenced and are
+        reclaimed by the next grace-aged :meth:`vacuum`."""
+        d = os.path.join(self.path, self._branch_snapdir(name))
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        shutil.rmtree(d)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: advance main to the branch head's STATE in one
+        atomic commit — the WAP publish step. All post-fork branch commits
+        squash into a single main snapshot referencing the branch head's
+        (already-durable, shared) manifests, so publication is all-or-
+        nothing: either main's readers see the fully-audited head, or — if a
+        concurrent main writer claims the slot first — CommitConflict, with
+        main untouched. (Per-commit publication would let a crash or race
+        strand main on an unaudited intermediate branch snapshot.) The
+        branch keeps the fine-grained history until dropped.
+
+        Requires main's tip to be the branch's fork point (no main commits
+        since the fork); otherwise the audit ran against a stale base and
+        the caller must re-fork. The published snapshot is an ``append``
+        when the branch only added files (changelog readers see exactly the
+        net additions) and an ``overwrite`` otherwise (cdc files added on
+        the branch ride along, so cdc-enabled tables stay precisely
+        readable). Returns the new tip."""
+        if self._snapdir != _SNAPDIR:
+            raise ValueError("fast_forward publishes to the main table, not to a branch")
+        br = self.branch(name)
+        bvs = br._versions()
+        tip = self.current_version()
+        # version NUMBERS collide across chains (main's post-fork v3 and the
+        # branch's v3 are different snapshots), so membership of the number
+        # alone proves nothing — the tip snapshot must be content-identical
+        # to the branch's snapshot at that version (i.e. main has not moved
+        # since the fork).
+        if tip not in bvs or self.snapshot(tip) != br.snapshot(tip):
+            raise CommitConflict(
+                f"fast_forward({name!r}): main tip v{tip} is not on the branch "
+                f"(fork base v{bvs[0] if bvs else '?'}); re-fork and re-audit"
+            )
+        base = self.snapshot(tip)
+        head = br.snapshot()
+        if head.version == tip:
+            return tip  # nothing committed on the branch
+        removed = {f["path"] for f in base.files} - {f["path"] for f in head.files}
+        snap = Snapshot(
+            version=tip + 1,
+            schema=head.schema,
+            key_cols=head.key_cols,
+            bucket_cols=head.bucket_cols,
+            num_buckets=head.num_buckets,
+            sort_cols=head.sort_cols,
+            lww_order=head.lww_order,
+            files=list(head.files),
+            # fork-point identity means main's refs/props are a subset of the
+            # branch's inherited ones, so adopting the head's is lossless
+            properties=dict(head.properties),
+            parent=tip,
+            manifests=list(head.manifests) if head.manifests is not None else None,
+            operation="append" if not removed else "overwrite",
+        )
+        self._write_manifest(snap)  # O_EXCL claim: all-or-nothing publish
+        return snap.version
+
+    def rollback(self, version: int | None = None, *, to_ref: str | None = None) -> "Snapshot":
+        """Restore the table to an older snapshot's state by committing a
+        NEW snapshot with that content (history moves forward; nothing is
+        rewound or deleted, so concurrent readers and time travel are
+        unaffected). ``to_ref`` accepts a tag name. The snapshot is marked
+        ``operation="rollback"`` — changelog readers refuse to cross it
+        (a restore is not expressible as row-level deltas without a diff),
+        exactly like any other restatement."""
+        if to_ref is not None:
+            version = self.resolve_ref(to_ref)
+        if version is None:
+            raise ValueError("rollback needs a version or to_ref")
+        old = self.snapshot(version)  # raises if expired
+        tip = self.snapshot()
+        # tags are REFS, not table state: restore the old snapshot's
+        # state-coupled properties (checkpoints, cursors — they must match
+        # the restored data) but carry the TIP's tag set forward, or a
+        # rollback would silently unpin every tag created after `version`
+        # and expire_snapshots/vacuum would reap the snapshots they protect
+        props = {k: v for k, v in old.properties.items() if not k.startswith("tag.")}
+        props.update({k: v for k, v in tip.properties.items() if k.startswith("tag.")})
+        snap = Snapshot(
+            version=tip.version + 1,
+            schema=old.schema,
+            key_cols=old.key_cols,
+            bucket_cols=old.bucket_cols,
+            num_buckets=old.num_buckets,
+            sort_cols=old.sort_cols,
+            lww_order=old.lww_order,
+            files=list(old.files),
+            properties=props,
+            parent=tip.version,
+            manifests=list(old.manifests) if old.manifests is not None else None,
+            operation="rollback",
+        )
+        self._write_manifest(snap)  # O_EXCL claim: loses cleanly to a racer
+        return snap
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Remove manifests older than the last ``keep_last`` snapshots
@@ -1155,7 +1346,7 @@ class SnapshotTable:
             for v in (versions[:-keep_last] if keep_last > 0 else versions[:-1])
             if v not in pinned
         ]
-        d = os.path.join(self.path, _SNAPDIR)
+        d = os.path.join(self.path, self._snapdir)
         for v in expired:
             os.remove(os.path.join(d, f"v{v:08d}.json"))
             self._snap_cache.pop(v, None)
@@ -1179,12 +1370,31 @@ class SnapshotTable:
 
         live: set[str] = set()
         live_manifests: set[str] = set()
-        for v in self._versions():
-            snap = self.snapshot(v)
-            for f in snap.files:
-                live.add(os.path.normpath(f["path"]))
-            for ref in snap.manifests or []:
-                live_manifests.add(os.path.normpath(ref))
+        # every snapshot CHAIN over this directory is a retention root:
+        # main plus all branches (a branch-only file must survive until its
+        # branch is dropped or expires it)
+        chains: list[SnapshotTable] = [self]
+        for name in self.branches():
+            h = SnapshotTable(self.spark, self.path)
+            h._snapdir = self._branch_snapdir(name)
+            # immutable uuid-named manifests: share the parsed cache so a
+            # maintenance-cadence vacuum doesn't re-read every branch's
+            # manifest JSON each cycle
+            h._manifest_cache = self._manifest_cache
+            if h._snapdir != self._snapdir:
+                chains.append(h)
+        if self._snapdir != _SNAPDIR:
+            main = SnapshotTable(self.spark, self.path)
+            main._manifest_cache = self._manifest_cache
+            if main.exists():
+                chains.append(main)
+        for h in chains:
+            for v in h._versions():
+                snap = h.snapshot(v)
+                for f in snap.files:
+                    live.add(os.path.normpath(f["path"]))
+                for ref in snap.manifests or []:
+                    live_manifests.add(os.path.normpath(ref))
         data_root = os.path.join(self.path, _DATADIR)
         cutoff = _time.time() - grace_seconds
         removed = 0
