@@ -1003,6 +1003,47 @@ def q_time_travel_tag(spark, sf):
     )
 
 
+def q_branch_wap_publish(spark, sf):
+    """Write-audit-publish over a table branch (tables/format.py
+    create_branch / fast_forward — Iceberg's WAP pattern): commit a base
+    slice of the events table to main, fork an audit branch, LWW-MERGE the
+    second slice there (overlapping keys, so winners change), audit the
+    staged state on the branch, verify ISOLATION (main must be untouched
+    pre-publish — a leak raises), then publish atomically. The oracle
+    recomputes the per-key LWW winners over ALL events with plain SQL, so
+    a lost branch row, a leaked pre-publish write, a stale winner, or a
+    non-atomic publish hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.operators.contracts import check_contract
+    from cht_sync_spark.tables.format import SnapshotTable
+    from cht_sync_spark.tables.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="wap_q_")
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 997).alias("k"),
+        F.col("event_type").alias("v"),
+        F.col("event_id").alias("seq"),
+    )
+    hi = ev.agg(F.max("event_id")).first()[0]
+    c = hi // 2
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["k"],
+        num_buckets=8, lww_order=[("seq", False)],
+    )
+    t.append_delta(rows.where(F.col("seq") <= c))
+    base_count = t.read_current().count()
+    br = t.create_branch("audit")
+    merge_upsert(br, rows.where(F.col("seq") > c))
+    # the audit step: staged state must be key-unique and complete
+    check_contract(br.read_current(), unique_key=["k"], not_null=["k", "seq"])
+    if t.read_current().count() != base_count:
+        raise AssertionError("branch write leaked into main before publish")
+    t.fast_forward("audit")
+    return t.read_current().select("k", "v", "seq")
+
+
 def q_sql_view(spark, sf):
     """SQL surface (tables/format.py SnapshotTable.as_view): the reference
     exposes its landing/model tables to downstream SQL consumers as
@@ -1234,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
+        "branch_wap_publish": q_branch_wap_publish,
     }
 
 
@@ -1735,6 +1777,15 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END "
             "    AS change_type "
             "FROM events, m"
+        ),
+        # WAP publish: main's post-publish state == per-key LWW winners
+        # (max seq) recomputed over ALL events
+        "branch_wap_publish": (
+            "SELECT k, v, seq FROM ("
+            "  SELECT event_id % 997 AS k, event_type AS v, event_id AS seq, "
+            "    ROW_NUMBER() OVER (PARTITION BY event_id % 997 "
+            "                       ORDER BY event_id DESC) AS rn "
+            "  FROM events) WHERE rn = 1"
         ),
         # tag time travel: the pinned first commit == the raw first half
         "time_travel_tag": (
