@@ -14,6 +14,36 @@ from scripts.check_contract import TABLES, df_to_multiset
 SF = "/root/testdata/sf0.001"
 
 
+def test_no_duplicate_toplevel_defs():
+    """A later duplicate def silently shadows the earlier one (Python
+    module semantics) — a shared helper redefined at the bottom of this
+    1200-line contract file once broke three driver entries at once.
+    Pin: every top-level function name in __spark_entry__.py is unique."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(open(entrymod.__file__).read())
+    names = Counter(
+        n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    )
+    dups = {k: c for k, c in names.items() if c > 1}
+    assert not dups, f"duplicate top-level defs shadow each other: {dups}"
+
+
+def test_every_query_has_oracle_or_is_known_rows_only():
+    """Every queries() entry either has a DuckDB oracle or is on the
+    explicit rows-only allowlist (approximate/xxhash-based operators whose
+    correctness evidence is a pytest recall/invariant test). A new entry
+    that forgets its oracle fails here instead of silently downgrading to
+    the weaker rows-only driver check."""
+    rows_only = {"similarity_ann_lsh", "similarity_ivf"}
+    qs, os_ = set(entrymod.queries()), set(entrymod.oracle_sql())
+    missing = qs - os_ - rows_only
+    assert not missing, f"queries() entries without an oracle_sql(): {sorted(missing)}"
+    stale = os_ - qs
+    assert not stale, f"oracle_sql() keys with no queries() entry: {sorted(stale)}"
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
