@@ -56,7 +56,7 @@ class ConsumeResult:
     from_version: int  # exclusive
     to_version: int  # inclusive
     rows: int  # change rows applied (post transform + LWW dedup)
-    merge: MergeStats
+    merge: MergeStats | None = None  # None for a reseed (overwrite, not merge)
 
 
 class ChangelogConsumer:
@@ -134,6 +134,50 @@ class ChangelogConsumer:
             properties_update={self._ckpt_key: str(tip)},
         )
         return ConsumeResult(from_v, tip, stats.rows_in_batch, stats)
+
+    def reseed(self) -> ConsumeResult:
+        """Full resynchronization for when the changelog is UNCROSSABLE:
+        a producer :meth:`~cht_sync_spark.tables.format.SnapshotTable.rollback`
+        (strict ``changes()`` refuses it — and an incremental merge could
+        never apply it anyway, since restored rows can be LWW-older than
+        what the target already holds, so the fold would keep the
+        rolled-back values), or a cursor that lagged past the producer's
+        snapshot retention (expired diff parent).
+
+        Rebuilds the target from the producer's CURRENT reconciled state in
+        ONE atomic overwrite that also advances the cursor — the same
+        crash contract as :meth:`run_once`: either the new state and the
+        cursor both land or neither does, and a replay converges. The
+        transform sees the full state shaped like a changelog slice
+        (synthetic ``_change_version`` = tip, ``_change_type`` from
+        tombstones), so the same transform serves both paths. Cost is
+        O(source current state) — a recovery operation, not the steady
+        path."""
+        from pyspark.sql import Observation
+
+        tip = self.source.current_version()
+        from_v = self.position()
+        full = self.source.read_current()  # tombstones kept: cascade below
+        deleted = (
+            F.coalesce(F.col("_deleted"), F.lit(False))
+            if "_deleted" in full.columns
+            else F.lit(False)
+        )
+        shaped = full.withColumn("_change_version", F.lit(tip).cast("long")).withColumn(
+            "_change_type", F.when(deleted, F.lit("delete")).otherwise(F.lit("upsert"))
+        )
+        out = self.transform(shaped) if self.transform is not None else shaped
+        if "_deleted" not in out.columns and "_change_type" in out.columns:
+            out = out.withColumn("_deleted", F.col("_change_type") == "delete")
+        out = out.drop("_change_version", "_change_type")
+        if self.tombstones == "drop" and "_deleted" in out.columns:
+            out = out.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        # row count rides the overwrite's own write job (Observation) — no
+        # second scan, same pattern as the pipeline's poison counter
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        self.target.overwrite(out, properties_update={self._ckpt_key: str(tip)})
+        return ConsumeResult(from_v, tip, int(obs.get["n"]), None)
 
     def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[ConsumeResult]:
         """Drain loop (the downstream S9 analogue): consume until caught up;

@@ -171,3 +171,47 @@ def test_drain_loop_and_pending(spark, tmp_path):
     assert sum(r.rows for r in results) == 3
     assert c.pending_versions() == 0
     assert _state(tgt) == _state(src)
+
+
+def test_reseed_recovers_from_producer_rollback(spark, tmp_path):
+    # rollback makes the changelog uncrossable AND un-mergeable (restored
+    # rows are LWW-older than what the target applied); reseed rebuilds the
+    # target from current state + advances the cursor atomically
+    src = _mk_source(spark, tmp_path / "src")
+    tgt = ChangelogConsumer.create_target(spark, src, str(tmp_path / "tgt"), "m")
+    c = ChangelogConsumer(spark, src, tgt, "m")
+    src.append_delta(_rows(spark, [("a", 0, "x", 1, False)]))
+    keep_v = src.current_version()
+    src.append_delta(_rows(spark, [("a", 0, "x2", 2, False), ("b", 0, "y", 3, False)]))
+    c.run_once()
+    assert _state(tgt) == {("a", 0, "x2", 2), ("b", 0, "y", 3)}
+    src.rollback(keep_v)  # drops b entirely and downgrades a to seq 1
+    with pytest.raises(ValueError, match="rollback"):
+        c.run_once()
+    r = c.reseed()
+    assert r.merge is None and r.rows == 1
+    assert _state(tgt) == {("a", 0, "x", 1)}  # LWW alone could never do this
+    assert c.run_once() is None  # cursor advanced past the rollback
+    # incremental consumption resumes normally afterwards
+    src.append_delta(_rows(spark, [("c", 0, "z", 9, False)]))
+    c.run_once()
+    assert _state(tgt) == {("a", 0, "x", 1), ("c", 0, "z", 9)}
+
+
+def test_reseed_applies_transform_and_tombstone_policy(spark, tmp_path):
+    src = _mk_source(spark, tmp_path / "src")
+    src.append_delta(_rows(spark, [("a", 0, "x", 1, False), ("a", 1, "gone", 2, True)]))
+    keep_v = src.current_version()
+    src.append_delta(_rows(spark, [("a", 2, "extra", 3, False)]))
+
+    def upper(df):
+        return df.withColumn("text", F.upper(F.col("text")))
+
+    tgt = ChangelogConsumer.create_target(spark, src, str(tmp_path / "tgt"), "m")
+    c = ChangelogConsumer(spark, src, tgt, "m", transform=upper, tombstones="drop")
+    c.run_once()
+    src.rollback(keep_v)
+    r = c.reseed()
+    # transform ran over the synthetic full-state slice; tombstones dropped
+    assert _state(tgt) == {("a", 0, "X", 1)}
+    assert r.rows == 1 and r.to_version == src.current_version()
