@@ -1212,6 +1212,58 @@ def q_datasource_stream_drain(spark, sf):
     )
 
 
+def _events_as_turns(spark, sf) -> DataFrame:
+    """Deterministic transcripts derivative of `events` (the input_hint
+    shape): conv_id = user, turn_idx = per-user event rank, role from
+    event_type, text = props. Same mapping is replayed in the oracles."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("user"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
+        F.coalesce("props", F.lit("")).alias("text"),
+        "ts",
+        "event_type",
+    )
+
+
+def q_conversation_assembly(spark, sf):
+    """Conversation assembly (functions/transcripts.py): reconciled turn
+    rows -> one ordered role-tagged document per conversation, with turn
+    and whitespace-token counts. ONE groupBy(conv_id) aggregation —
+    array_sort(collect_list) inside the group, no window, no join."""
+    from cht_sync_spark.functions.transcripts import assemble_conversations
+
+    return assemble_conversations(_events_as_turns(spark, sf))
+
+
+def q_sft_examples(spark, sf):
+    """SFT example extraction (functions/transcripts.py): one
+    (context, target) pair per assistant turn, context = up to 4
+    immediately preceding turns. ONE window with a bounded ROWS frame, so
+    per-row state is O(context_turns) even on 2,500-turn hot
+    conversations. The token-budget truncation variant is pinned in
+    tests/test_transcripts.py."""
+    from cht_sync_spark.functions.transcripts import sft_examples
+
+    return sft_examples(_events_as_turns(spark, sf), context_turns=4)
+
+
+def q_transcript_integrity(spark, sf):
+    """Transcript QC gate (functions/transcripts.py): per-conversation
+    duplicate-turn / index-gap / role-alternation report over a
+    deterministically gappy derivative (tool turns removed AFTER rank
+    assignment). Window + reused-partitioning groupBy — one exchange."""
+    from cht_sync_spark.functions.transcripts import transcript_integrity
+
+    turns = _events_as_turns(spark, sf).where(F.col("event_type") != "error")
+    return transcript_integrity(turns)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_changes_batch_pull": q_s1_changes_batch_pull,
@@ -1276,6 +1328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "branch_wap_publish": q_branch_wap_publish,
+        "conversation_assembly": q_conversation_assembly,
+        "sft_examples": q_sft_examples,
+        "transcript_integrity": q_transcript_integrity,
     }
 
 
@@ -1287,6 +1342,18 @@ _STOP = {
 }
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# the events->transcripts mapping of _events_as_turns, replayed in SQL
+_TURNS_SQL = (
+    "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+    "  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 "
+    "    AS INTEGER) AS turn_idx, "
+    "  CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user' "
+    "    WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'assistant' "
+    "    ELSE 'tool' END AS role, "
+    "  coalesce(props, '') AS text, ts, event_type "
+    "FROM events"
+)
 _SHINGLES2 = (
     "CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(range(1, len(w)), "
     "i -> concat_ws(' ', w[i], w[i+1]))) "
@@ -1839,5 +1906,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, m "
             "WHERE event_id > hi // 4 AND event_id <= hi // 2 "
             "  AND epoch_us(ts) >= mid_us"
+        ),
+        "conversation_assembly": (
+            f"WITH turns AS ({_TURNS_SQL}), "
+            "a AS (SELECT conv_id, count(*) AS n_turns, "
+            "  string_agg(role || ': ' || text, chr(10) "
+            "    ORDER BY turn_idx, role, text) AS conversation_text "
+            "  FROM turns GROUP BY conv_id) "
+            "SELECT conv_id, n_turns, conversation_text, "
+            r"  CAST(len(list_filter(regexp_split_to_array(trim(conversation_text), '\s+'), "
+            "    w -> w <> '')) AS INTEGER) AS n_tokens "
+            "FROM a"
+        ),
+        "sft_examples": (
+            f"WITH turns AS ({_TURNS_SQL}), "
+            "c AS (SELECT conv_id, turn_idx, role, text, "
+            "  list(role || ': ' || text) OVER (PARTITION BY conv_id "
+            "    ORDER BY turn_idx, role, text "
+            "    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx "
+            "  FROM turns) "
+            "SELECT conv_id, turn_idx, "
+            "  CAST(len(coalesce(ctx, [])) AS INTEGER) AS n_context_turns, "
+            "  coalesce(array_to_string(ctx, chr(10)), '') AS context_text, "
+            "  text AS target_text "
+            "FROM c WHERE role = 'assistant'"
+        ),
+        "transcript_integrity": (
+            f"WITH t0 AS ({_TURNS_SQL}), "
+            "turns AS (SELECT * FROM t0 WHERE event_type <> 'error'), "
+            "r AS (SELECT conv_id, turn_idx, role, "
+            "  CASE WHEN lag(role) OVER (PARTITION BY conv_id "
+            "    ORDER BY turn_idx, role) = role THEN 1 ELSE 0 END AS rep "
+            "  FROM turns) "
+            "SELECT conv_id, count(*) AS n_turns, "
+            "  count(*) - count(DISTINCT turn_idx) AS n_dup_turns, "
+            "  (max(turn_idx) - min(turn_idx) + 1) <> count(DISTINCT turn_idx) AS has_gaps, "
+            "  CAST(sum(rep) AS BIGINT) AS n_role_repeats, "
+            "  first(role ORDER BY turn_idx, role) = 'user' AS starts_with_user "
+            "FROM r GROUP BY conv_id"
         ),
     }
