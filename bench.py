@@ -162,6 +162,8 @@ def main() -> None:
         "contamination_check",
         "repetition_stats",
         "pack_sequences",
+        "conversation_assembly",
+        "sft_examples",
         "changelog_read",
         "changelog_consume",
         "stats_prune_scan",

@@ -69,6 +69,12 @@ class ModelSpec:
     # set is what scopes both the landing read and every upstream read, so
     # the incremental update stays O(touched groups) through the whole DAG.
     depends_on: list[str] = field(default_factory=list)
+    # bucket_cols: hash layout of the model table (default: key_cols). A
+    # multi-row grouped model (key_cols ⊋ group_cols, e.g. SFT examples
+    # keyed (conv_id, turn_idx) grouped by conv_id) should bucket by the
+    # GROUP key so the within-group reconciliation read prunes to the
+    # touched groups' buckets instead of scanning the whole model table.
+    bucket_cols: list[str] | None = None
     num_buckets: int = 16
     lww_order: list[tuple[str, bool]] = field(default_factory=lambda: [("seq", False)])
     # T10 contract enforcement (contacts.yml:7-15): `enforced` strictly
@@ -92,6 +98,12 @@ class ModelSpec:
                 f"model {self.name!r}: depends_on requires group_cols — the "
                 "touched-group set is what scopes the upstream model reads"
             )
+        if self.group_cols and not set(self.group_cols) <= set(self.key_cols):
+            raise ValueError(
+                f"model {self.name!r}: group_cols must be a subset of key_cols "
+                "— a recomputed group is authoritative for every key inside "
+                "it, which requires the key to carry the group identity"
+            )
 
 
 class ModelRunner:
@@ -101,6 +113,7 @@ class ModelRunner:
         self.table = SnapshotTable.create(
             spark, path, spec.schema, spec.key_cols,
             num_buckets=spec.num_buckets, lww_order=spec.lww_order,
+            bucket_cols=spec.bucket_cols,
         )
 
     def needs_full_refresh(self) -> bool:
@@ -282,19 +295,58 @@ class ModelRunner:
             self._enforce_schema(out)
             if "seq" in out.columns:
                 out = out.drop("seq").join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
-            # groups whose every turn is now deleted disappear from the
-            # transform output -> emit explicit tombstones for them,
-            # stamped with the delete's seq from the scope
-            gone = (
-                keys.join(
-                    out.select(*self.spec.group_cols).distinct(),
-                    on=self.spec.group_cols,
-                    how="left_anti",
+            if set(self.spec.key_cols) == set(self.spec.group_cols):
+                # groups whose every turn is now deleted disappear from the
+                # transform output -> emit explicit tombstones for them,
+                # stamped with the delete's seq from the scope
+                gone = (
+                    keys.join(
+                        out.select(*self.spec.group_cols).distinct(),
+                        on=self.spec.group_cols,
+                        how="left_anti",
+                    )
+                    .join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
+                    .withColumn("_deleted", F.lit(True))
                 )
-                .join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
-                .withColumn("_deleted", F.lit(True))
-            )
-            out = out.unionByName(gone, allowMissingColumns=True)
+                out = out.unionByName(gone, allowMissingColumns=True)
+            else:
+                # MULTI-ROW grouped model (key_cols ⊋ group_cols, e.g. SFT
+                # examples keyed (conv_id, turn_idx) grouped by conv_id): a
+                # recomputed group is authoritative for EVERY key inside it.
+                # Keys the stored model state holds in a touched group that
+                # the recompute no longer emits — an edited turn that changed
+                # role, a deleted turn retracting its example, or a fully
+                # deleted conversation — become explicit tombstones
+                # (within-group delete-by-absence; subsumes the gone-group
+                # case above, whose group-only tombstones would not carry a
+                # complete key here). O(touched groups): the model read
+                # prunes to the buckets the touched groups hash into
+                # (bucket_cols ⊆ group_cols), then a broadcast semi-join
+                # scopes rows before the anti-join.
+                msnap = self.table.snapshot()
+                mbuckets = None
+                if set(msnap.bucket_cols) <= set(self.spec.group_cols):
+                    mbuckets = sorted(
+                        r["__b"]
+                        for r in keys.select(
+                            bucket_expr(msnap.bucket_cols, msnap.num_buckets).alias("__b")
+                        )
+                        .distinct()
+                        .collect()
+                    )
+                stale = (
+                    self.table.read_current(buckets=mbuckets, drop_tombstones=True)
+                    .select(*self.spec.key_cols)
+                    .join(F.broadcast(keys), on=self.spec.group_cols, how="left_semi")
+                    .join(
+                        out.select(*self.spec.key_cols),
+                        on=self.spec.key_cols,
+                        how="left_anti",
+                    )
+                    .join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
+                    .withColumn("_deleted", F.lit(True))
+                )
+                out = out.unionByName(stale, allowMissingColumns=True)
             # the recomputed slice feeds THREE actions (the merge's
             # bucket-stats collect, the bucket rewrite, the data-test
             # bucket collect) — each would re-run the scope read +
@@ -566,6 +618,61 @@ TOOL_CALLS = ModelSpec(
     transform=_tool_calls_transform,
     group_cols=None,
     lww_order=[("rev_height", False), ("_deleted", True), ("_rev", False), ("seq", False)],
+    enforced=True,
+    unique_test=True,
+    not_null=["conv_id", "turn_idx"],
+)
+
+
+# Context width of the built-in SFT model. Baked into the spec (not a
+# factory parameter) because transform_hash() fingerprints the transform
+# SOURCE — a closure over a runtime parameter would hash identically for
+# different widths and defeat the changed-code full-refresh detection
+# (T12). To run a different width, define a sibling spec with its own
+# transform function.
+SFT_CONTEXT_TURNS = 4
+
+
+def _sft_examples_transform(rows: DataFrame) -> DataFrame:
+    """sft_examples(conv_id, turn_idx, n_context_turns, context_text,
+    target_text): one (context, target) training pair per live assistant
+    turn — the conversation-plane example-assembly stage
+    (functions/transcripts.py) maintained INCREMENTALLY under CDC. Editing
+    any turn re-derives every example of its conversation (a context window
+    spans neighboring turns, so per-row maintenance is impossible — the
+    group IS the dependency unit); examples whose target turn was deleted
+    or re-roled are retracted by the runner's within-group
+    delete-by-absence. The null seq column is the runner's stamp slot
+    (replaced by the group's scope-max seq)."""
+    from cht_sync_spark.functions.transcripts import sft_examples
+
+    live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return (
+        sft_examples(live, context_turns=SFT_CONTEXT_TURNS)
+        .withColumn("seq", F.lit(None).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+
+
+SFT_EXAMPLES_MODEL = ModelSpec(
+    name="sft_examples",
+    key_cols=["conv_id", "turn_idx"],
+    schema=T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("n_context_turns", T.IntegerType(), True),
+            T.StructField("context_text", T.StringType(), True),
+            T.StructField("target_text", T.StringType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    ),
+    transform=_sft_examples_transform,
+    group_cols=["conv_id"],
+    # bucket by the GROUP key: the within-group reconciliation read and the
+    # cascade merge both prune to the touched conversations' buckets
+    bucket_cols=["conv_id"],
     enforced=True,
     unique_test=True,
     not_null=["conv_id", "turn_idx"],
