@@ -129,6 +129,45 @@ def test_within_group_retraction_and_context_rederivation(spark, tmp_path):
     assert _model_state(pipe) == {("A", 3): s2[("A", 3)]}, "gone group fully retracted"
 
 
+def test_streaming_crash_resume_matches_batch(spark, feed_path, tmp_path):
+    """Streaming form with mid-stream crash + resume: re-delivered files
+    arrive under NEW epoch ids, so touched groups are recomputed again from
+    current landing — within-group delete-by-absence must be idempotent
+    under that re-delivery and land on the batch pipeline's state."""
+    import pytest as _pt
+
+    from cht_sync_spark.streaming.stream import StreamingReplay
+
+    bp = ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        str(tmp_path / "b" / "landing"),
+        batch_size=300,
+        num_buckets=8,
+        models=[(SFT_EXAMPLES_MODEL, str(tmp_path / "b" / "sft"))],
+    )
+    bp.run()
+    want = _model_state(bp)
+
+    s_models = [(SFT_EXAMPLES_MODEL, str(tmp_path / "s" / "sft"))]
+    crashing = StreamingReplay(
+        spark, feed_path, str(tmp_path / "s" / "t"), str(tmp_path / "s" / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, fail_after_batches=2, models=s_models,
+    )
+    with _pt.raises(Exception, match="injected crash"):
+        crashing.run_available_now()
+    resumed = StreamingReplay(
+        spark, feed_path, str(tmp_path / "s" / "t"), str(tmp_path / "s" / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, models=s_models,
+    )
+    resumed.run_available_now()
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_context_turns"], r["context_text"], r["target_text"])
+        for r in resumed.runners_by_name["sft_examples"].table.read_current().collect()
+    }
+    assert got == want
+
+
 def test_model_read_prunes_to_touched_buckets(spark, feed_path, tmp_path):
     """The within-group reconciliation read of the MODEL table must pass a
     bucket list derived from the touched groups (file-level pruning), not
