@@ -103,11 +103,17 @@ def bench_replay(
         spark, feed, os.path.join(out, "landing"),
         batch_size=max(200_000, n_events // 4),
         num_buckets=num_buckets, mode=mode, models=models,
+        # sustained-ingest form end to end: MOR model tables append O(slice)
+        # deltas per epoch instead of rewriting the model table (models.py
+        # ModelRunner mode='mor'); compaction is paid in-time below
+        model_mode=mode,
     )
     t0 = time.monotonic()
     pipe.run()
     if mode == "mor":
         pipe.table.compact()  # sustained path pays compaction too
+        for m in pipe.models:
+            m.table.compact()
     return time.monotonic() - t0
 
 

@@ -107,14 +107,49 @@ class ModelSpec:
 
 
 class ModelRunner:
-    def __init__(self, spark: SparkSession, spec: ModelSpec, path: str):
+    def __init__(self, spark: SparkSession, spec: ModelSpec, path: str,
+                 mode: Literal["cow", "mor"] = "cow"):
+        """``mode`` mirrors the landing table's two write strategies:
+
+        - ``'cow'`` (default): each increment MERGEs — reads the touched
+          model buckets, rewrites them with winners, drops tombstones
+          physically. Read-optimized; per-batch cost O(touched buckets ×
+          bucket size).
+        - ``'mor'``: each increment APPENDs the recomputed slice (live rows
+          ∪ delete-by-absence tombstones) as delta files — O(slice), no
+          target read, no rewrite; readers fold base ∪ deltas with the same
+          LWW window used everywhere and compaction (the maintenance
+          cadence) folds deltas into a fresh base. The sustained-ingest
+          form of the model plane: at 10^10 events a COW model merge
+          rewrites its table every micro-batch, a MOR append writes only
+          the recomputed groups. Correctness matches COW because a group
+          recompute is deterministic in the scope's max seq — two rows that
+          tie on the fold's order columns are value-identical, so the
+          fold's winner choice can never disagree with the COW merge.
+
+        Model tables are created with ``tombstones.retain=false``: the
+        reference's post-hook deletes tombstones from models
+        (contacts.sql:6), so reconciled reads hide them and compaction
+        physically drops them (no-op under COW, which never stores any).
+        """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"model mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.spec = spec
+        self.mode = mode
         self.table = SnapshotTable.create(
             spark, path, spec.schema, spec.key_cols,
             num_buckets=spec.num_buckets, lww_order=spec.lww_order,
             bucket_cols=spec.bucket_cols,
+            properties={"tombstones.retain": "false"},
         )
+        if self.table.snapshot().properties.get("tombstones.retain") != "false":
+            # adopted a pre-existing table created without the marker: set it
+            # (marker-only commit, O(1) driver-side) so MOR deltas' delete
+            # semantics hold regardless of who created the table
+            self.table.commit(
+                add_files=[], properties_update={"tombstones.retain": "false"}
+            )
 
     def needs_full_refresh(self) -> bool:
         return self.table.snapshot().properties.get(HASH_PROP) != self.spec.transform_hash()
@@ -371,11 +406,24 @@ class ModelRunner:
             # gone tombstones), a row-wise transform projects the already
             # LWW-unique batch — so the merge's own window pass would be a
             # per-epoch no-op shuffle.
-            prefer = "batch" if self.spec.group_cols else "existing"
-            merge_upsert(
-                self.table, out, tombstones="drop", dedup_batch=False,
-                properties_update=props, prefer=prefer,
-            )
+            if self.mode == "mor":
+                # sustained-ingest form: the recomputed slice (key-unique by
+                # construction — live groupBy output ∪ disjoint absence
+                # tombstones) lands as O(slice) delta files; tombstones
+                # shadow their base rows in the read-time fold and are
+                # physically dropped at the next compaction
+                # (tombstones.retain=false). epoch/hash markers commit
+                # atomically with the data, same as the merge path. Fold
+                # ties against a prior epoch's row are value-identical (a
+                # recompute is a pure function of the scope's max seq), so
+                # 'prefer' needs no MOR counterpart.
+                self.table.append_delta(out, properties_update=props)
+            else:
+                prefer = "batch" if self.spec.group_cols else "existing"
+                merge_upsert(
+                    self.table, out, tombstones="drop", dedup_batch=False,
+                    properties_update=props, prefer=prefer,
+                )
             if self.spec.unique_test or self.spec.not_null:
                 # scope the data tests to the model-table buckets this
                 # batch's keys hash into (micro-batch-sized collect)

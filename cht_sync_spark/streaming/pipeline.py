@@ -82,6 +82,7 @@ class ReplayPipeline:
         saved_ts: Literal["event", "now"] = "event",
         lineage_path: str | None = None,
         models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
+        model_mode: Literal["cow", "mor"] = "cow",
         bucket_cols: list[str] | None = None,
         model_parallelism: int | None = None,
         marker: str = "global",
@@ -160,7 +161,11 @@ class ReplayPipeline:
         )
         from cht_sync_spark.operators.models import ModelRunner, topo_levels
 
-        self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
+        self.models = [
+            ModelRunner(spark, spec, path, mode=model_mode)
+            for spec, path in (models or [])
+        ]
+        self.model_mode = model_mode
         self.model_parallelism = model_parallelism
         # Model dependency DAG (dbt's ref() graph — the reference's
         # persons.sql reads the contacts MODEL): resolve depends_on against
@@ -450,6 +455,11 @@ class ReplayPipeline:
 
         tables = [self.table] + [m.table for m in self.models]
         compact = [self.table] if self.mode == "mor" else []
+        if self.model_mode == "mor":
+            # MOR model tables accrete one delta per epoch: fold them on the
+            # same cadence (compaction also physically drops their shadowed
+            # tombstones — tombstones.retain=false)
+            compact += [m.table for m in self.models]
         if self.lineage is not None:
             tables.append(self.lineage)
             compact.append(self.lineage)

@@ -60,6 +60,7 @@ class StreamingReplay:
         fail_after_batches: int | None = None,  # test hook: crash injection
         marker: str = "stream",
         models: list[tuple] | None = None,  # [(ModelSpec, path), ...]
+        model_mode: Literal["cow", "mor"] = "cow",
         model_parallelism: int | None = None,
         bucket_cols: list[str] | None = None,
         maintenance_every: int | None = None,
@@ -114,7 +115,11 @@ class StreamingReplay:
         # as the batch pipeline (T14/T16 parity between the two forms)
         from cht_sync_spark.operators.models import ModelRunner, topo_levels
 
-        self.models = [ModelRunner(spark, spec, path) for spec, path in (models or [])]
+        self.models = [
+            ModelRunner(spark, spec, path, mode=model_mode)
+            for spec, path in (models or [])
+        ]
+        self.model_mode = model_mode
         self.runners_by_name = {m.spec.name: m for m in self.models}
         self._model_levels = topo_levels(self.models)
         self.model_parallelism = model_parallelism
@@ -298,7 +303,8 @@ class StreamingReplay:
             [self.table] + [m.table for m in self.models]
             + ([self.dlq] if self.dlq is not None else []),
             self.maintenance_keep_snapshots,
-            compact=[self.table] if self.mode == "mor" else [],
+            compact=([self.table] if self.mode == "mor" else [])
+            + ([m.table for m in self.models] if self.model_mode == "mor" else []),
         )
 
     # ------------------------------------------------------------------ runs

@@ -638,7 +638,15 @@ class SnapshotTable:
             # columns (e.g. append-only lineage) dedup to key-uniqueness only
             order = snap.lww_order or [(snap.key_cols[0], True)]
             df = lww_dedup(df, key=snap.key_cols, order=order)
-        if drop_tombstones and "_deleted" in df.columns:
+        # Tables with property tombstones.retain=false (model tables, where
+        # the reference's post-hook DELETEs tombstones — contacts.sql:6)
+        # treat tombstones as purely internal shadow markers: a merge-on-read
+        # delete delta shadows its base row in the fold above, then vanishes
+        # from every reconciled read. Because compact() folds through THIS
+        # method, compaction physically drops them too — the MOR equivalent
+        # of the COW merge's tombstones='drop'.
+        retain = snap.properties.get("tombstones.retain", "true") != "false"
+        if (drop_tombstones or not retain) and "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
 

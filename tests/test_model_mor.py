@@ -1,0 +1,143 @@
+"""Merge-on-read model plane (ModelRunner mode='mor').
+
+The COW model merge reads + rewrites every touched model bucket per
+micro-batch — O(table) on feeds whose keys spread uniformly. MOR appends
+the recomputed slice as delta files instead (O(slice), no target read) and
+lets the read-time LWW fold + the maintenance compaction cadence reconcile
+— the same sustained-ingest design the landing table uses. These tests pin
+that the two modes are STATE-EQUIVALENT on the conflict/delete-heavy
+synthetic feed, that delete-by-absence tombstones shadow in the fold and
+are physically dropped at compaction (tombstones.retain=false), that the
+crash-window exactly-once semantics carry over, and that the maintenance
+cadence bounds the model tables' delta accretion.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cht_sync_spark.operators.models import (
+    CONV_PROFILES,
+    CONVERSATIONS,
+    SFT_EXAMPLES_MODEL,
+    TOOL_CALLS,
+)
+from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
+from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+
+MODELS = [CONVERSATIONS, CONV_PROFILES, TOOL_CALLS, SFT_EXAMPLES_MODEL]
+
+
+def _pipe(spark, feed_path, root, model_mode, **kw):
+    kw.setdefault("batch_size", 300)
+    return ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        str(root / "landing"),
+        num_buckets=8,
+        mode="mor",
+        models=[(m, str(root / m.name)) for m in MODELS],
+        model_mode=model_mode,
+        **kw,
+    )
+
+
+def _states(pipe):
+    """{model: {key tuple: row tuple}} over the reconciled live state."""
+    out = {}
+    for m in pipe.models:
+        rows = m.table.read_current().collect()
+        key = m.spec.key_cols
+        cols = [f.name for f in m.spec.schema.fields if f.name != "_deleted"]
+        out[m.spec.name] = {
+            tuple(r[k] for k in key): tuple(r[c] for c in cols) for r in rows
+        }
+        assert len(out[m.spec.name]) == len(rows), "reconciled keys must be unique"
+    return out
+
+
+def test_mor_models_match_cow(spark, feed_path, tmp_path):
+    """Same feed, same batching: MOR-model pipeline state == COW-model
+    pipeline state for every model (grouped, chained, row-wise, multi-row
+    grouped) — before AND after compaction."""
+    cow = _pipe(spark, feed_path, tmp_path / "cow", "cow")
+    cow.run()
+    mor = _pipe(spark, feed_path, tmp_path / "mor", "mor")
+    mor.run()
+
+    want = _states(cow)
+    assert _states(mor) == want, "pre-compaction fold must match COW"
+    for m in mor.models:
+        m.table.compact()
+    assert _states(mor) == want, "compaction must preserve state"
+
+
+def test_mor_tombstones_hidden_then_physically_dropped(spark, feed_path, tmp_path):
+    """Delete-by-absence tombstones: invisible to every reconciled read
+    (tombstones.retain=false), present in the raw delta files until
+    compaction, physically gone after it."""
+    from pyspark.sql import functions as F
+
+    mor = _pipe(spark, feed_path, tmp_path / "m", "mor")
+    mor.run()
+    tc = next(m for m in mor.models if m.spec.name == "tool_calls")
+
+    # the row-wise tool_calls transform emits tombstones for every non-tool
+    # winner, so the feed is guaranteed to have produced some
+    raw_dead = tc.table.read().where(F.col("_deleted")).count()
+    assert raw_dead > 0, "expected tombstone rows in the MOR deltas"
+    assert tc.table.read_current().where(F.col("_deleted")).count() == 0
+
+    tc.table.compact()
+    assert tc.table.read().where(F.col("_deleted")).count() == 0, (
+        "compaction must physically drop shadowed tombstones"
+    )
+    snap = tc.table.snapshot()
+    assert not any(f["level"] == "delta" for f in snap.files)
+
+
+def test_mor_crash_resume_exactly_once(spark, feed_path, tmp_path):
+    """Stop after one batch, resume with a fresh pipeline: final MOR model
+    state equals an uninterrupted run's (per-model epoch markers commit
+    atomically with the delta append)."""
+    root = tmp_path / "r"
+    first = _pipe(spark, feed_path, root, "mor")
+    first.run(max_batches=1)
+    resumed = _pipe(spark, feed_path, root, "mor")
+    resumed.run()
+
+    clean = _pipe(spark, feed_path, tmp_path / "c", "mor")
+    clean.run()
+    assert _states(resumed) == _states(clean)
+
+
+def test_mor_maintenance_bounds_model_deltas(spark, feed_path, tmp_path):
+    """With maintenance_every=2 the model tables' live delta-file count is
+    bounded by the cadence (compaction folds them), and state matches an
+    unmaintained run."""
+    plain = _pipe(spark, feed_path, tmp_path / "p", "mor", batch_size=120)
+    res = plain.run()
+    assert len(res) >= 4, "feed must span several batches for the cadence to fire"
+
+    kept = _pipe(
+        spark, feed_path, tmp_path / "k", "mor", batch_size=120,
+        maintenance_every=2, maintenance_keep_snapshots=5,
+    )
+    kept.run()
+    assert _states(kept) == _states(plain)
+    for m in kept.models:
+        n_delta = sum(1 for f in m.table.snapshot().files if f["level"] == "delta")
+        # at most (maintenance_every - 1) epochs since the last fold, each
+        # touching <= num_buckets buckets
+        assert n_delta <= 2 * m.spec.num_buckets, (
+            f"{m.spec.name}: {n_delta} live delta files — cadence not folding"
+        )
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError, match="'cow' or 'mor'"):
+        from cht_sync_spark.operators.models import ModelRunner
+
+        ModelRunner(None, CONVERSATIONS, "/tmp/x", mode="bogus")
