@@ -137,12 +137,38 @@ class ModelRunner:
         self.spark = spark
         self.spec = spec
         self.mode = mode
+        schema, lww_order = spec.schema, spec.lww_order
+        props = {"tombstones.retain": "false"}
+        if mode == "mor":
+            # The group-max-seq stamp is monotone only under seq-ordered
+            # delivery; a file-ordered stream (maxFilesPerTrigger) can hand
+            # two recomputes of one group the SAME stamp with DIFFERENT
+            # content (a lower-seq edit landing between them). The COW merge
+            # resolves that with prefer='batch'; the MOR fold needs an
+            # explicit commit-order tiebreak: _fold_rank = the append's
+            # snapshot version, strictly increasing per commit, appended to
+            # the fold order and hidden from reconciled reads
+            # (internal.cols). A table created in MOR mode should keep MOR
+            # runners — a COW merge on it null-fills the rank, reverting
+            # ties to the arbitrary pick.
+            schema = T.StructType(
+                list(spec.schema.fields) + [T.StructField("_fold_rank", T.LongType(), True)]
+            )
+            lww_order = list(spec.lww_order) + [("_fold_rank", False)]
+            props["internal.cols"] = '["_fold_rank"]'
         self.table = SnapshotTable.create(
-            spark, path, spec.schema, spec.key_cols,
-            num_buckets=spec.num_buckets, lww_order=spec.lww_order,
+            spark, path, schema, spec.key_cols,
+            num_buckets=spec.num_buckets, lww_order=lww_order,
             bucket_cols=spec.bucket_cols,
-            properties={"tombstones.retain": "false"},
+            properties=props,
         )
+        if mode == "mor" and "_fold_rank" not in [
+            f.name for f in self.table.snapshot().schema.fields
+        ]:
+            raise ValueError(
+                f"model table {path!r} was created without the MOR fold-rank "
+                "column (cow-mode table); recreate it, or keep mode='cow'"
+            )
         if self.table.snapshot().properties.get("tombstones.retain") != "false":
             # adopted a pre-existing table created without the marker: set it
             # (marker-only commit, O(1) driver-side) so MOR deltas' delete
@@ -202,8 +228,20 @@ class ModelRunner:
         landing state (plus full upstream model states for dependent
         models — topological ordering guarantees upstreams are current),
         drop tombstone outputs, overwrite."""
-        rows = self._apply_transform(landing.read_current(), upstreams, keys=None)
+        cur = landing.read_current()
+        rows = self._apply_transform(cur, upstreams, keys=None)
         self._enforce_schema(rows)
+        if self.spec.group_cols and "seq" in rows.columns:
+            # same stamp discipline as run_increment: per-group max landing
+            # seq (tombstones included). Without it a refresh would store
+            # the transform's raw seq (null for sft_examples) while
+            # increments store the scope max — the final seq would then
+            # depend on WHICH keys happened to be recomputed after the
+            # refresh, i.e. on batching/delivery history. With it the
+            # stored seq is always the group's global max landing seq —
+            # deterministic across batch sizes, streams, and replays.
+            seqs = cur.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
+            rows = rows.drop("seq").join(seqs, on=self.spec.group_cols, how="left")
         live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
         self._run_data_tests(buckets=None)
@@ -413,10 +451,17 @@ class ModelRunner:
                 # shadow their base rows in the read-time fold and are
                 # physically dropped at the next compaction
                 # (tombstones.retain=false). epoch/hash markers commit
-                # atomically with the data, same as the merge path. Fold
-                # ties against a prior epoch's row are value-identical (a
-                # recompute is a pure function of the scope's max seq), so
-                # 'prefer' needs no MOR counterpart.
+                # atomically with the data, same as the merge path. The
+                # _fold_rank stamp (next snapshot version) is the fold's
+                # commit-order tiebreak — a later recompute always beats an
+                # earlier one even when the group-max-seq stamp ties (see
+                # __init__); re-delivered old batches recompute from current
+                # landing under a higher rank, so the winner is
+                # value-identical and replay stays idempotent.
+                out = out.withColumn(
+                    "_fold_rank",
+                    F.lit(self.table.current_version() + 1).cast("long"),
+                )
                 self.table.append_delta(out, properties_update=props)
             else:
                 prefer = "batch" if self.spec.group_cols else "existing"

@@ -648,6 +648,14 @@ class SnapshotTable:
         retain = snap.properties.get("tombstones.retain", "true") != "false"
         if (drop_tombstones or not retain) and "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        # internal.cols (JSON list): engine-plumbing columns — e.g. the MOR
+        # model plane's _fold_rank commit-order tiebreak — participate in
+        # the fold above but are hidden from every reconciled read
+        # (Iceberg's hidden metadata-column pattern). Raw read() keeps them.
+        internal = json.loads(snap.properties.get("internal.cols", "[]"))
+        hide = [c for c in internal if c in df.columns]
+        if hide:
+            df = df.drop(*hide)
         return df
 
     # ---------------------------------------------------------------- write

@@ -64,6 +64,20 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
         f"fanout{part}", cores=CORES_PER_WORKER,
         extra_conf={"spark.local.dir": os.path.join(STATE, "local", f"w{part}")},
     )
+    # --models: maintain the model DAG (conversations -> conv_profiles)
+    # inside every shard replay, so the scaling evidence covers the FULL
+    # job, not just the landing ingest. Model shards co-partition with the
+    # feed split (both hash conv_id), so per-shard model maintenance is
+    # exact — the same argument that makes per-shard landing replay exact.
+    with_models = os.environ.get("SPARK_GRAFT_FANOUT_MODELS") == "1"
+
+    def _models(root: str):
+        if not with_models:
+            return []
+        from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+
+        return [(CONVERSATIONS, os.path.join(root, "conversations")),
+                (CONV_PROFILES, os.path.join(root, "conv_profiles"))]
     my_slices = [
         os.path.join(feed_root, f"part={s}")
         for s in range(FEED_PARTS)
@@ -80,10 +94,13 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
         spark,
         ChangesFeedSource(spark, os.path.join(feed_root, f"part={part % FEED_PARTS}"), sources=feed_sources()),
         os.path.join(wdir, "t"), batch_size=500_000, num_buckets=16, mode=mode,
+        models=_models(wdir), model_mode=mode,
     )
     wp.run()
     if mode == "mor":
         wp.table.compact()
+        for m in wp.models:
+            m.table.compact()
 
     tdir = os.path.join(STATE, f"f_{run_id}_{part}")
     shutil.rmtree(tdir, ignore_errors=True)
@@ -99,6 +116,7 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
         ReplayPipeline(
             spark, ChangesFeedSource(spark, s, sources=feed_sources()), os.path.join(tdir, f"shard{i}"),
             batch_size=500_000, num_buckets=16, mode=mode,
+            models=_models(os.path.join(tdir, f"shard{i}")), model_mode=mode,
         )
         for i, s in enumerate(my_slices)
     ]
@@ -115,6 +133,8 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
         res = pipe.run()
         if mode == "mor":
             pipe.table.compact()
+            for m in pipe.models:
+                m.table.compact()
         n += sum(r.rows for r in res)
         batch_s += sum(r.duration_ms for r in res) / 1000
         nbatches += len(res)
@@ -198,7 +218,13 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--events", type=int, default=3_000_000)
     ap.add_argument("--mode", type=str, default="mor")
+    ap.add_argument("--models", action="store_true",
+                    help="maintain the conversations->conv_profiles model DAG "
+                         "in every shard replay (scaling evidence for the "
+                         "full job, not just the landing ingest)")
     args = ap.parse_args()
+    if args.models:
+        os.environ["SPARK_GRAFT_FANOUT_MODELS"] = "1"
 
     # materialize the warm feed + the hash-partitioned main feed (untimed)
     from scripts.bench_scaling import _feed  # noqa: E402
@@ -251,7 +277,9 @@ def main() -> None:
 
     best = {k: max(v, key=lambda r: r["events_per_sec"]) for k, v in trials.items()}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    suffix = "" if args.mode == "mor" else f"_{args.mode}"
+    suffix = ("" if args.mode == "mor" else f"_{args.mode}") + (
+        "_models" if args.models else ""
+    )
     out_path = os.path.join(REPO, "BENCH", f"fanout{suffix}.json")
     # POOL with any prior recorded run on the identical feed: the documented
     # methodology keeps every raw trial (nothing discarded) so both summary

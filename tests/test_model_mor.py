@@ -44,10 +44,10 @@ def _pipe(spark, feed_path, root, model_mode, **kw):
     )
 
 
-def _states(pipe):
+def _states_of(runners):
     """{model: {key tuple: row tuple}} over the reconciled live state."""
     out = {}
-    for m in pipe.models:
+    for m in runners:
         rows = m.table.read_current().collect()
         key = m.spec.key_cols
         cols = [f.name for f in m.spec.schema.fields if f.name != "_deleted"]
@@ -56,6 +56,10 @@ def _states(pipe):
         }
         assert len(out[m.spec.name]) == len(rows), "reconciled keys must be unique"
     return out
+
+
+def _states(pipe):
+    return _states_of(pipe.models)
 
 
 def test_mor_models_match_cow(spark, feed_path, tmp_path):
@@ -134,6 +138,43 @@ def test_mor_maintenance_bounds_model_deltas(spark, feed_path, tmp_path):
         assert n_delta <= 2 * m.spec.num_buckets, (
             f"{m.spec.name}: {n_delta} live delta files — cadence not folding"
         )
+
+
+def test_mor_streaming_redelivery_matches_batch(spark, feed_path, tmp_path):
+    """Streaming form with MOR models, crash + resume: re-delivered files
+    arrive under NEW epoch ids, so touched groups recompute again and
+    append value-identical delta rows — the fold must still land on the
+    batch pipeline's state (ties are value-identical by determinism)."""
+    from cht_sync_spark.operators.models import SFT_EXAMPLES_MODEL
+    from cht_sync_spark.streaming.stream import StreamingReplay
+
+    bp = ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        str(tmp_path / "b" / "landing"),
+        batch_size=300, num_buckets=8, mode="mor",
+        models=[(SFT_EXAMPLES_MODEL, str(tmp_path / "b" / "sft"))],
+        model_mode="mor",
+    )
+    bp.run()
+    want = _states(bp)["sft_examples"]
+
+    s_models = [(SFT_EXAMPLES_MODEL, str(tmp_path / "s" / "sft"))]
+    crashing = StreamingReplay(
+        spark, feed_path, str(tmp_path / "s" / "t"), str(tmp_path / "s" / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, mode="mor",
+        fail_after_batches=2, models=s_models, model_mode="mor",
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        crashing.run_available_now()
+    resumed = StreamingReplay(
+        spark, feed_path, str(tmp_path / "s" / "t"), str(tmp_path / "s" / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, mode="mor",
+        models=s_models, model_mode="mor",
+    )
+    resumed.run_available_now()
+    got = _states_of(resumed.models)["sft_examples"]
+    assert got == want
 
 
 def test_mode_validation():
