@@ -381,13 +381,7 @@ def _events_as_feed(spark, sf, work, n_parts=2):
     return dirs, int(hi)
 
 
-def q_model_dag_chain(spark, sf):
-    """Model->model dependency DAG end-to-end (the persons.sql capability):
-    replay the events feed through the REAL pipeline maintaining the
-    ``conversations`` model AND the dependent ``conv_profiles`` model
-    (reads conversations + joins the landing slice), across two incremental
-    batches; return the final chained-model state. The oracle recomputes it
-    from the raw events with plain SQL."""
+def _model_dag_chain(spark, sf, model_mode):
     import tempfile
 
     from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
@@ -403,12 +397,32 @@ def q_model_dag_chain(spark, sf):
             (CONVERSATIONS, f"{work}/conversations"),
             (CONV_PROFILES, f"{work}/conv_profiles"),
         ],
+        model_mode=model_mode,
     )
     cut = hi // 2
     pipe.run_batch(0, -(2**62), cut)
     pipe.run_batch(1, cut, hi)
     prof = pipe._runners_by_name["conv_profiles"].table.read_current(drop_tombstones=True)
     return prof.select("conv_id", "n_turns", "has_tool_calls", "first_user_text")
+
+
+def q_model_dag_chain(spark, sf):
+    """Model->model dependency DAG end-to-end (the persons.sql capability):
+    replay the events feed through the REAL pipeline maintaining the
+    ``conversations`` model AND the dependent ``conv_profiles`` model
+    (reads conversations + joins the landing slice), across two incremental
+    batches; return the final chained-model state. The oracle recomputes it
+    from the raw events with plain SQL."""
+    return _model_dag_chain(spark, sf, "cow")
+
+
+def q_model_dag_chain_mor(spark, sf):
+    """Same DAG replay through the merge-on-read model plane
+    (``ModelRunner(mode='mor')``: each epoch appends the recomputed slice
+    as delta files with a _fold_rank commit-order tiebreak; the returned
+    state is the read-time LWW fold, never compacted here) — the
+    sustained-ingest form must land on the identical oracle state."""
+    return _model_dag_chain(spark, sf, "mor")
 
 
 def q_checkpoint_liveness(spark, sf):
@@ -1293,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i4_lineage_agg": q_i4_lineage_agg,
         "i5_arrow_doc_transform": q_i5_arrow_doc_transform,
         "model_dag_chain": q_model_dag_chain,
+        "model_dag_chain_mor": q_model_dag_chain_mor,
         "checkpoint_liveness": q_checkpoint_liveness,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
@@ -1480,6 +1495,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2, 3"
         ),
         "model_dag_chain": (
+            "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx, "
+            "(['user','assistant','tool'])[CAST(event_id % 3 AS INTEGER) + 1] AS role, "
+            "event_type AS text FROM events) "
+            "SELECT conv_id, count(*) AS n_turns, "
+            "bool_or(role = 'tool') AS has_tool_calls, "
+            "arg_min(text, turn_idx) FILTER (WHERE role = 'user') AS first_user_text "
+            "FROM t GROUP BY conv_id"
+        ),
+        "model_dag_chain_mor": (
             "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx, "
             "(['user','assistant','tool'])[CAST(event_id % 3 AS INTEGER) + 1] AS role, "
             "event_type AS text FROM events) "
