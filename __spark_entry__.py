@@ -573,7 +573,9 @@ def _ann_indexes(spark, sf):
     # EXACTLY the parameters the recall tests pin (test_training_ops):
     # 6 planes + 5 probe bits -> recall@10 >= 0.8; 8 cells / 4 probes -> 0.5
     ann = build_ann_index(e, f"{work}/ann", n_planes=6, dim=dim, num_buckets=32)
-    ivf = build_ivf_index(e, f"{work}/ivf", n_cells=8, num_buckets=8)
+    # md5-ordered centroid sample: same deterministic-sample semantics as
+    # the xxhash64 default, but replayable in the DuckDB oracle
+    ivf = build_ivf_index(e, f"{work}/ivf", n_cells=8, num_buckets=8, cent_hash="md5")
     _ANN_INDEX_CACHE[sf] = (ann, ivf)
     return ann, ivf
 
@@ -581,8 +583,11 @@ def _ann_indexes(spark, sf):
 def q_similarity_ann_lsh(spark, sf):
     """Approximate top-k against the PERSISTED signature-bucketed LSH index
     (margin-aware multiprobe; file-level bucket pruning via the manifest +
-    row-level signature filter; recall >= 0.8 pinned in pytest) — the
-    candidate set is probabilistic: rows-only."""
+    row-level signature filter; recall >= 0.8 pinned in pytest). Fully
+    oracle-checked: the splitmix planes, per-vector signatures, the query's
+    margin-ordered multiprobe flip set, the candidate set and the exact
+    cosine ranking all replay in DuckDB SQL — the LSH is deterministic,
+    only its RECALL is probabilistic."""
     from cht_sync_spark.functions.similarity import ann_index_topk
 
     ann, _ = _ann_indexes(spark, sf)
@@ -595,7 +600,10 @@ def q_similarity_ann_lsh(spark, sf):
 def q_similarity_ivf(spark, sf):
     """Approximate top-k against the PERSISTED cell-bucketed IVF index
     (centroids committed in table properties, probes pruned to their cells'
-    files) — probe subset is approximate: rows-only."""
+    files). Fully oracle-checked via the md5-ordered centroid sample:
+    centroid choice, argmax-cosine cell assignment (smallest-cell ties),
+    the n_probe cell ranking and the exact candidate re-rank all replay in
+    DuckDB SQL — only RECALL is approximate (pinned in pytest)."""
     from cht_sync_spark.functions.similarity import ivf_index_topk
 
     _, ivf = _ann_indexes(spark, sf)
@@ -1567,6 +1575,60 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv) / "
             "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * "
             " sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
+        ),
+        # persisted-LSH ANN oracle: replay the 6 splitmix planes, every
+        # vector's 6-bit signature, the query's margin-ordered 5-bit
+        # multiprobe flip set (2^5 target signatures), then exact-rank the
+        # deterministic candidate set by cosine — identical to
+        # ann_index_topk's probe + prune + re-rank
+        "similarity_ann_lsh": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "mix AS (SELECT p, i, CAST((("
+            "   42*11400714819323198485::HUGEINT + p*13787848793156543929::HUGEINT"
+            "   + i*10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z0 "
+            "  FROM range(0, 6) t(p), range(0, 64) s(i)), "
+            "mix2 AS (SELECT p, i, xor(z0, z0 >> 30) AS xv FROM mix), "
+            "sgn AS (SELECT p, i, CAST((((xv & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT"
+            "   + ((((xv >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)"
+            "  ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix2), "
+            "pl AS (SELECT p, list(CASE WHEN (z1 >> 63) = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane "
+            "  FROM sgn GROUP BY p), "
+            "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+            "mq AS (SELECT p, list_dot_product(qv, plane) AS m FROM pl, q), "
+            "qs AS (SELECT CAST(sum(CASE WHEN m >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS qsig FROM mq), "
+            "ord AS (SELECT p, row_number() OVER (ORDER BY abs(m), p) - 1 AS r FROM mq "
+            "  QUALIFY row_number() OVER (ORDER BY abs(m), p) <= 5), "
+            "probes AS (SELECT xor((SELECT qsig FROM qs), "
+            "    CAST(coalesce(sum(CASE WHEN (mask >> r) & 1 = 1 THEN (1 << p) END), 0) AS BIGINT)) AS sig "
+            "  FROM range(0, 32) t(mask) CROSS JOIN ord GROUP BY mask), "
+            "ds AS (SELECT e.vec_id, e.v, "
+            "    CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) >= 0 THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS sig "
+            "  FROM e, pl WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.v) "
+            "SELECT vec_id, round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos "
+            "FROM ds, q WHERE sig IN (SELECT sig FROM probes) "
+            "ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
+        ),
+        # persisted-IVF oracle: md5-ordered centroid sample (cell id = rank),
+        # argmax-cosine assignment with smallest-cell ties, top-4 probe
+        # cells by query-centroid cosine, exact re-rank of the probed cells
+        "similarity_ivf": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+            "cents AS (SELECT vec_id AS cid, v AS cv, "
+            "    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell "
+            "  FROM e WHERE vec_id <> 0 "
+            "  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8), "
+            "asg AS (SELECT e.vec_id, e.v, c.cell, "
+            "    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ac "
+            "  FROM e, cents c WHERE e.vec_id <> 0), "
+            "cellof AS (SELECT vec_id, v, cell FROM asg "
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cell) = 1), "
+            "pr AS (SELECT cell FROM (SELECT c.cell, "
+            "      list_dot_product(qv, c.cv) / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qv, qv))) AS pc "
+            "    FROM cents c, q) QUALIFY row_number() OVER (ORDER BY pc DESC, cell) <= 4) "
+            "SELECT vec_id, round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos "
+            "FROM cellof, q WHERE cell IN (SELECT cell FROM pr) "
+            "ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
         ),
         "text_stats": (
             f"WITH t AS (SELECT doc_id, text, str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS raww, "

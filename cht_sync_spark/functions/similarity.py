@@ -262,6 +262,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_buckets: int = 16,
+    cent_hash: str = "xxhash64",
 ):
     """Materialize the IVF coarse index: centroid assignment happens ONCE at
     build; the table is bucketed by ``__cell`` so probes read only their
@@ -272,7 +273,7 @@ def build_ivf_index(
 
     from cht_sync_spark.tables.format import SnapshotTable
 
-    assigned, cents = ivf_assign(df, n_cells, vec_col, id_col)
+    assigned, cents = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=cent_hash)
     schema = T.StructType(
         [
             df.schema[id_col],
@@ -318,9 +319,16 @@ def ivf_index_topk(index_table, query_vec, k: int = 10, n_probe: int = 4,
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
-def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_col: str = "vec_id") -> tuple[DataFrame, list]:
+def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_col: str = "vec_id",
+               cent_hash: str = "xxhash64") -> tuple[DataFrame, list]:
     """IVF-lite coarse index: centroids = a deterministic sample of the data
     (ids with smallest xxhash — seedable, no RNG), cell = argmax cosine.
+
+    ``cent_hash='md5'`` orders the centroid sample by the md5 hex string of
+    the id instead of xxhash64 — same deterministic-sample semantics, but
+    expressible in ANSI SQL, so a DuckDB oracle replays centroid choice,
+    cell assignment and probes exactly (the md5-variant pattern every
+    hash-based dedup op uses; xxhash64 stays the at-scale default).
     Returns (assigned df with __cell, centroid list). At scale, write the
     table bucketed by __cell (SnapshotTable key) so probes are file-pruned.
 
@@ -335,10 +343,15 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
     broadcast centroid-table join + struct-max argmax (the 65k-cell
     shape). All forms produce identical assignments (deterministic
     smallest-cell tie-break); the parity and switchover are tested."""
+    cent_order = (
+        F.md5(F.col(id_col).cast("string"))
+        if cent_hash == "md5"
+        else F.xxhash64(F.col(id_col).cast("string"))
+    )
     cents = [
         (r[0], r[1])
         for r in df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy(cent_order, F.col(id_col))
         .limit(n_cells)
         .collect()
     ]
