@@ -177,6 +177,51 @@ def test_mor_streaming_redelivery_matches_batch(spark, feed_path, tmp_path):
     assert got == want
 
 
+def test_mor_increment_never_reads_model_table(spark, feed_path, tmp_path):
+    """The O(slice) claim, pinned: a MOR increment of a single-row grouped
+    model with data tests disabled performs ZERO reads of its own model
+    table (append-only write path), while the COW merge must read the
+    touched buckets. (Multi-row grouped models legitimately read the model
+    for within-group delete-by-absence; data tests read it in both modes.)"""
+    from dataclasses import replace
+
+    from cht_sync_spark.operators.models import CONVERSATIONS
+
+    spec = replace(
+        CONVERSATIONS, name="conv_notest", unique_test=False, not_null=[],
+    )
+    counts = {}
+
+    def _instrument(runner, tag):
+        orig_read, orig_rc = runner.table.read, runner.table.read_current
+        counts[tag] = 0
+
+        def read(*a, **k):
+            counts[tag] += 1
+            return orig_read(*a, **k)
+
+        def read_current(*a, **k):
+            counts[tag] += 1
+            return orig_rc(*a, **k)
+
+        runner.table.read, runner.table.read_current = read, read_current
+
+    for tag, mode in (("cow", "cow"), ("mor", "mor")):
+        pipe = ReplayPipeline(
+            spark,
+            ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+            str(tmp_path / tag / "landing"),
+            batch_size=300, num_buckets=8, mode="mor",
+            models=[(spec, str(tmp_path / tag / "m"))],
+            model_mode=mode,
+        )
+        pipe.run(max_batches=1)          # full refresh epoch (reads none)
+        _instrument(pipe.models[0], tag)  # count only the increment epochs
+        pipe.run()
+    assert counts["mor"] == 0, "MOR increment must not read the model table"
+    assert counts["cow"] > 0, "COW merge reads the touched model buckets"
+
+
 def test_mode_validation():
     with pytest.raises(ValueError, match="'cow' or 'mor'"):
         from cht_sync_spark.operators.models import ModelRunner
