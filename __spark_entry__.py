@@ -1391,7 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
     )
     votes = {k: f"len(list_filter(w, x -> x IN {v}))" for k, v in _STOP.items()}
-    return {
+    d = {
         "s1_changes_batch_pull": (
             "SELECT event_id, user_id, event_type FROM events "
             "WHERE event_id > 2000 AND event_id <= 3000"
@@ -1503,15 +1503,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2, 3"
         ),
         "model_dag_chain": (
-            "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx, "
-            "(['user','assistant','tool'])[CAST(event_id % 3 AS INTEGER) + 1] AS role, "
-            "event_type AS text FROM events) "
-            "SELECT conv_id, count(*) AS n_turns, "
-            "bool_or(role = 'tool') AS has_tool_calls, "
-            "arg_min(text, turn_idx) FILTER (WHERE role = 'user') AS first_user_text "
-            "FROM t GROUP BY conv_id"
-        ),
-        "model_dag_chain_mor": (
             "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx, "
             "(['user','assistant','tool'])[CAST(event_id % 3 AS INTEGER) + 1] AS role, "
             "event_type AS text FROM events) "
@@ -2032,3 +2023,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY conv_id"
         ),
     }
+    # the MOR model plane must land on the IDENTICAL state as the COW
+    # form — alias the oracle so the lockstep requirement is structural,
+    # not a copy-pasted literal that could drift
+    d["model_dag_chain_mor"] = d["model_dag_chain"]
+    return d

@@ -162,12 +162,21 @@ class ModelRunner:
             bucket_cols=spec.bucket_cols,
             properties=props,
         )
-        if mode == "mor" and "_fold_rank" not in [
-            f.name for f in self.table.snapshot().schema.fields
-        ]:
+        has_rank = "_fold_rank" in [f.name for f in self.table.snapshot().schema.fields]
+        if mode == "mor" and not has_rank:
             raise ValueError(
                 f"model table {path!r} was created without the MOR fold-rank "
                 "column (cow-mode table); recreate it, or keep mode='cow'"
+            )
+        if mode == "cow" and has_rank:
+            # symmetric guard: a COW merge on a MOR-created table would
+            # conform batch rows with a NULL _fold_rank while the persisted
+            # lww_order still ranks by it — stored non-null ranks then win
+            # every tie BEFORE the merge's prefer='batch' tiebreak, silently
+            # pinning stale group rows on stream re-delivery
+            raise ValueError(
+                f"model table {path!r} was created in mor mode (_fold_rank in "
+                "schema); keep mode='mor', or recreate the table for cow"
             )
         if self.table.snapshot().properties.get("tombstones.retain") != "false":
             # adopted a pre-existing table created without the marker: set it
@@ -228,7 +237,13 @@ class ModelRunner:
         landing state (plus full upstream model states for dependent
         models — topological ordering guarantees upstreams are current),
         drop tombstone outputs, overwrite."""
-        cur = landing.read_current()
+        from pyspark.storagelevel import StorageLevel
+
+        # the reconciled landing feeds BOTH the transform and the per-group
+        # seq-stamp aggregation below — persist it or the overwrite job
+        # scans + LWW-folds the whole table twice (same discipline as
+        # run_increment's scope persist)
+        cur = landing.read_current().persist(StorageLevel.MEMORY_AND_DISK)
         rows = self._apply_transform(cur, upstreams, keys=None)
         self._enforce_schema(rows)
         if self.spec.group_cols and "seq" in rows.columns:
@@ -243,7 +258,10 @@ class ModelRunner:
             seqs = cur.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
             rows = rows.drop("seq").join(seqs, on=self.spec.group_cols, how="left")
         live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
+        try:
+            self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
+        finally:
+            cur.unpersist()
         self._run_data_tests(buckets=None)
 
     def _enforce_schema(self, out: DataFrame) -> None:
@@ -458,11 +476,30 @@ class ModelRunner:
                 # __init__); re-delivered old batches recompute from current
                 # landing under a higher rank, so the winner is
                 # value-identical and replay stays idempotent.
-                out = out.withColumn(
-                    "_fold_rank",
-                    F.lit(self.table.current_version() + 1).cast("long"),
-                )
-                self.table.append_delta(out, properties_update=props)
+                # rank = the version this append will commit at, pinned with
+                # expected_version: under a concurrent writer (S8 shared
+                # model tables) a plain rebase would let two appends carry
+                # the SAME rank, breaking the strictly-increasing invariant
+                # the fold tiebreak needs — on conflict, re-stamp from the
+                # new tip and retry (failed attempts' files become vacuum-
+                # collected orphans, same as merge retries)
+                from cht_sync_spark.tables.format import CommitConflict
+
+                last_err: Exception | None = None
+                for _ in range(8):
+                    v = self.table.current_version()
+                    stamped = out.withColumn(
+                        "_fold_rank", F.lit(v + 1).cast("long")
+                    )
+                    try:
+                        self.table.append_delta(
+                            stamped, properties_update=props, expected_version=v
+                        )
+                        break
+                    except CommitConflict as e:
+                        last_err = e
+                else:
+                    raise last_err  # type: ignore[misc]
             else:
                 prefer = "batch" if self.spec.group_cols else "existing"
                 merge_upsert(

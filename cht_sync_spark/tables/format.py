@@ -849,6 +849,7 @@ class SnapshotTable:
         properties_update: dict[str, str] | None = None,
         new_schema: T.StructType | None = None,
         properties_fn=None,
+        expected_version: int | None = None,
     ) -> Snapshot:
         """Merge-on-read fast path: commit the (already LWW-deduped) batch as
         appended delta files. O(batch) — no target read, no rewrite.
@@ -870,6 +871,11 @@ class SnapshotTable:
             remove_buckets=None,
             properties_update=props,
             new_schema=schema,
+            # None (default): pure append, auto-rebases over concurrent
+            # commits. Set when the batch content depends on the version it
+            # read (e.g. the MOR model plane's _fold_rank stamp) — the
+            # caller re-stamps and retries on CommitConflict.
+            expected_version=expected_version,
         )
 
     def append_rows_local(
