@@ -316,12 +316,21 @@ def main() -> None:
         "4N": best[4],
         "all_trials": {"1": all_n, "4": all_4},
         "per_trial_efficiency": per_trial_eff,
+        # PRIMARY statistic: each trial's N and 4N run back-to-back, so a
+        # slow hypervisor window hits both sides of a pair — the median of
+        # per-trial ratios is robust to host noise (BENCH/BASELINE.md).
+        "efficiency": med,
         "efficiency_median": med,
-        "efficiency": eff,
+        # best-ever-N vs best-ever-4N across the WHOLE pool — cross-window
+        # and unpaired, so a single lucky N trial (one worker on an
+        # otherwise-idle box: full turbo + uncontended memory bandwidth)
+        # skews it in either direction; reported for completeness.
+        "efficiency_peak_pool": eff,
     }
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=2)
-    print(json.dumps({"efficiency": eff, "N_eps": best[1]["events_per_sec"],
+    print(json.dumps({"efficiency_median": med, "efficiency_peak_pool": eff,
+                      "N_eps": best[1]["events_per_sec"],
                       "4N_eps": best[4]["events_per_sec"]}))
 
 
