@@ -222,6 +222,44 @@ def test_mor_increment_never_reads_model_table(spark, feed_path, tmp_path):
     assert counts["cow"] > 0, "COW merge reads the touched model buckets"
 
 
+def test_mor_rank_unique_under_commit_race(spark, feed_path, tmp_path):
+    """_fold_rank stays strictly increasing when a concurrent writer lands
+    between the rank read and the append: the pinned expected_version
+    surfaces CommitConflict, the increment re-stamps from the new tip and
+    retries — no two delta commits may share a rank."""
+    from cht_sync_spark.operators.models import CONVERSATIONS
+
+    pipe = _pipe(spark, feed_path, tmp_path / "r", "mor", batch_size=10_000)
+    pipe.run()
+    conv = next(m for m in pipe.models if m.spec.name == "conversations")
+
+    orig = conv.table.append_delta
+    raced = {"n": 0}
+
+    def append_delta(df, **kw):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # competing marker-only commit advances the tip after the rank
+            # was computed (kw carries the stale expected_version)
+            conv.table.commit(add_files=[], properties_update={"race": "x"})
+        return orig(df, **kw)
+
+    conv.table.append_delta = append_delta
+    batch = pipe.table.read_current().limit(40)
+    conv.run_increment(pipe.table, batch, epoch=99)
+    assert raced["n"] == 1
+
+    from pyspark.sql import functions as F
+
+    raw = conv.table.read().where(F.col("_fold_rank").isNotNull())
+    per_commit = {
+        f["commit"] for f in conv.table.snapshot().files if f["level"] == "delta"
+    }
+    ranks = [r[0] for r in raw.select("_fold_rank").distinct().collect()]
+    assert len(ranks) == len(per_commit), "one distinct rank per delta commit"
+    assert conv.last_epoch() == 99, "retried append still committed the epoch"
+
+
 def test_mode_validation():
     with pytest.raises(ValueError, match="'cow' or 'mor'"):
         from cht_sync_spark.operators.models import ModelRunner
