@@ -1025,6 +1025,49 @@ def q_time_travel_tag(spark, sf):
     )
 
 
+def q_rebucket_evolution(spark, sf):
+    """Bucket-layout evolution (tables/format.py SnapshotTable.rebucket —
+    the Iceberg partition-spec-evolution analogue, done as ONE atomic
+    replace-class rewrite into a new hash layout): land three generations
+    of upserts + tombstones around a 4→16 rebucket, with a final upsert
+    generation written AFTER the rewrite, then read the reconciled state.
+    The oracle recomputes per-key LWW winners (max seq, tombstone-
+    filtered) over all four slices, so a row lost, restated, or duplicated
+    by the layout rewrite — or a post-rebucket write landing in a stale
+    layout — hash-mismatches. Reference analogue: re-partitioning the
+    Postgres landing table without breaking couch2pg's upsert path."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="rebucket_q_")
+    ids = _t(spark, sf, "events").select("event_id")
+
+    def gen(cond, val, seq, deleted=False):
+        df = ids if cond is None else ids.where(cond)
+        return df.select(
+            "event_id",
+            (F.lit(val) if val is not None else F.lit(None).cast("string")).alias("val"),
+            F.lit(deleted).alias("_deleted"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    g1 = gen(None, "g1", 1)
+    t = SnapshotTable.create(
+        spark, f"{work}/t", g1.schema, key_cols=["event_id"],
+        num_buckets=4, sort_cols=["event_id"], lww_order=[("seq", False)],
+    )
+    t.append_delta(g1)
+    t.append_delta(gen(F.col("event_id") % 3 == 0, "g2", 2))
+    t.append_delta(gen(F.col("event_id") % 13 == 0, None, 3, deleted=True))
+    snap = t.rebucket(16)
+    if snap.num_buckets != 16 or snap.operation != "replace":
+        raise RuntimeError("rebucket did not produce a replace-class 16-bucket snapshot")
+    # table stays writable in the new layout; %65 keys resurrect (seq 4 > 3)
+    t.append_delta(gen(F.col("event_id") % 5 == 0, "g3", 4))
+    return t.read_current(drop_tombstones=True).select("event_id", "val", "seq")
+
+
 def q_branch_wap_publish(spark, sf):
     """Write-audit-publish over a table branch (tables/format.py
     create_branch / fast_forward — Iceberg's WAP pattern): commit a base
@@ -1350,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
+        "rebucket_evolution": q_rebucket_evolution,
         "branch_wap_publish": q_branch_wap_publish,
         "conversation_assembly": q_conversation_assembly,
         "sft_examples": q_sft_examples,
@@ -1921,6 +1965,23 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END "
             "    AS change_type "
             "FROM events, m"
+        ),
+        # rebucket: reconciled state across a 4→16 layout rewrite == per-key
+        # LWW winners (max seq, tombstones filtered) over all four slices
+        "rebucket_evolution": (
+            "WITH g AS ("
+            "  SELECT event_id, 'g1' AS val, FALSE AS deleted, 1 AS seq FROM events "
+            "  UNION ALL SELECT event_id, 'g2', FALSE, 2 FROM events "
+            "    WHERE event_id % 3 = 0 "
+            "  UNION ALL SELECT event_id, NULL, TRUE, 3 FROM events "
+            "    WHERE event_id % 13 = 0 "
+            "  UNION ALL SELECT event_id, 'g3', FALSE, 4 FROM events "
+            "    WHERE event_id % 5 = 0), "
+            "w AS (SELECT event_id, val, deleted, seq, "
+            "  ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY seq DESC) AS rn "
+            "  FROM g) "
+            "SELECT event_id, val, CAST(seq AS BIGINT) AS seq "
+            "FROM w WHERE rn = 1 AND NOT deleted"
         ),
         # WAP publish: main's post-publish state == per-key LWW winners
         # (max seq) recomputed over ALL events

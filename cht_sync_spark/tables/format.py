@@ -738,6 +738,8 @@ class SnapshotTable:
         expected_version: int | None = None,
         max_retries: int = 5,
         operation: str | None = None,
+        new_bucket_cols: list[str] | None = None,
+        new_num_buckets: int | None = None,
     ) -> Snapshot:
         """Produce snapshot N+1 = parent minus (removed buckets/levels) plus
         ``add_files``, with properties merged in — all atomically.
@@ -781,8 +783,8 @@ class SnapshotTable:
                 version=parent.version + 1,
                 schema=new_schema or parent.schema,
                 key_cols=parent.key_cols,
-                bucket_cols=parent.bucket_cols,
-                num_buckets=parent.num_buckets,
+                bucket_cols=new_bucket_cols or parent.bucket_cols,
+                num_buckets=new_num_buckets or parent.num_buckets,
                 sort_cols=parent.sort_cols,
                 lww_order=parent.lww_order,
                 files=keep + add_files,
@@ -1003,6 +1005,82 @@ class SnapshotTable:
             properties_update=properties_update,
             expected_version=snap.version,
         )
+
+    def rebucket(
+        self,
+        num_buckets: int,
+        *,
+        bucket_cols: list[str] | None = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Bucket-layout evolution — the Iceberg partition-spec-evolution
+        analogue, done eagerly as ONE atomic rewrite.
+
+        ``num_buckets`` is the table's write-parallelism and prune-granularity
+        knob, sized for the data volume at create time; at 10^10 rows the
+        creation-time choice goes stale (too few buckets -> giant files and
+        hot write tasks; too many -> a small-files problem). Iceberg evolves
+        the partition SPEC lazily — new data in the new layout, old files
+        keeping the old one — but with a hash-bucket layout the lazy form
+        would break the engine's core invariant (every version of a key
+        lives in exactly one bucket: the basis of merge pruning, group
+        pruning, and point lookups), so this engine rewrites: fold the
+        current LWW state (tombstone shadows kept, exactly like
+        :meth:`compact`) and land it in the new layout in one replace-class
+        commit. ``bucket_cols`` may simultaneously be narrowed/changed to
+        another subset of ``key_cols`` (e.g. from the full key to the
+        ``conv_id`` group prefix so group-scoped readers can prune).
+
+        Semantics:
+        - content-preserving => ``operation='replace'``: changelog readers
+          skip it exactly like compaction, strict consumers cross it freely;
+        - layout is snapshot-scoped: time travel, tags, and branches forked
+          before the rebucket keep their own layout (and a diverged main is
+          correctly refused by ``fast_forward``'s content compare);
+        - pinned to the snapshot it read (``expected_version``): a
+          concurrent append raises :class:`CommitConflict` here and the fold
+          is redone from the new tip — same no-data-loss argument as
+          :meth:`compact`.
+
+        Cost is O(live table) — one full fold + write, the same as a forced
+        full compaction; run it as a maintenance action, not per batch.
+        """
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            new_cols = list(bucket_cols or snap.bucket_cols)
+            bad = [c for c in new_cols if c not in snap.key_cols]
+            if bad:
+                raise ValueError(
+                    f"bucket_cols must be key columns {snap.key_cols}; got {bad} "
+                    "(bucketing by non-key columns would split a key's history)"
+                )
+            if num_buckets == snap.num_buckets and new_cols == snap.bucket_cols:
+                return snap  # no-op: already in the requested layout
+            cur = self.read_current()
+            layout = Snapshot(
+                **{**snap.__dict__, "bucket_cols": new_cols, "num_buckets": num_buckets}
+            )
+            files = self._write_data(cur, layout, level="base")
+            try:
+                return self.commit(
+                    add_files=files,
+                    # defensive union: live entries are always < the current
+                    # layout's bucket count, but removing by observed ids too
+                    # costs nothing and can never strand a file
+                    remove_buckets={f["bucket"] for f in snap.files}
+                    | set(range(snap.num_buckets)),
+                    remove_level=("base", "delta", "cdc"),
+                    expected_version=snap.version,
+                    operation="replace",
+                    new_bucket_cols=new_cols,
+                    new_num_buckets=num_buckets,
+                )
+            except CommitConflict as e:
+                last_err = e  # concurrent commit landed: refold from tip
+        raise last_err  # type: ignore[misc]
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
