@@ -1068,6 +1068,74 @@ def q_rebucket_evolution(spark, sf):
     return t.read_current(drop_tombstones=True).select("event_id", "val", "seq")
 
 
+def q_model_run_stats(spark, sf):
+    """Model run-stats — the dbt_results observability plane (reference
+    sql-exporter-config.yaml:75-90 scrapes per-model status/execution_time
+    from the dbt_results table dbt-run.py maintains): replay the events
+    table as a 2-partition feed through the REAL pipeline in two
+    deterministic batches, maintaining the conversations→conv_profiles
+    model DAG with run-stats recording on, then read the stats table. The
+    oracle recomputes every deterministic cell — status (epoch 0 on a
+    fresh table is the transform-hash full refresh), rows written (one row
+    per touched group per epoch; the refresh writes live groups, equal
+    here since the feed has no deletes), covered seq bound, completed flag
+    — from the raw events; exec_ms/updated_at are wall-clock and excluded."""
+    import tempfile
+
+    from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    work = tempfile.mkdtemp(prefix="mruns_q_")
+    dirs, hi = _events_as_feed(spark, sf, work)
+    cut = hi // 2
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
+        num_buckets=8,
+        models=[(CONVERSATIONS, f"{work}/conv"), (CONV_PROFILES, f"{work}/prof")],
+        model_runs_path=f"{work}/runs",
+    )
+    pipe.run_batch(0, -(2**62), cut)
+    pipe.run_batch(1, cut, int(hi))
+    return pipe.model_runs().select(
+        "model", "epoch", "status",
+        F.col("rows").alias("rows_written"), "hi_seq", "completed",
+    )
+
+
+def q_model_latency(spark, sf):
+    """Model freshness lag — the dbt-latency metric (reference
+    sql-exporter-config.yaml:63-75: MAX(saved_timestamp) in the dbt root
+    model vs the landing table): batch 0 maintains the model DAG, then a
+    models-less worker advances the SAME landing table through batch 1 —
+    the models are now one batch behind. model_latency() derives the lag
+    entirely from engine bookkeeping (run-stats covered bound vs the
+    landing checkpoints' frontier), no data-plane scan; the oracle
+    recomputes the frontier and the covered bound from the raw events."""
+    import tempfile
+
+    from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    work = tempfile.mkdtemp(prefix="mlat_q_")
+    dirs, hi = _events_as_feed(spark, sf, work)
+    cut = hi // 2
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
+        num_buckets=8,
+        models=[(CONVERSATIONS, f"{work}/conv"), (CONV_PROFILES, f"{work}/prof")],
+        model_runs_path=f"{work}/runs",
+    )
+    pipe.run_batch(0, -(2**62), cut)
+    detached = ReplayPipeline(
+        spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
+        num_buckets=8,
+    )
+    detached.run_batch(1, cut, int(hi))
+    return pipe.model_latency()
+
+
 def q_branch_wap_publish(spark, sf):
     """Write-audit-publish over a table branch (tables/format.py
     create_branch / fast_forward — Iceberg's WAP pattern): commit a base
@@ -1394,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "rebucket_evolution": q_rebucket_evolution,
+        "model_run_stats": q_model_run_stats,
+        "model_latency": q_model_latency,
         "branch_wap_publish": q_branch_wap_publish,
         "conversation_assembly": q_conversation_assembly,
         "sft_examples": q_sft_examples,
@@ -1982,6 +2052,35 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g) "
             "SELECT event_id, val, CAST(seq AS BIGINT) AS seq "
             "FROM w WHERE rn = 1 AND NOT deleted"
+        ),
+        # dbt_results parity: per-(model, epoch) run records — status,
+        # touched-group row counts, covered seq bound — recomputed from the
+        # raw events and the deterministic 2-batch split
+        "model_run_stats": (
+            "WITH m AS (SELECT max(event_id) AS hi FROM events), "
+            "b AS (SELECT CAST(CASE WHEN event_id <= hi // 2 THEN 0 ELSE 1 END "
+            "        AS BIGINT) AS epoch, user_id, "
+            "      CASE WHEN event_id <= hi // 2 THEN hi // 2 ELSE hi END AS hs "
+            "      FROM events, m), "
+            "g AS (SELECT epoch, CAST(MAX(hs) AS BIGINT) AS hi_seq, "
+            "      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rows_written "
+            "      FROM b GROUP BY epoch) "
+            "SELECT model, epoch, "
+            "  CASE WHEN epoch = 0 THEN 'full_refresh' ELSE 'success' END AS status, "
+            "  rows_written, hi_seq, CAST(1 AS INT) AS completed "
+            "FROM g CROSS JOIN (SELECT 'conversations' AS model "
+            "  UNION ALL SELECT 'conv_profiles') mods"
+        ),
+        # dbt-latency parity: models covered through batch 0 (hi//2), the
+        # landing frontier at hi — lag recomputed from the raw events
+        "model_latency": (
+            "WITH m AS (SELECT max(event_id) AS hi FROM events) "
+            "SELECT model, CAST(0 AS BIGINT) AS last_epoch, "
+            "  CAST(hi // 2 AS BIGINT) AS model_hi_seq, "
+            "  CAST(hi AS BIGINT) AS tip_hi_seq, "
+            "  CAST(hi - hi // 2 AS BIGINT) AS seq_lag "
+            "FROM m CROSS JOIN (SELECT 'conversations' AS model "
+            "  UNION ALL SELECT 'conv_profiles') mods"
         ),
         # WAP publish: main's post-publish state == per-key LWW winners
         # (max seq) recomputed over ALL events

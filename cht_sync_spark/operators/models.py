@@ -50,6 +50,22 @@ EPOCH_PROP = "model.epoch"
 
 
 @dataclass
+class ModelRunStats:
+    """One model-maintenance run record — the engine analogue of dbt's
+    ``dbt_results`` rows that the reference's metrics exporter scrapes per
+    model (``status``, ``execution_time``, ``name`` —
+    deploy/cht_sync/templates/sql-exporter-config.yaml:75-90, written by
+    dbt/dbt-run.py's run loop). Returned by :meth:`ModelRunner.run_increment`
+    and recorded by the pipeline's model-runs table when configured."""
+
+    model: str
+    epoch: int
+    status: str  # 'success' | 'full_refresh' | 'skipped'
+    rows: int  # rows written (0 for 'skipped')
+    exec_ms: int
+
+
+@dataclass
 class ModelSpec:
     name: str
     key_cols: list[str]
@@ -232,11 +248,12 @@ class ModelRunner:
             deps[up] = d
         return self.spec.transform(scope, deps)
 
-    def full_refresh(self, landing: SnapshotTable, upstreams: dict[str, "ModelRunner"] | None = None) -> None:
+    def full_refresh(self, landing: SnapshotTable, upstreams: dict[str, "ModelRunner"] | None = None) -> int:
         """Rebuild from scratch (T12): transform the whole reconciled
         landing state (plus full upstream model states for dependent
         models — topological ordering guarantees upstreams are current),
-        drop tombstone outputs, overwrite."""
+        drop tombstone outputs, overwrite. Returns rows written (an
+        Observation metric riding the overwrite's own write job)."""
         from pyspark.storagelevel import StorageLevel
 
         # the reconciled landing feeds BOTH the transform and the per-group
@@ -257,12 +274,18 @@ class ModelRunner:
             # deterministic across batch sizes, streams, and replays.
             seqs = cur.groupBy(*self.spec.group_cols).agg(F.max("seq").alias("seq"))
             rows = rows.drop("seq").join(seqs, on=self.spec.group_cols, how="left")
-        live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        live = rows.where(~F.coalesce(F.col("_deleted"), F.lit(False))).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
         try:
             self.table.overwrite(live, properties_update={HASH_PROP: self.spec.transform_hash()})
         finally:
             cur.unpersist()
         self._run_data_tests(buckets=None)
+        return int(obs.get["n"])
 
     def _enforce_schema(self, out: DataFrame) -> None:
         """Strict contract on the transform output (T10, contacts.yml:7-8):
@@ -296,7 +319,7 @@ class ModelRunner:
         epoch: int | None = None,
         upstreams: dict[str, "ModelRunner"] | None = None,
         scope_cache: dict | None = None,
-    ) -> None:
+    ) -> ModelRunStats:
         """Incremental maintenance for one micro-batch.
 
         ``batch_rows`` = the LWW-deduped landing-shaped rows of this epoch
@@ -306,14 +329,29 @@ class ModelRunner:
         model names to their runners for ``depends_on`` transforms — the
         caller (pipeline) guarantees they are already at this epoch
         (topological ordering).
+
+        Returns a :class:`ModelRunStats` record (the dbt_results analogue):
+        rows written ride the write job as an Observation metric (MOR
+        appends / full refresh) or come from the merge's own stats (COW) —
+        zero extra Spark jobs either way.
         """
+        import time as _time
+
+        t0 = _time.monotonic()
+
+        def _done(status: str, rows: int) -> ModelRunStats:
+            return ModelRunStats(
+                self.spec.name, -1 if epoch is None else epoch, status, rows,
+                int((_time.monotonic() - t0) * 1000),
+            )
+
         if epoch is not None and epoch <= self.last_epoch():
-            return
+            return _done("skipped", 0)
         if self.needs_full_refresh():
-            self.full_refresh(landing, upstreams)
+            n = self.full_refresh(landing, upstreams)
             if epoch is not None:
                 self.table.commit(add_files=[], properties_update={EPOCH_PROP: str(epoch)})
-            return
+            return _done("full_refresh", n)
         own_persists: list[DataFrame] = []  # uncached-caller cleanup
         if self.spec.group_cols:
             from pyspark.storagelevel import StorageLevel
@@ -483,18 +521,22 @@ class ModelRunner:
                 # the fold tiebreak needs — on conflict, re-stamp from the
                 # new tip and retry (failed attempts' files become vacuum-
                 # collected orphans, same as merge retries)
+                from pyspark.sql import Observation
+
                 from cht_sync_spark.tables.format import CommitConflict
 
                 last_err: Exception | None = None
                 for _ in range(8):
                     v = self.table.current_version()
+                    obs = Observation()
                     stamped = out.withColumn(
                         "_fold_rank", F.lit(v + 1).cast("long")
-                    )
+                    ).observe(obs, F.count(F.lit(1)).alias("n"))
                     try:
                         self.table.append_delta(
                             stamped, properties_update=props, expected_version=v
                         )
+                        n_written = int(obs.get["n"])
                         break
                     except CommitConflict as e:
                         last_err = e
@@ -502,10 +544,11 @@ class ModelRunner:
                     raise last_err  # type: ignore[misc]
             else:
                 prefer = "batch" if self.spec.group_cols else "existing"
-                merge_upsert(
+                mstats = merge_upsert(
                     self.table, out, tombstones="drop", dedup_batch=False,
                     properties_update=props, prefer=prefer,
                 )
+                n_written = mstats.rows_in_batch
             if self.spec.unique_test or self.spec.not_null:
                 # scope the data tests to the model-table buckets this
                 # batch's keys hash into (micro-batch-sized collect)
@@ -524,6 +567,7 @@ class ModelRunner:
                 cached.unpersist()
             for df in own_persists:
                 df.unpersist()
+        return _done("success", n_written)
 
 
 # --------------------------------------------------------------------------
@@ -561,12 +605,14 @@ def run_model_levels(
     batch_rows: DataFrame,
     epoch: int,
     parallelism: int | None = None,
-) -> None:
+) -> list[ModelRunStats]:
     """Run one epoch of the model DAG: levels in order, models within a
     level thread-parallel (T14 — each model's update is an independent
     Spark job chain, so stages interleave on the cluster). Exactly-once
     holds per model (own epoch marker + idempotent merge): a crash mid-DAG
-    replays only models that hadn't committed."""
+    replays only models that hadn't committed. Returns one
+    :class:`ModelRunStats` per model (the dbt_results records of this
+    epoch)."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -597,14 +643,17 @@ def run_model_levels(
                 dict.__setitem__(self, k, v)
 
     scope_cache = _LockedCache()
+    stats: list[ModelRunStats] = []
     try:
         for level in levels:
             par = min(parallelism or len(level), len(level))
             if par <= 1 or len(level) == 1:
                 for m in level:
-                    m.run_increment(
-                        landing, batch_rows, epoch=epoch, upstreams=ups,
-                        scope_cache=scope_cache,
+                    stats.append(
+                        m.run_increment(
+                            landing, batch_rows, epoch=epoch, upstreams=ups,
+                            scope_cache=scope_cache,
+                        )
                     )
                 continue
             with ThreadPoolExecutor(max_workers=par, thread_name_prefix="model") as pool:
@@ -615,11 +664,12 @@ def run_model_levels(
                     for m in level
                 ]
                 for f in futs:
-                    f.result()  # propagate the first failure
+                    stats.append(f.result())  # propagate the first failure
     finally:
         for entry in scope_cache.values():
             for df in entry:
                 df.unpersist()
+    return stats
 
 
 # --------------------------------------------------------------------------

@@ -106,6 +106,27 @@ CHECKPOINT = T.StructType(
     ]
 )
 
+# Per-(model, epoch) maintenance-run record — the dbt_results/dbt-latency
+# observability plane (reference sql-exporter-config.yaml:63-90: per-model
+# status + execution_time, and the model-vs-landing freshness gap). Keyed
+# (model, epoch) with LWW on `completed` DESC: a resumed batch's 'skipped'
+# replay record can never overwrite a completed run's record.
+MODEL_RUN = T.StructType(
+    [
+        T.StructField("model", T.StringType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("rows", T.LongType(), True),
+        T.StructField("exec_ms", T.LongType(), True),
+        # the batch's planned high seq bound — what the model state covers
+        # after this epoch; model_latency() diffs it against the landing
+        # checkpoints' frontier (the dbt-latency metric, in seq units)
+        T.StructField("hi_seq", T.LongType(), True),
+        T.StructField("completed", T.IntegerType(), False),
+        T.StructField("updated_at", T.LongType(), True),  # wall-clock epoch ms
+    ]
+)
+
 LINEAGE = T.StructType(
     [
         T.StructField("epoch_id", T.LongType(), False),

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from cht_sync_spark.functions.json_doc import doc_to_row, doc_to_row_arrow
 from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.schemas import CHECKPOINT, LINEAGE, TRANSCRIPT, TRANSCRIPT_KEY
+from cht_sync_spark.schemas import CHECKPOINT, LINEAGE, MODEL_RUN, TRANSCRIPT, TRANSCRIPT_KEY
 from cht_sync_spark.sources.changes import ChangesFeedSource
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import merge_upsert
@@ -91,6 +91,7 @@ class ReplayPipeline:
         maintenance_keep_snapshots: int = 20,
         dlq_path: str | None = None,
         table_properties: dict[str, str] | None = None,
+        model_runs_path: str | None = None,
     ):
         self.spark = spark
         self.feed = feed
@@ -141,6 +142,19 @@ class ReplayPipeline:
                 spark, lineage_path, LINEAGE, ["epoch_id", "source", "partition_id"], num_buckets=1
             )
             if lineage_path
+            else None
+        )
+        # Model run-stats table (dbt_results parity — the per-model status/
+        # rows/execution-time records the reference's metrics exporter
+        # scrapes, sql-exporter-config.yaml:75-90). Keyed (model, epoch);
+        # LWW on `completed` DESC so a crash-resumed batch's 'skipped'
+        # replay record never shadows the completed run's record.
+        self.model_runs_table = (
+            SnapshotTable.create(
+                spark, model_runs_path, MODEL_RUN, ["model", "epoch"], num_buckets=1,
+                sort_cols=["model", "epoch"], lww_order=[("completed", False)],
+            )
+            if model_runs_path
             else None
         )
         # Dead-letter quarantine (functions/dlq.py): with a dlq_path,
@@ -214,6 +228,40 @@ class ReplayPipeline:
             )
         return self.spark.createDataFrame(rows, CHECKPOINT)
 
+    def model_runs(self) -> DataFrame:
+        """The reconciled model run-stats table (dbt_results parity —
+        reference sql-exporter-config.yaml:75-90): one record per
+        (model, epoch) with status, rows written, execution ms, and the
+        covered seq bound. Latest record per key wins; a resumed epoch's
+        'skipped' replay record (completed=0) never shadows a completed
+        run's record (the LWW order is ``completed`` DESC)."""
+        if self.model_runs_table is None:
+            raise ValueError("pipeline was constructed without model_runs_path")
+        return self.model_runs_table.read_current()
+
+    def model_latency(self) -> DataFrame:
+        """dbt-latency parity (reference sql-exporter-config.yaml:63-75:
+        MAX(saved_timestamp) in the dbt root model vs the landing table):
+        per model, how far behind the landing ingest frontier the model's
+        last COMPLETED epoch is — derived entirely from engine bookkeeping
+        (the run-stats records + the landing checkpoints), no data-plane
+        scan. ``seq_lag`` is in feed-sequence units, the engine's native
+        freshness domain (the reference's is seconds because Postgres
+        timestamps are its only watermark)."""
+        runs = self.model_runs().where(F.col("completed") == 1)
+        per_model = runs.groupBy("model").agg(
+            F.max("epoch").alias("last_epoch"),
+            F.max("hi_seq").alias("model_hi_seq"),
+        )
+        tip = self.checkpoints().agg(F.max("seq").alias("tip_hi_seq"))
+        return per_model.crossJoin(tip).select(
+            "model",
+            "last_epoch",
+            "model_hi_seq",
+            "tip_hi_seq",
+            (F.col("tip_hi_seq") - F.col("model_hi_seq")).alias("seq_lag"),
+        )
+
     # ------------------------------------------------------------------- run
     def _transform(self, events: DataFrame) -> DataFrame:
         rows = doc_to_row(events) if self.transform == "catalyst" else doc_to_row_arrow(events)
@@ -222,7 +270,7 @@ class ReplayPipeline:
             rows = rows.withColumn("saved_timestamp", F.coalesce(F.col("ts"), F.timestamp_millis(F.col("seq") % 10**12)))
         return rows
 
-    def _run_models(self, batch_rows: DataFrame, epoch: int) -> None:
+    def _run_models(self, batch_rows: DataFrame, epoch: int, hi: int | None = None) -> None:
         """T14 model-level parallelism + dependency ordering: models run in
         topological LEVELS (a dependent transform needs its upstreams at
         this epoch first); within a level each model's incremental update is
@@ -230,15 +278,35 @@ class ReplayPipeline:
         stages interleave on the cluster. Exactly-once holds per model (own
         epoch marker, idempotent merge): a crash mid-DAG replays only the
         models that hadn't committed — upstreams already at this epoch skip,
-        and their tables feed the retried downstream reads unchanged."""
+        and their tables feed the retried downstream reads unchanged.
+
+        With ``model_runs_path`` configured, each model's run record (the
+        dbt_results analogue: status, rows written, execution ms, covered
+        seq bound) is micro-appended AFTER the whole DAG epoch — stats are
+        observability, never lineage-of-record: a crash between a model's
+        epoch commit and this append records the resumed run as 'skipped'
+        (completed=0) for that epoch, and the LWW order guarantees a
+        completed record is never overwritten by a replayed skip."""
         if not self.models:
             return
         from cht_sync_spark.operators.models import run_model_levels
 
-        run_model_levels(
+        stats = run_model_levels(
             self._model_levels, self.table, batch_rows, epoch,
             parallelism=self.model_parallelism,
         )
+        if self.model_runs_table is not None and stats:
+            now_ms = int(time.time() * 1000)
+            self.model_runs_table.append_rows_local(
+                [
+                    (
+                        s.model, int(s.epoch), s.status, int(s.rows), int(s.exec_ms),
+                        int(hi) if hi is not None else None,
+                        0 if s.status == "skipped" else 1, now_ms,
+                    )
+                    for s in stats
+                ]
+            )
 
     def _dlq_epoch(self) -> int:
         return int(self.dlq.snapshot().properties.get(self._epoch_prop, -1))
@@ -308,7 +376,7 @@ class ReplayPipeline:
 
                     rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
-                    self._run_models(rows, epoch)
+                    self._run_models(rows, epoch, hi)
                 finally:
                     if self.models:
                         rows.unpersist()
@@ -421,7 +489,7 @@ class ReplayPipeline:
             self._write_dlq(epoch, lo, hi, bad_n=int(obs.get["dlq_n"]))
 
         try:
-            self._run_models(rows, epoch)
+            self._run_models(rows, epoch, hi)
         finally:
             if self.models:
                 rows.unpersist()
@@ -463,6 +531,11 @@ class ReplayPipeline:
         if self.lineage is not None:
             tables.append(self.lineage)
             compact.append(self.lineage)
+        if self.model_runs_table is not None:
+            # same shape as lineage: one micro-append per batch — fold and
+            # expire on the same cadence
+            tables.append(self.model_runs_table)
+            compact.append(self.model_runs_table)
         if self.dlq is not None:
             # one snapshot per batch (mostly marker-only) — expire with the rest
             tables.append(self.dlq)

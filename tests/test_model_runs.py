@@ -1,0 +1,170 @@
+"""Model run-stats + model latency — the dbt observability plane
+(reference sql-exporter-config.yaml:63-90: per-model dbt_results status/
+execution_time records and the dbt-latency model-vs-landing freshness gap).
+
+The engine records one (model, epoch) run record per DAG epoch into a
+bookkeeping table (micro-append, same shape as lineage), keyed with LWW on
+``completed`` DESC so a crash-resumed batch's 'skipped' replay record can
+never shadow a completed run's record. ``model_latency()`` diffs each
+model's covered seq bound against the landing checkpoints' frontier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+from cht_sync_spark.sources.changes import ChangesFeedSource
+from cht_sync_spark.sources.feedgen import feed_sources
+from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+LO0 = -(2**62)
+
+
+def _pipe(spark, feed_path, work, with_models=True, runs=True, **kw):
+    models = (
+        [(CONVERSATIONS, f"{work}/conv"), (CONV_PROFILES, f"{work}/prof")]
+        if with_models
+        else []
+    )
+    return ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        f"{work}/t",
+        batch_size=400,
+        num_buckets=8,
+        models=models,
+        model_runs_path=f"{work}/runs" if runs else None,
+        **kw,
+    )
+
+
+def _plan(pipe):
+    cuts = pipe.feed.plan_batches(pipe.batch_size)
+    out, lo = [], LO0
+    for hi in cuts:
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
+def test_run_stats_recorded_per_model_per_epoch(spark, feed_path, tmp_path):
+    work = str(tmp_path)
+    pipe = _pipe(spark, feed_path, work)
+    results = pipe.run()
+    n_epochs = len(results)
+    assert n_epochs >= 2
+    runs = pipe.model_runs().collect()
+    # one record per model per epoch, all completed
+    assert len(runs) == 2 * n_epochs
+    assert {(r["model"], r["epoch"]) for r in runs} == {
+        (m, e) for m in ("conversations", "conv_profiles") for e in range(n_epochs)
+    }
+    assert all(r["completed"] == 1 for r in runs)
+    # epoch 0 on a fresh table is the transform-hash full refresh; later
+    # epochs are incremental successes
+    by = {(r["model"], r["epoch"]): r for r in runs}
+    assert by[("conversations", 0)]["status"] == "full_refresh"
+    assert all(
+        by[(m, e)]["status"] == "success"
+        for m in ("conversations", "conv_profiles")
+        for e in range(1, n_epochs)
+    )
+    assert all(r["exec_ms"] >= 0 and r["updated_at"] is not None for r in runs)
+    # rows: a grouped model writes one row per touched group per epoch
+    # (live recomputes + gone tombstones == the batch's distinct groups);
+    # the epoch-0 full refresh writes LIVE groups only (<= touched)
+    bounds = sorted((b.seq_lo, b.seq_hi) for b in results)
+    for e, (lo, hi) in enumerate(bounds):
+        batch = pipe.feed.df().where((F.col("seq") > lo) & (F.col("seq") <= hi))
+        touched = pipe._transform(batch).select("conv_id").distinct().count()
+        for m in ("conversations", "conv_profiles"):
+            got = by[(m, e)]["rows"]
+            if e == 0:
+                assert 0 < got <= touched
+            else:
+                assert got == touched
+    # covered bound = the batch's planned hi
+    assert all(by[("conversations", e)]["hi_seq"] == bounds[e][1] for e in range(n_epochs))
+
+
+def test_skipped_replay_never_overwrites_completed(spark, feed_path, tmp_path):
+    work = str(tmp_path)
+    pipe = _pipe(spark, feed_path, work)
+    pipe.run()
+    before = {(r["model"], r["epoch"]): r["status"] for r in pipe.model_runs().collect()}
+    assert before and all(s in ("success", "full_refresh") for s in before.values())
+    # replay the whole feed through a fresh pipeline over the same tables:
+    # every model skips every epoch, appending completed=0 records that must
+    # all LOSE the fold to the completed ones
+    pipe2 = _pipe(spark, feed_path, work)
+    assert pipe2.run() == []  # run() returns only non-skipped batches
+    after = {(r["model"], r["epoch"]): r for r in pipe2.model_runs().collect()}
+    assert len(after) == len(before)
+    for k, status in before.items():
+        assert after[k]["status"] == status and after[k]["completed"] == 1
+
+
+def test_crash_window_records_skipped_honestly(spark, feed_path, tmp_path):
+    """Crash-window semantics, both halves:
+
+    1. A crash MID-DAG (some models committed, the stats append never ran):
+       the resumed batch re-enters the model plane — already-committed
+       models record 'skipped' (completed=0), lagging models record their
+       real run. Stats are observability, not lineage-of-record.
+    2. A FULLY-done batch short-circuits before the model plane and records
+       nothing — replays never manufacture phantom run records."""
+    work = str(tmp_path)
+    # batch 0 commits the landing + ONLY the upstream model (== crash before
+    # conv_profiles and before any stats append)
+    pipe = ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        f"{work}/t",
+        batch_size=400,
+        num_buckets=8,
+        models=[(CONVERSATIONS, f"{work}/conv")],
+    )
+    lo, hi = _plan(pipe)[0]
+    pipe.run_batch(0, lo, hi)
+    # resume with the FULL DAG + stats configured: the landing and the
+    # upstream skip, the lagging downstream runs for real
+    pipe2 = _pipe(spark, feed_path, work)
+    pipe2.run_batch(0, lo, hi)
+    runs = {r["model"]: r for r in pipe2.model_runs().collect()}
+    assert set(runs) == {"conversations", "conv_profiles"}
+    up, down = runs["conversations"], runs["conv_profiles"]
+    assert up["status"] == "skipped" and up["completed"] == 0 and up["rows"] == 0
+    assert down["status"] == "full_refresh" and down["completed"] == 1 and down["rows"] > 0
+    # a now-fully-done replay records nothing new
+    assert pipe2.run_batch(0, lo, hi).skipped
+    assert pipe2.model_runs().count() == 2
+
+
+def test_model_latency_tracks_detached_models(spark, feed_path, tmp_path):
+    work = str(tmp_path)
+    pipe = _pipe(spark, feed_path, work)
+    plan = _plan(pipe)
+    assert len(plan) >= 2
+    pipe.run_batch(0, *plan[0])
+    lat0 = {r["model"]: r for r in pipe.model_latency().collect()}
+    assert set(lat0) == {"conversations", "conv_profiles"}
+    assert all(r["seq_lag"] == 0 for r in lat0.values())
+    # the landing advances WITHOUT the models (a models-less worker drains
+    # the rest of the feed into the same table): lag = frontier - covered
+    pipe2 = _pipe(spark, feed_path, work, with_models=False, runs=False)
+    for e, (lo, hi) in enumerate(plan[1:], start=1):
+        pipe2.run_batch(e, lo, hi)
+    lat = {r["model"]: r for r in pipe.model_latency().collect()}
+    tip = max(hi for _, hi in plan)
+    for m in ("conversations", "conv_profiles"):
+        assert lat[m]["last_epoch"] == 0
+        assert lat[m]["model_hi_seq"] == plan[0][1]
+        assert lat[m]["tip_hi_seq"] == tip
+        assert lat[m]["seq_lag"] == tip - plan[0][1] > 0
+
+
+def test_model_runs_requires_configuration(spark, feed_path, tmp_path):
+    pipe = _pipe(spark, feed_path, str(tmp_path), runs=False)
+    with pytest.raises(ValueError):
+        pipe.model_runs()
