@@ -68,6 +68,7 @@ class StreamingReplay:
         dlq_path: str | None = None,
         source_format: Literal["parquet", "cht_changes"] = "parquet",
         events_per_trigger: int = 0,
+        model_runs_path: str | None = None,
     ):
         self.spark = spark
         self.feed_path = feed_path
@@ -109,6 +110,20 @@ class StreamingReplay:
                 num_buckets=4, lww_order=[("seq", False)],
             )
             if dlq_path
+            else None
+        )
+        # model run-stats (dbt_results parity) — same table shape and
+        # crash-window semantics as ReplayPipeline(model_runs_path=); the
+        # covered bound is the batch's OBSERVED max seq (streaming batches
+        # have no planned seq range)
+        from cht_sync_spark.schemas import MODEL_RUN
+
+        self.model_runs_table = (
+            SnapshotTable.create(
+                spark, model_runs_path, MODEL_RUN, ["model", "epoch"], num_buckets=1,
+                sort_cols=["model", "epoch"], lww_order=[("completed", False)],
+            )
+            if model_runs_path
             else None
         )
         # downstream model DAG maintained inside the SAME foreachBatch body
@@ -280,12 +295,43 @@ class StreamingReplay:
             from cht_sync_spark.operators.models import run_model_levels
 
             try:
-                run_model_levels(
+                mstats = run_model_levels(
                     self._model_levels, self.table, rows, int(epoch_id),
                     parallelism=self.model_parallelism,
                 )
             finally:
                 rows.unpersist()
+            if self.model_runs_table is not None and mstats:
+                import time as _time
+
+                # covered bound = the batch's observed max seq. Only known
+                # when the landing write materialized the checkpoint
+                # metrics this batch — a replayed (landing-done) batch
+                # records None rather than touching the unmaterialized
+                # Observation (whose .get would block forever)
+                hi = None
+                if not landing_done:
+                    if self.sources is not None:
+                        got = obs.get
+                        his = [
+                            int(got[f"hi{i}"])
+                            for i in range(len(self.sources))
+                            if got[f"n{i}"]
+                        ]
+                    else:
+                        his = [int(r["hi"]) for r in src_stats if r["n"]]
+                    hi = max(his) if his else None
+                now_ms = int(_time.time() * 1000)
+                self.model_runs_table.append_rows_local(
+                    [
+                        (
+                            s.model, int(s.epoch), s.status, int(s.rows),
+                            int(s.exec_ms), hi,
+                            0 if s.status == "skipped" else 1, now_ms,
+                        )
+                        for s in mstats
+                    ]
+                )
         self._applied += 1
         self._since_maintain += 1
         if self.maintenance_every and self._since_maintain >= self.maintenance_every:
@@ -299,13 +345,24 @@ class StreamingReplay:
         table, Structured Streaming's own progress log covers it)."""
         from cht_sync_spark.tables.format import maintain_tables
 
+        runs = [self.model_runs_table] if self.model_runs_table is not None else []
         maintain_tables(
             [self.table] + [m.table for m in self.models]
-            + ([self.dlq] if self.dlq is not None else []),
+            + ([self.dlq] if self.dlq is not None else []) + runs,
             self.maintenance_keep_snapshots,
             compact=([self.table] if self.mode == "mor" else [])
-            + ([m.table for m in self.models] if self.model_mode == "mor" else []),
+            + ([m.table for m in self.models] if self.model_mode == "mor" else [])
+            + runs,  # one micro-append per batch: fold on the same cadence
         )
+
+    def model_runs(self) -> DataFrame:
+        """dbt_results parity for the streaming form — same reconciled
+        run-stats table as ``ReplayPipeline.model_runs`` (latest record per
+        (model, epoch); completed records win the fold over replayed
+        skips)."""
+        if self.model_runs_table is None:
+            raise ValueError("stream was constructed without model_runs_path")
+        return self.model_runs_table.read_current()
 
     # ------------------------------------------------------------------ runs
     def _stream(self) -> DataFrame:

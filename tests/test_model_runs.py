@@ -168,3 +168,32 @@ def test_model_runs_requires_configuration(spark, feed_path, tmp_path):
     pipe = _pipe(spark, feed_path, str(tmp_path), runs=False)
     with pytest.raises(ValueError):
         pipe.model_runs()
+
+
+def test_streaming_form_records_runs(spark, feed_path, tmp_path):
+    """StreamingReplay(model_runs_path=): same record shape as the batch
+    pipeline; the covered bound is the batch's OBSERVED max seq (streaming
+    batches have no planned seq range)."""
+    from cht_sync_spark.streaming.stream import StreamingReplay
+
+    work = str(tmp_path)
+    sr = StreamingReplay(
+        spark, feed_path, f"{work}/t", f"{work}/ckpt",
+        max_files_per_trigger=2, num_buckets=8,
+        sources=feed_sources(),
+        models=[(CONVERSATIONS, f"{work}/conv"), (CONV_PROFILES, f"{work}/prof")],
+        model_runs_path=f"{work}/runs",
+    )
+    sr.run_available_now()
+    runs = sr.model_runs().collect()
+    n_epochs = int(sr.table.snapshot().properties["epoch.stream"]) + 1
+    assert n_epochs >= 2
+    assert len(runs) == 2 * n_epochs
+    assert all(r["completed"] == 1 for r in runs)
+    assert all(r["hi_seq"] is not None and r["rows"] > 0 for r in runs)
+    # the batches jointly cover the whole feed: the max observed bound per
+    # model equals the feed's max seq (file-stream batch ORDER follows file
+    # listing, not seq bands, so per-epoch bounds need not be monotone)
+    feed_hi = spark.read.parquet(feed_path).agg(F.max("seq")).first()[0]
+    for m in ("conversations", "conv_profiles"):
+        assert max(r["hi_seq"] for r in runs if r["model"] == m) == feed_hi
