@@ -1068,6 +1068,49 @@ def q_rebucket_evolution(spark, sf):
     return t.read_current(drop_tombstones=True).select("event_id", "val", "seq")
 
 
+def q_zorder_cluster(spark, sf):
+    """Z-order clustering (tables/format.py SnapshotTable.cluster — Delta
+    OPTIMIZE ZORDER / Iceberg sort-order rewrite): land the events table,
+    rewrite it clustered by the Morton interleave of (user_id, ts), then
+    run a two-dimensional range-filtered read through the stats-pruned
+    scan path — the layout under the default key sort would have useless
+    per-file bounds on BOTH columns. The oracle is the plain SQL filter
+    over the raw events, so a row lost to over-pruning (or duplicated by
+    the rewrite) hash-mismatches; the files-opened < files-live skipping
+    assertions are pinned in tests/test_cluster.py."""
+    import datetime as _dt
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="zorder_q_")
+    ev = _t(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is NTZ; session tz UTC
+    um, lo_us, hi_us, n = ev.agg(
+        F.max("user_id"), F.min(ts_us), F.max(ts_us), F.count("*")
+    ).first()
+    rows = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("event_id", True)],
+    )
+    t.append_delta(rows)
+    t.cluster(["user_id", "ts"], bits=10, max_rows_per_file=max(500, int(n) // 64))
+    mid_us = (3 * lo_us + hi_us) // 4  # 25th-percentile timestamp
+    mid_dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=mid_us)
+    got = t.read(
+        filters=[
+            ("user_id", ">", um // 4),
+            ("user_id", "<=", um // 2),
+            ("ts", ">=", mid_dt),
+        ]
+    )
+    live = len(t.snapshot().files)
+    if live > 8 and t.last_scan_files >= live:
+        raise RuntimeError("z-order clustering pruned nothing on a 2-dim filter")
+    return got.select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def q_model_run_stats(spark, sf):
     """Model run-stats — the dbt_results observability plane (reference
     sql-exporter-config.yaml:75-90 scrapes per-model status/execution_time
@@ -1462,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "rebucket_evolution": q_rebucket_evolution,
+        "zorder_cluster": q_zorder_cluster,
         "model_run_stats": q_model_run_stats,
         "model_latency": q_model_latency,
         "branch_wap_publish": q_branch_wap_publish,
@@ -2052,6 +2096,16 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g) "
             "SELECT event_id, val, CAST(seq AS BIGINT) AS seq "
             "FROM w WHERE rn = 1 AND NOT deleted"
+        ),
+        # z-order: the clustered 2-dim filtered read == the plain SQL filter
+        # (clustering is a physical rewrite; content must be unchanged)
+        "zorder_cluster": (
+            "WITH m AS (SELECT max(user_id) AS um, "
+            "  (3 * epoch_us(min(ts)) + epoch_us(max(ts))) // 4 AS mid_us FROM events) "
+            "SELECT event_id, ts, user_id, event_type, value "
+            "FROM events, m "
+            "WHERE user_id > um // 4 AND user_id <= um // 2 "
+            "  AND epoch_us(ts) >= mid_us"
         ),
         # dbt_results parity: per-(model, epoch) run records — status,
         # touched-group row counts, covered seq bound — recomputed from the

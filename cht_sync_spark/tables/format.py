@@ -660,7 +660,8 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- write
     def _write_data(
-        self, df: DataFrame, snap: Snapshot, level: str
+        self, df: DataFrame, snap: Snapshot, level: str,
+        sort_exprs: list | None = None, max_rows_per_file: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write df (must contain all snapshot schema cols) as per-bucket
         parquet under a fresh commit dir; returns manifest file entries.
@@ -672,18 +673,26 @@ class SnapshotTable:
         min/max stats for key lookups (the 'write-ordered by (conv_id,
         turn_idx)' from SURVEY §4). num_buckets is the write-parallelism
         knob: size it to O(cluster cores) at scale.
+
+        ``sort_exprs`` overrides the within-bucket order (:meth:`cluster`'s
+        z-value) and ``max_rows_per_file`` makes the writer split each
+        bucket's sorted stream into bounded files — consecutive files then
+        cover contiguous ranges of the sort expression, which is what gives
+        clustered columns tight per-file bounds.
         """
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join(_DATADIR, commit_id)
         out = os.path.join(self.path, rel)
-        (
+        writer = (
             df.withColumn("__bucket", bucket_expr(snap.bucket_cols, snap.num_buckets))
             .repartition(snap.num_buckets, F.col("__bucket"))
-            .sortWithinPartitions("__bucket", *snap.sort_cols)
+            .sortWithinPartitions("__bucket", *(sort_exprs if sort_exprs is not None else snap.sort_cols))
             .write.partitionBy("__bucket")
             .mode("overwrite")
-            .parquet(out)
         )
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+        writer.parquet(out)
         entries: list[dict[str, Any]] = []
         for bdir in sorted(os.listdir(out)):
             if not bdir.startswith("__bucket="):
@@ -1081,6 +1090,172 @@ class SnapshotTable:
             except CommitConflict as e:
                 last_err = e  # concurrent commit landed: refold from tip
         raise last_err  # type: ignore[misc]
+
+    def cluster(
+        self,
+        cols: list[str],
+        *,
+        bits: int = 16,
+        max_rows_per_file: int = 500_000,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Z-order clustering — Delta's ``OPTIMIZE ZORDER BY`` / an Iceberg
+        sort-order rewrite, as a replace-class maintenance rewrite.
+
+        The write path orders each bucket by ``sort_cols`` (point-lookup
+        locality on the key), so per-file bounds are tight only on that
+        prefix: a predicate on any OTHER column — a time-range scan over a
+        conv_id-sorted transcript table — matches every file's bounds and
+        skips nothing. This rewrites the folded state ordered by the Morton
+        (Z) interleaving of the requested columns' normalized ranks, split
+        into bounded files, so every clustered column's per-file range is
+        tight SIMULTANEOUSLY: one rewrite buys file-level skipping on d
+        dimensions at once (a 1-dim slice matches ~n^((d-1)/d) of n files
+        instead of all of them).
+
+        Mechanics — one Spark job, one shuffle (the same per-bucket
+        exchange every write pays):
+
+        - per column, a rank in [0, 2^bits) min-max scaled from the GLOBAL
+          column bounds; the bounds come free from the manifest file stats
+          when every live file carries them (driver-side, no job), else one
+          aggregation over the fold;
+        - z = bit-interleave of the ranks — a pure-Catalyst shift/or
+          expression tree, whole-stage-codegen'd;
+        - rows sort (bucket, z) inside the bucket exchange and the writer
+          splits every ``max_rows_per_file`` rows, so consecutive files
+          cover contiguous z-ranges and footer stats give tight per-file
+          bounds on every clustered column;
+        - the commit adds ``cols`` to ``stats.cols`` so the bounds are
+          recorded and ``read(filters=...)`` skips at planning time.
+
+        Numeric and timestamp columns only (timestamps normalize to epoch
+        micros — the same compare domain the manifest stats use); string
+        columns are rejected: a hash rank would destroy the value locality
+        z-ordering exists to create. Content-preserving exactly like
+        :meth:`compact`: tombstone shadows kept, ``operation='replace'``
+        (changelog-invisible), pinned against concurrent commits.
+        """
+        if not cols:
+            raise ValueError("cluster needs at least one column")
+        if len(set(cols)) != len(cols):
+            raise ValueError(f"duplicate cluster columns: {cols}")
+        if bits * len(cols) > 60:
+            raise ValueError(
+                f"bits*len(cols) must fit a long: {bits}*{len(cols)} > 60"
+            )
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            by_name = {f.name: f.dataType for f in snap.schema.fields}
+            exprs: dict[str, Any] = {}
+            for c in cols:
+                if c not in by_name:
+                    raise ValueError(f"cluster column {c!r} not in table schema")
+                t = by_name[c]
+                if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+                    # NTZ casts through the session tz (UTC here) — the same
+                    # naive-as-UTC convention the manifest stats use
+                    exprs[c] = F.unix_micros(F.col(c).cast("timestamp"))
+                elif isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                                    T.FloatType, T.DoubleType)):
+                    exprs[c] = F.col(c).cast("double")
+                else:
+                    raise ValueError(
+                        f"cluster column {c!r} has type {t.simpleString()}; only "
+                        "numeric/timestamp columns keep value locality under a "
+                        "min-max rank — z-order something orderable"
+                    )
+            if not snap.files:
+                return snap  # empty table: nothing to rewrite
+            bounds = self._manifest_bounds(snap, cols)
+            cur = self.read_current()
+            persisted = False
+            if bounds is None:
+                # some live file lacks recorded bounds: one agg pass over
+                # the fold (persist so the write below reuses it)
+                from pyspark.storagelevel import StorageLevel
+
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = True
+                row = cur.agg(
+                    *[F.min(exprs[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
+                    *[F.max(exprs[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],
+                ).first()
+                bounds = {
+                    c: (row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(cols)
+                }
+            d = len(cols)
+            ranks = []
+            top = (1 << bits) - 1
+            for c in cols:
+                lo, hi = bounds[c]
+                if lo is None or hi is None or float(hi) <= float(lo):
+                    ranks.append(F.lit(0).cast("long"))  # constant/all-null col
+                    continue
+                scaled = (
+                    (exprs[c] - F.lit(float(lo))) * F.lit(float(top))
+                    / F.lit(float(hi) - float(lo))
+                )
+                ranks.append(
+                    F.coalesce(  # nulls rank lowest (they cluster together)
+                        F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(top)),
+                        F.lit(0),
+                    )
+                )
+            z = F.lit(0).cast("long")
+            for b in range(bits):
+                for j, r in enumerate(ranks):
+                    bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+                    z = z.bitwiseOR(F.shiftleft(bit, b * d + j))
+            scols = sorted(set(self._stats_cols(snap)) | set(cols))
+            layout = Snapshot(
+                **{
+                    **snap.__dict__,
+                    "properties": {**snap.properties, "stats.cols": json.dumps(scols)},
+                }
+            )
+            try:
+                files = self._write_data(
+                    cur, layout, level="base",
+                    sort_exprs=[z], max_rows_per_file=max_rows_per_file,
+                )
+                return self.commit(
+                    add_files=files,
+                    remove_buckets={f["bucket"] for f in snap.files}
+                    | set(range(snap.num_buckets)),
+                    remove_level=("base", "delta", "cdc"),
+                    properties_update={"stats.cols": json.dumps(scols)},
+                    expected_version=snap.version,
+                    operation="replace",
+                )
+            except CommitConflict as e:
+                last_err = e  # concurrent commit landed: refold from tip
+            finally:
+                if persisted:
+                    cur.unpersist()
+        raise last_err  # type: ignore[misc]
+
+    def _manifest_bounds(
+        self, snap: Snapshot, cols: list[str]
+    ) -> dict[str, tuple[Any, Any]] | None:
+        """Global (lo, hi) per column folded from the manifest file stats —
+        driver-side, no Spark job. None when ANY live file lacks a usable
+        bound for any column (the caller falls back to one agg pass)."""
+        out: dict[str, tuple[Any, Any]] = {}
+        for c in cols:
+            lo: Any = None
+            hi: Any = None
+            for f in snap.files:
+                st = (f.get("stats") or {}).get(c)
+                if st is None or st.get("lo") is None or st.get("hi") is None:
+                    return None
+                lo = st["lo"] if lo is None or st["lo"] < lo else lo
+                hi = st["hi"] if hi is None or st["hi"] > hi else hi
+            if lo is None:
+                return None
+            out[c] = (lo, hi)
+        return out
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
