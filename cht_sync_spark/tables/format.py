@@ -463,6 +463,51 @@ class SnapshotTable:
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self._versions()]
 
+    def meta(self, kind: str) -> DataFrame:
+        """Iceberg metadata-table analogue (``db.t.snapshots`` /
+        ``db.t.files`` / ``db.t.manifests``, the refs listing): the table's
+        own bookkeeping as a queryable DataFrame — the ops/debugging surface
+        (how many live files per bucket, which snapshot compacted what, what
+        refs pin retention). Driver-side state only, no data-file I/O.
+
+        - ``'snapshots'``: version, parent, operation, num_buckets,
+          n_files, n_manifests per retained snapshot;
+        - ``'files'``: path, bucket, level, commit (+ has_stats) of the
+          CURRENT snapshot's live files;
+        - ``'manifests'``: manifest path + entry count of the current
+          snapshot;
+        - ``'refs'``: tags and branches with their pinned/head versions.
+        """
+        if kind == "snapshots":
+            rows = [
+                (s.version, s.parent, s.operation, s.num_buckets,
+                 len(s.files), len(s.manifests or []))
+                for s in self.history()
+            ]
+            cols = "version int, parent int, operation string, num_buckets int, n_files int, n_manifests int"
+        elif kind == "files":
+            snap = self.snapshot()
+            rows = [
+                (f["path"], f["bucket"], f["level"], f["commit"], "stats" in f)
+                for f in snap.files
+            ]
+            cols = "path string, bucket int, level string, commit string, has_stats boolean"
+        elif kind == "manifests":
+            snap = self.snapshot()
+            rows = [(m, len(self._load_manifest(m))) for m in (snap.manifests or [])]
+            cols = "path string, n_entries int"
+        elif kind == "refs":
+            rows = [("tag", n, v) for n, v in sorted(self.tags().items())] + [
+                ("branch", n, SnapshotTable(self.spark, self.path).branch(n).current_version())
+                for n in self.branches()
+            ]
+            cols = "kind string, name string, version int"
+        else:
+            raise ValueError(
+                f"unknown metadata table {kind!r}; one of snapshots/files/manifests/refs"
+            )
+        return self.spark.createDataFrame(rows, cols)
+
     def _write_manifest(self, snap: Snapshot) -> None:
         d = os.path.join(self.path, self._snapdir)
         final = os.path.join(d, f"v{snap.version:08d}.json")
