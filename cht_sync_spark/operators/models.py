@@ -56,13 +56,48 @@ class ModelRunStats:
     model (``status``, ``execution_time``, ``name`` —
     deploy/cht_sync/templates/sql-exporter-config.yaml:75-90, written by
     dbt/dbt-run.py's run loop). Returned by :meth:`ModelRunner.run_increment`
-    and recorded by the pipeline's model-runs table when configured."""
+    and recorded by the pipeline's model-runs table when configured.
+
+    ``rows`` is the size of the recomputed slice this run APPLIED,
+    including retraction tombstones — deliberately identical across model
+    modes (MOR physically appends the tombstone rows as shadowing deltas;
+    the COW merge counts them in the same slice before physically dropping
+    them). 0 for 'skipped'; live rows only for 'full_refresh' (a rebuild
+    has nothing to retract)."""
 
     model: str
     epoch: int
     status: str  # 'success' | 'full_refresh' | 'skipped'
-    rows: int  # rows written (0 for 'skipped')
+    rows: int
     exec_ms: int
+
+
+def create_model_runs_table(spark: SparkSession, path: str) -> SnapshotTable:
+    """The run-stats bookkeeping table (MODEL_RUN schema), shared by the
+    batch pipeline and the streaming form: keyed (model, epoch) with LWW on
+    ``completed`` DESC, so a crash-resumed batch's 'skipped' replay record
+    can never shadow a completed run's record."""
+    from cht_sync_spark.schemas import MODEL_RUN
+
+    return SnapshotTable.create(
+        spark, path, MODEL_RUN, ["model", "epoch"], num_buckets=1,
+        sort_cols=["model", "epoch"], lww_order=[("completed", False)],
+    )
+
+
+def model_run_records(
+    stats: list["ModelRunStats"], hi_seq: int | None, now_ms: int
+) -> list[tuple]:
+    """MODEL_RUN-schema rows (in schema column order) for the per-batch
+    micro-append — the one place the tuple layout is defined."""
+    hi = int(hi_seq) if hi_seq is not None else None
+    return [
+        (
+            s.model, int(s.epoch), s.status, int(s.rows), int(s.exec_ms),
+            hi, 0 if s.status == "skipped" else 1, now_ms,
+        )
+        for s in stats
+    ]
 
 
 @dataclass

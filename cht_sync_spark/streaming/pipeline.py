@@ -149,13 +149,10 @@ class ReplayPipeline:
         # scrapes, sql-exporter-config.yaml:75-90). Keyed (model, epoch);
         # LWW on `completed` DESC so a crash-resumed batch's 'skipped'
         # replay record never shadows the completed run's record.
+        from cht_sync_spark.operators.models import create_model_runs_table
+
         self.model_runs_table = (
-            SnapshotTable.create(
-                spark, model_runs_path, MODEL_RUN, ["model", "epoch"], num_buckets=1,
-                sort_cols=["model", "epoch"], lww_order=[("completed", False)],
-            )
-            if model_runs_path
-            else None
+            create_model_runs_table(spark, model_runs_path) if model_runs_path else None
         )
         # Dead-letter quarantine (functions/dlq.py): with a dlq_path,
         # malformed events are filtered out BEFORE the typed transform
@@ -248,13 +245,25 @@ class ReplayPipeline:
         scan. ``seq_lag`` is in feed-sequence units, the engine's native
         freshness domain (the reference's is seconds because Postgres
         timestamps are its only watermark)."""
-        runs = self.model_runs().where(F.col("completed") == 1)
-        per_model = runs.groupBy("model").agg(
+        runs = self.model_runs()
+        completed = runs.where(F.col("completed") == 1).groupBy("model").agg(
             F.max("epoch").alias("last_epoch"),
             F.max("hi_seq").alias("model_hi_seq"),
         )
+        # every model the metric should cover: the pipeline's declared set
+        # plus anything ever recorded — a model whose ONLY records are
+        # crash-window skips (or that never ran at all) must surface as a
+        # row with null bounds (= infinitely behind), not silently vanish
+        # from the freshness metric it exists to feed
+        names = runs.select("model")
+        if self.models:
+            names = names.union(
+                self.spark.createDataFrame(
+                    [(m.spec.name,) for m in self.models], "model string"
+                )
+            )
         tip = self.checkpoints().agg(F.max("seq").alias("tip_hi_seq"))
-        return per_model.crossJoin(tip).select(
+        return names.distinct().join(completed, "model", "left").crossJoin(tip).select(
             "model",
             "last_epoch",
             "model_hi_seq",
@@ -296,16 +305,10 @@ class ReplayPipeline:
             parallelism=self.model_parallelism,
         )
         if self.model_runs_table is not None and stats:
-            now_ms = int(time.time() * 1000)
+            from cht_sync_spark.operators.models import model_run_records
+
             self.model_runs_table.append_rows_local(
-                [
-                    (
-                        s.model, int(s.epoch), s.status, int(s.rows), int(s.exec_ms),
-                        int(hi) if hi is not None else None,
-                        0 if s.status == "skipped" else 1, now_ms,
-                    )
-                    for s in stats
-                ]
+                model_run_records(stats, hi, int(time.time() * 1000))
             )
 
     def _dlq_epoch(self) -> int:

@@ -116,15 +116,10 @@ class StreamingReplay:
         # crash-window semantics as ReplayPipeline(model_runs_path=); the
         # covered bound is the batch's OBSERVED max seq (streaming batches
         # have no planned seq range)
-        from cht_sync_spark.schemas import MODEL_RUN
+        from cht_sync_spark.operators.models import create_model_runs_table
 
         self.model_runs_table = (
-            SnapshotTable.create(
-                spark, model_runs_path, MODEL_RUN, ["model", "epoch"], num_buckets=1,
-                sort_cols=["model", "epoch"], lww_order=[("completed", False)],
-            )
-            if model_runs_path
-            else None
+            create_model_runs_table(spark, model_runs_path) if model_runs_path else None
         )
         # downstream model DAG maintained inside the SAME foreachBatch body
         # as the batch pipeline (T14/T16 parity between the two forms)
@@ -321,16 +316,10 @@ class StreamingReplay:
                     else:
                         his = [int(r["hi"]) for r in src_stats if r["n"]]
                     hi = max(his) if his else None
-                now_ms = int(_time.time() * 1000)
+                from cht_sync_spark.operators.models import model_run_records
+
                 self.model_runs_table.append_rows_local(
-                    [
-                        (
-                            s.model, int(s.epoch), s.status, int(s.rows),
-                            int(s.exec_ms), hi,
-                            0 if s.status == "skipped" else 1, now_ms,
-                        )
-                        for s in mstats
-                    ]
+                    model_run_records(mstats, hi, int(_time.time() * 1000))
                 )
         self._applied += 1
         self._since_maintain += 1

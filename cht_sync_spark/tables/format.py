@@ -497,10 +497,17 @@ class SnapshotTable:
             rows = [(m, len(self._load_manifest(m))) for m in (snap.manifests or [])]
             cols = "path string, n_entries int"
         elif kind == "refs":
-            rows = [("tag", n, v) for n, v in sorted(self.tags().items())] + [
-                ("branch", n, SnapshotTable(self.spark, self.path).branch(n).current_version())
-                for n in self.branches()
-            ]
+            rows = [("tag", n, v) for n, v in sorted(self.tags().items())]
+            for n in self.branches():
+                try:
+                    head = SnapshotTable(self.spark, self.path).branch(n).current_version()
+                except FileNotFoundError:
+                    # a crashed create_branch left an empty claim dir —
+                    # surface it (null head) so the ops view FLAGS the state
+                    # it exists to debug instead of throwing on it;
+                    # drop_branch clears the claim
+                    head = None
+                rows.append(("branch", n, head))
             cols = "kind string, name string, version int"
         else:
             raise ValueError(

@@ -61,3 +61,23 @@ def test_meta_tables_reflect_lifecycle(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.meta("nope")
+
+
+def test_meta_refs_flags_crashed_branch_claim(spark, tmp_path):
+    """A crashed create_branch leaves an empty claim dir; the ops view must
+    FLAG it (null head) rather than throw — it exists to debug that state."""
+    import os
+
+    from cht_sync_spark.tables.format import _SNAPDIR
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), KV, ["k"], num_buckets=2)
+    t.append_delta(_kv(spark, 0, 10, "a", 1))
+    t.create_branch("healthy")
+    os.makedirs(os.path.join(t.path, f"{_SNAPDIR}.br-crashed"))
+    refs = {(r["kind"], r["name"]): r["version"] for r in t.meta("refs").collect()}
+    assert refs[("branch", "healthy")] is not None
+    assert refs[("branch", "crashed")] is None
+    t.drop_branch("crashed")
+    assert ("branch", "crashed") not in {
+        (r["kind"], r["name"]) for r in t.meta("refs").collect()
+    }

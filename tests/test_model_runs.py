@@ -164,6 +164,87 @@ def test_model_latency_tracks_detached_models(spark, feed_path, tmp_path):
         assert lat[m]["seq_lag"] == tip - plan[0][1] > 0
 
 
+def test_completed_beats_skipped_in_the_fold(spark, feed_path, tmp_path):
+    """The LWW-on-completed guarantee, pinned on a REAL coexistence: widening
+    the model list re-enters the model plane for an epoch the upstream
+    already committed, appending a 'skipped' (completed=0) record for the
+    exact (model, epoch) key that already holds a completed one — the fold
+    must keep the completed record. Then the same property pinned directly
+    with a hand-appended skip row."""
+    work = str(tmp_path)
+    pipe = ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        f"{work}/t",
+        batch_size=400,
+        num_buckets=8,
+        models=[(CONVERSATIONS, f"{work}/conv")],
+        model_runs_path=f"{work}/runs",
+    )
+    lo, hi = _plan(pipe)[0]
+    pipe.run_batch(0, lo, hi)
+    first = {r["model"]: r for r in pipe.model_runs().collect()}
+    assert first["conversations"]["completed"] == 1
+    # widen the DAG: conversations is already at epoch 0, conv_profiles lags
+    pipe2 = _pipe(spark, feed_path, work)
+    pipe2.run_batch(0, lo, hi)
+    runs = {r["model"]: r for r in pipe2.model_runs().collect()}
+    assert runs["conversations"]["status"] == first["conversations"]["status"]
+    assert runs["conversations"]["completed"] == 1, (
+        "a replayed skip shadowed the completed record"
+    )
+    assert runs["conv_profiles"]["completed"] == 1
+    # direct pin: a later-appended skip row for the same key loses the fold
+    pipe2.model_runs_table.append_rows_local(
+        [("conv_profiles", 0, "skipped", 0, 0, None, 0, 0)]
+    )
+    again = {r["model"]: r for r in pipe2.model_runs().collect()}
+    assert again["conv_profiles"]["completed"] == 1
+    assert again["conv_profiles"]["status"] != "skipped"
+
+
+def test_rows_stat_identical_across_model_modes(spark, feed_path, tmp_path):
+    """`rows` counts the recomputed slice INCLUDING retraction tombstones —
+    by design identical across cow/mor model modes (MOR physically appends
+    the tombstones, the COW merge counts then drops them). The synthetic
+    feed contains deletes, so this pins the deleting-batch case too."""
+    runs = {}
+    for mode in ("cow", "mor"):
+        work = str(tmp_path / mode)
+        pipe = _pipe(spark, feed_path, work, model_mode=mode)
+        pipe.run()
+        runs[mode] = {
+            (r["model"], r["epoch"]): r["rows"] for r in pipe.model_runs().collect()
+        }
+    assert runs["cow"] == runs["mor"]
+    assert any(v > 0 for v in runs["cow"].values())
+
+
+def test_model_latency_surfaces_never_completed_models(spark, feed_path, tmp_path):
+    """A declared model with NO completed record (never ran, or only
+    crash-window skips) must appear in the latency view with null bounds —
+    the most-lagged model is exactly the one the metric must not hide."""
+    work = str(tmp_path)
+    pipe = ReplayPipeline(
+        spark,
+        ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        f"{work}/t",
+        batch_size=400,
+        num_buckets=8,
+        models=[(CONVERSATIONS, f"{work}/conv")],
+        model_runs_path=f"{work}/runs",
+    )
+    lo, hi = _plan(pipe)[0]
+    pipe.run_batch(0, lo, hi)
+    # a second handle declares a WIDER DAG without having run it
+    wide = _pipe(spark, feed_path, work)
+    lat = {r["model"]: r for r in wide.model_latency().collect()}
+    assert set(lat) == {"conversations", "conv_profiles"}
+    assert lat["conversations"]["seq_lag"] == 0
+    assert lat["conv_profiles"]["model_hi_seq"] is None
+    assert lat["conv_profiles"]["seq_lag"] is None
+
+
 def test_model_runs_requires_configuration(spark, feed_path, tmp_path):
     pipe = _pipe(spark, feed_path, str(tmp_path), runs=False)
     with pytest.raises(ValueError):
