@@ -1349,6 +1349,59 @@ def q_datasource_changes_pull(spark, sf):
     return got.withColumnRenamed("_feed_partition", "feed_part")
 
 
+def q_cdc_wal_normalize(spark, sf):
+    """Debezium-shaped WAL/binlog envelope normalization (sources/envelopes.py
+    — the north_rule's "binlog/WAL tail → lake upsert" tap family; the
+    reference tails CouchDB _changes only, importer.js:142-175). A
+    deterministic WAL tap is synthesized from raw events (op letter from
+    event_type, LSN = event_id, row image from typed columns), normalized
+    through debezium_to_events, and every projected column is returned typed
+    — the oracle recomputes the full mapping including the md5-synthesized
+    rev vector and the delete-tombstone null-out, so a wrong op mapping,
+    composite id, rev height, or surviving delete image hash-mismatches."""
+    from cht_sync_spark.sources.envelopes import debezium_to_events
+
+    ev = _t(spark, sf, "events")
+    opl = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "click", "u")
+        .when(F.col("event_type") == "purchase", "r")
+        .otherwise(F.lit("c"))
+    )
+    img = F.struct(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 16).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),  # ts is NTZ; session tz UTC
+    )
+    env = ev.select(
+        opl.alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.when(opl == "d", img).alias("before"),
+        F.when(opl != "d", img).alias("after"),
+        F.struct(
+            F.lit("waldb").alias("db"),
+            F.lit("transcripts").alias("table"),
+            F.col("event_id").cast("long").alias("lsn"),
+            F.lit(None).cast("string").alias("file"),
+            F.lit(None).cast("long").alias("pos"),
+            F.col("event_id").cast("long").alias("tx_id"),
+        ).alias("source"),
+    )
+    out = debezium_to_events(env)
+    return out.select(
+        "seq",
+        "source",
+        "op",
+        "id",
+        "rev",
+        F.get_json_object("doc", "$.text").alias("text"),
+        F.get_json_object("doc", "$.ts").cast("long").alias("ts_ms"),
+    )
+
+
 def q_datasource_stream_drain(spark, sf):
     """Admission-capped streaming drain through `cht_changes` readStream:
     offsets are per-feed-partition seq cursors in Spark's OWN offset log
@@ -1501,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_consume": q_changelog_consume,
         "datasource_changes_pull": q_datasource_changes_pull,
         "datasource_stream_drain": q_datasource_stream_drain,
+        "cdc_wal_normalize": q_cdc_wal_normalize,
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
@@ -2179,6 +2233,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, m "
             "WHERE event_id > hi // 5 AND event_id <= (4 * hi) // 5 "
             "  AND (user_id % 3) IN (0, 2)"
+        ),
+        # Debezium WAL envelope → canonical change events: the oracle
+        # replays the whole mapping (op letter → engine op, composite id,
+        # rev = '<lsn>-<md5>', tombstone null-out) column by column
+        "cdc_wal_normalize": (
+            "WITH env AS (SELECT event_id, "
+            "    CASE WHEN event_type = 'error' THEN 'd' "
+            "         WHEN event_type = 'click' THEN 'u' "
+            "         WHEN event_type = 'purchase' THEN 'r' ELSE 'c' END AS opl, "
+            "    'c' || CAST(user_id AS VARCHAR) || ':' || "
+            "      CAST(event_id % 16 AS VARCHAR) AS id, "
+            "    props, epoch_ms(ts) AS tsms "
+            "  FROM events) "
+            "SELECT event_id AS seq, 'waldb' AS source, "
+            "  CASE opl WHEN 'd' THEN 'delete' WHEN 'u' THEN 'update' "
+            "    ELSE 'insert' END AS op, id, "
+            "  CAST(event_id AS VARCHAR) || '-' || "
+            "    md5('waldb' || '|' || id || '|' || opl) AS rev, "
+            "  CASE WHEN opl = 'd' THEN NULL ELSE props END AS text, "
+            "  CASE WHEN opl = 'd' THEN NULL ELSE tsms END AS ts_ms "
+            "FROM env"
         ),
         # capped streaming drain + re-drain: per-source totals over the
         # union of all micro-batches == raw events (dups/loss break sums)
