@@ -115,3 +115,31 @@ def test_wal_replay_converges_to_log_state(spark, wal_pg, wal_events, tmp_path):
     # snapshot/tail overlap (op 'r' after 'c') converged idempotently:
     # edited keys show the edit, not the re-read insert image
     assert any(v[1].startswith("edit") for v in got.values())
+
+
+def test_wal_tail_streaming_form(spark, wal_pg, wal_events, tmp_path):
+    """The Structured Streaming form tails the normalized WAL feed unchanged
+    (readStream → foreachBatch merge) and lands the same log-head state —
+    the live "binlog tail" deployment shape, not just batch replay."""
+    from cht_sync_spark.sources.feedgen import write_feed
+    from cht_sync_spark.streaming.stream import StreamingReplay
+
+    feed_path = str(tmp_path / "walfeed")
+    write_feed(wal_events, feed_path, n_files=3)
+    sr = StreamingReplay(
+        spark, feed_path, str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, num_buckets=8, sources=["waldb"],
+    )
+    sr.run_available_now()
+    live = sr.table.read_current().where(~F.col("_deleted"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["seq"]) for r in live.collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["seq"])
+        for r in expected_wal_state(wal_pg).collect()
+    }
+    assert got == want
+    # several micro-batches actually ran and checkpoints advanced
+    props = sr.table.snapshot().properties
+    assert int(props["epoch.stream"]) >= 1 and "checkpoint.waldb" in props
