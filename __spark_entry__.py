@@ -425,6 +425,67 @@ def q_model_dag_chain_mor(spark, sf):
     return _model_dag_chain(spark, sf, "mor")
 
 
+def q_ivm_aggregate(spark, sf):
+    """Incremental view maintenance (streaming/ivm.py): a per-conversation
+    aggregate (n_rows, chars, tool_turns) maintained from the landing
+    table's changelog with retractions recovered via time-travel preimages
+    — O(batch) per cycle instead of the model plane's O(touched group
+    history). The replay runs three batches (two insert waves, then a
+    tombstone wave deleting every 'error' turn at revision 2) with the
+    consumer draining BETWEEN batches, so the final state only matches the
+    oracle (aggregates over non-error events) if update/delete retractions
+    and the additive cursor-guarded merge are exactly right."""
+    import tempfile
+
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.ivm import AggregateConsumer
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    work = tempfile.mkdtemp(prefix="ivm_q_")
+    dirs, hi = _events_as_feed(spark, sf, work)
+    # third wave: DELETE every 'error' turn (rev height 2 beats the insert),
+    # seq-banded past the insert waves so it is its own batch
+    ev = _t(spark, sf, "events")
+    off = hi + 1
+    dels = ev.where(F.col("event_type") == "error").select(
+        (F.col("event_id") + F.lit(off)).alias("seq"),
+        F.concat(F.lit("db"), F.pmod(F.col("user_id"), F.lit(2))).alias("source"),
+        F.lit("delete").alias("op"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("event_id").cast("string")
+        ).alias("id"),
+        F.lit("2-bbbb").alias("rev"),
+        F.lit(None).cast("string").alias("doc"),
+    )
+    # append the delete wave, source-split exactly like the base feed
+    # (source db{u%2} and the u%2 partition split coincide here)
+    for p in (0, 1):
+        dels.where(
+            F.col("source") == f"db{p}"
+        ).write.mode("append").parquet(dirs[p] if p < len(dirs) else dirs[0])
+
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
+        num_buckets=8, mode="mor",
+    )
+    measures = {
+        "chars": F.length("text"),
+        "tool_turns": F.when(F.col("role") == "tool", F.lit(1)).otherwise(0),
+    }
+    tgt = AggregateConsumer.create_target(
+        spark, pipe.table, f"{work}/agg", ["conv_id"], measures, num_buckets=8
+    )
+    cons = AggregateConsumer(spark, pipe.table, tgt, "agg", ["conv_id"], measures)
+    cut = hi // 2
+    pipe.run_batch(0, -(2**62), cut)
+    cons.run()
+    pipe.run_batch(1, cut, hi)
+    cons.run()
+    pipe.run_batch(2, hi, hi + off)
+    cons.run()
+    return tgt.read_current().select("conv_id", "n_rows", "chars", "tool_turns")
+
+
 def q_checkpoint_liveness(spark, sf):
     """Engine-derived per-source lag + liveness from the pipeline's OWN
     checkpoint state (reference: couchdb_progress.updated_at +
@@ -1524,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_dag_chain": q_model_dag_chain,
         "model_dag_chain_mor": q_model_dag_chain_mor,
         "checkpoint_liveness": q_checkpoint_liveness,
+        "ivm_aggregate": q_ivm_aggregate,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
         "dedup_exact": q_dedup_exact,
@@ -1722,6 +1784,14 @@ def oracle_sql() -> dict[str, str]:
             "bool_or(role = 'tool') AS has_tool_calls, "
             "arg_min(text, turn_idx) FILTER (WHERE role = 'user') AS first_user_text "
             "FROM t GROUP BY conv_id"
+        ),
+        # IVM aggregate: final state after insert waves + the 'error'
+        # tombstone wave == plain aggregation over the surviving events
+        "ivm_aggregate": (
+            "SELECT CAST(user_id AS VARCHAR) AS conv_id, count(*) AS n_rows, "
+            "CAST(sum(length(event_type)) AS BIGINT) AS chars, "
+            "CAST(count(*) FILTER (WHERE event_id % 3 = 2) AS BIGINT) AS tool_turns "
+            "FROM events WHERE event_type <> 'error' GROUP BY user_id"
         ),
         "checkpoint_liveness": (
             "WITH cut AS (SELECT max(event_id) // 2 AS c FROM events) "

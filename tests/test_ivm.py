@@ -1,0 +1,190 @@
+"""Incremental view maintenance (streaming/ivm.py): algebraic aggregates
+maintained from the changelog with retractions recovered via time-travel
+preimages — equality with full recompute, retraction-to-absence, loser-event
+zero-delta, exactly-once under replay/races, and reseed recovery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cht_sync_spark.streaming.ivm import AggregateConsumer
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("_deleted", T.BooleanType(), False),
+        T.StructField("rev_height", T.LongType(), True),
+        T.StructField("_rev", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+def MEASURES():
+    # built lazily: Column construction needs an active session
+    return {
+        "chars": F.length("text"),
+        "tool_calls": F.when(F.col("tool").isNotNull(), F.lit(1)).otherwise(0),
+    }
+
+
+def _src(spark, path):
+    return SnapshotTable.create(
+        spark, str(path), SRC_SCHEMA, key_cols=["conv_id", "turn_idx"], num_buckets=4,
+        bucket_cols=["conv_id"],
+        properties={"cdc.enabled": "true"},  # COW producer: exact change files
+    )
+
+
+def _row(conv, turn, text, h, deleted=False, tool=None):
+    return (conv, turn, text, tool, deleted, h, f"{h}-x", h * 100 + turn)
+
+
+def _consumer(spark, src, path, name="agg"):
+    tgt = AggregateConsumer.create_target(
+        spark, src, str(path), ["conv_id"], MEASURES(), num_buckets=8
+    )
+    return AggregateConsumer(spark, src, tgt, name, ["conv_id"], MEASURES())
+
+
+def _recompute(src):
+    live = src.read_current(drop_tombstones=True)
+    return live.groupBy("conv_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(F.when(F.col("tool").isNotNull(), F.lit(1)).otherwise(0)).alias("tool_calls"),
+    )
+
+
+def _assert_matches(cons):
+    got = cons.target.read_current().select("conv_id", "n_rows", "chars", "tool_calls")
+    want = _recompute(cons.source)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, (
+        f"got={sorted(map(tuple, got.collect()))} want={sorted(map(tuple, want.collect()))}"
+    )
+
+
+def test_incremental_equals_recompute_with_retractions(spark, tmp_path):
+    src = _src(spark, tmp_path / "s")
+    cons = _consumer(spark, src, tmp_path / "t")
+
+    # cycle 1: two groups
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "hello", 1), _row("a", 1, "world!!", 1, tool="s"),
+         _row("b", 0, "xyz", 1)], SRC_SCHEMA))
+    r1 = cons.run_once()
+    assert r1 is not None and r1.groups_changed == 2
+    _assert_matches(cons)
+
+    # cycle 2: update shrinks a's text (retract old contribution), delete
+    # ALL of b (group retracts to absence), insert new group c
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "hi", 2), _row("b", 0, None, 2, deleted=True),
+         _row("c", 5, "fresh", 1, tool="t")], SRC_SCHEMA))
+    r2 = cons.run_once()
+    assert r2 is not None
+    _assert_matches(cons)
+    rows = {r["conv_id"]: r for r in cons.target.read_current().collect()}
+    assert "b" not in rows, "fully-deleted group must retract to absence"
+    assert rows["a"]["n_rows"] == 2 and rows["a"]["chars"] == len("hi") + len("world!!")
+    assert rows["c"]["tool_calls"] == 1
+
+    # cycle 3: caught up -> None; replaying is a no-op (cursor moved)
+    assert cons.run_once() is None
+    _assert_matches(cons)
+
+
+def test_losing_late_event_nets_zero_delta(spark, tmp_path):
+    src = _src(spark, tmp_path / "s")
+    cons = _consumer(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "current", 5)], SRC_SCHEMA))
+    cons.run_once()
+    before = cons.target.read_current().collect()
+
+    # an out-of-order OLDER revision arrives: landing LWW keeps the stored
+    # row; the aggregate must not move either
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "stale-longer-text", 2)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r is not None and r.groups_changed == 0
+    assert cons.target.read_current().collect() == before
+    _assert_matches(cons)
+
+
+def test_same_name_concurrent_consumer_cannot_double_apply(spark, tmp_path):
+    src = _src(spark, tmp_path / "s")
+    cons1 = _consumer(spark, src, tmp_path / "t")
+    cons2 = AggregateConsumer(spark, src, cons1.target, "agg", ["conv_id"], MEASURES())
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "abcd", 1)], SRC_SCHEMA))
+    assert cons1.run_once() is not None
+    # second consumer at the advanced cursor: nothing to apply (the additive
+    # state is not idempotent — the cursor re-check is the guard)
+    assert cons2.run_once() is None
+    _assert_matches(cons1)
+
+
+def test_multi_version_range_in_one_cycle(spark, tmp_path):
+    """A lagged consumer crosses several source commits at once: the fold
+    must net updates within the range (insert+update+delete of the same key
+    collapses) and the preimage must come from the CURSOR version."""
+    src = _src(spark, tmp_path / "s")
+    cons = _consumer(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "one", 1), _row("d", 0, "keep", 1)], SRC_SCHEMA))
+    cons.run_once()
+    # three commits while the consumer sleeps
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "two-longer", 2)], SRC_SCHEMA))
+    merge_upsert(src, spark.createDataFrame([_row("a", 1, "sibling", 1)], SRC_SCHEMA))
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, None, 3, deleted=True)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r is not None and r.to_version == src.current_version()
+    _assert_matches(cons)
+    rows = {r["conv_id"]: r for r in cons.target.read_current().collect()}
+    # a:0 inserted->updated->deleted nets to: only a:1 remains
+    assert rows["a"]["n_rows"] == 1 and rows["a"]["chars"] == len("sibling")
+    assert rows["d"]["n_rows"] == 1
+
+
+def test_reseed_recovers_uncrossable_changelog(spark, tmp_path):
+    src = _src(spark, tmp_path / "s")
+    cons = _consumer(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "aa", 1), _row("b", 0, "bb", 1)], SRC_SCHEMA))
+    cons.run_once()
+    # a logical rewrite (full overwrite) breaks the incremental contract
+    live = src.read_current().where(F.col("conv_id") != "b")
+    src.overwrite(live)
+    with pytest.raises(ValueError, match="logical rewrite"):
+        cons.run_once()
+    cons.reseed()
+    _assert_matches(cons)
+    assert cons.run_once() is None  # cursor advanced by the reseed
+
+
+def test_pipeline_feed_incremental_consumption(spark, feed_path, tmp_path):
+    """Against the real synthetic feed replayed through the pipeline: consume
+    mid-replay and after — the aggregate equals a full recompute both times
+    (conflict winners, delete-vs-edit, height-3 deletes all retract right)."""
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
+    pipe = ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8,
+                          table_properties={"cdc.enabled": "true"})
+    tgt = AggregateConsumer.create_target(
+        spark, pipe.table, str(tmp_path / "agg"), ["conv_id"], MEASURES(), num_buckets=8
+    )
+    cons = AggregateConsumer(spark, pipe.table, tgt, "agg", ["conv_id"], MEASURES())
+
+    pipe.run(max_batches=2)
+    cons.run()
+    _assert_matches(cons)
+    pipe.run()  # drain the rest; the consumer catches up across the gap
+    cons.run()
+    _assert_matches(cons)
