@@ -1,6 +1,12 @@
 from cht_sync_spark.streaming.consumer import ChangelogConsumer
-from cht_sync_spark.streaming.ivm import AggregateConsumer
+from cht_sync_spark.streaming.ivm import AggregateConsumer, Measure
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.streaming.stream import StreamingReplay
 
-__all__ = ["AggregateConsumer", "ChangelogConsumer", "ReplayPipeline", "StreamingReplay"]
+__all__ = [
+    "AggregateConsumer",
+    "ChangelogConsumer",
+    "Measure",
+    "ReplayPipeline",
+    "StreamingReplay",
+]

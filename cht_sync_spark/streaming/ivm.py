@@ -1,12 +1,11 @@
-"""Incremental view maintenance (IVM): algebraic aggregates over a changelog.
+"""Incremental view maintenance (IVM): grouped aggregates over a changelog.
 
 The grouped-model plane (:mod:`cht_sync_spark.operators.models`) keeps a
 derived table fresh by RECOMPUTING every touched group from the landing
 slice — exact for arbitrary SQL, but O(touched groups' full history) per
 epoch: on a feed where every batch touches most groups (the bench's
-worst case) the recompute dominates the batch cost. For the large class
-of *invertible* aggregates (count, sum, and anything derived from them —
-avg, rates, totals), classic IVM does strictly less work: apply the batch
+worst case) the recompute dominates the batch cost. For aggregates with
+algebraic structure, classic IVM does strictly less work: apply the batch
 as **retractions and insertions against the aggregate state**, O(batch)
 instead of O(touched group history).
 
@@ -28,12 +27,31 @@ a log format requirement). Per cycle:
    (old ∪ changelog, prefer-existing tiebreak) — so a late out-of-order
    event that LOSES to the stored row contributes a zero delta, exactly
    matching the landing table's own reconciliation.
-4. delta per group = Σ contribution(new live rows) − Σ contribution(old
-   live rows): one signed union + one keyed shuffle.
-5. additive merge into the aggregate table: touched buckets rewritten
-   with value + delta, groups whose live-row support hits zero deleted —
+4. one keyed aggregation over the signed/sided union yields, per group:
+   additive deltas for SUM-kind measures, and (old, new) extremum
+   candidates for MAX/MIN-kind measures.
+5. additive + extremum merge into the aggregate table (below), touched
+   buckets rewritten, groups whose live-row support hits zero deleted —
    committed atomically with the cursor (``consumer.<name>.version``),
    pinned to the target snapshot read.
+
+Measure kinds:
+
+- ``sum`` (default; plain Column) — fully invertible: count, sum, and
+  anything derived from them (avg, rates) at read time. Delta-merged,
+  never recomputed.
+- ``max`` / ``min`` — semi-invertible: an arriving value that dominates
+  the stored extremum just replaces it, and a batch that never touched
+  the extremum-holding value leaves it alone; ONLY a batch that retracts
+  the stored extremum itself (deletes or lowers the row that held it,
+  with nothing at least as large arriving) triggers an exact per-group
+  recompute — the textbook partial-recomputation rule, O(retracted
+  groups' history), empty on insert-mostly feeds. Because the candidates
+  fold over the changed keys' old images, "held the extremum" is decided
+  exactly (old candidate == stored extremum), not heuristically.
+  ``bool_or`` is ``max`` over a boolean; ``arg_min/arg_max`` are
+  ``min``/``max`` over a ``struct(order_col, value)`` (structs compare
+  lexicographically).
 
 Exactly-once without idempotent apply: the delta is a deterministic
 function of two immutable snapshot versions, and it commits atomically
@@ -42,12 +60,6 @@ re-reads BOTH the target and the cursor before retrying, so a concurrent
 same-name consumer that already applied the range turns the retry into a
 no-op instead of a double-count (additive state is NOT idempotent; the
 cursor re-check is what stands in for it).
-
-Scope honesty: only invertible measures. MIN/MAX/bool_or cannot be
-maintained under retraction without per-group history — for those, use
-the grouped-model recompute plane, which is exact for arbitrary SQL.
-Conditional counts/sums ARE expressible: make the contribution expression
-itself conditional (``F.when(cond, x)``; null contributes nothing).
 
 Retention contract: both the changelog diff and the preimage read open
 the cursor's snapshot, so with producer ``expire_snapshots(keep_last=k)``
@@ -58,8 +70,8 @@ cursor or a producer rollback is recovered by :meth:`reseed`.
 Reference basis: the reference has no incremental aggregates — its dbt
 models fully re-select per run (dbt-run.py loop; persons.sql). This is
 the Spark-first capability a 10^10-event deployment needs so dashboards
-over the transcripts (turns per conversation, volume per source) don't
-re-scan conversation histories every micro-batch.
+over the transcripts (turns per conversation, volume per source, last
+activity) don't re-scan conversation histories every micro-batch.
 """
 
 from __future__ import annotations
@@ -69,6 +81,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cht_sync_spark.operators.lww import lww_dedup
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
@@ -77,6 +90,22 @@ from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_e
 # Reaching zero deletes the group (retraction to absence).
 SUPPORT_COL = "n_rows"
 
+_KINDS = ("sum", "max", "min")
+
+
+@dataclass
+class Measure:
+    """A maintained aggregate column: per-row contribution ``expr``
+    (evaluated on LIVE rows only; null contributes nothing) and fold
+    ``kind`` (module docstring)."""
+
+    expr: F.Column
+    kind: str = "sum"
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"measure kind must be one of {_KINDS}, got {self.kind!r}")
+
 
 @dataclass
 class IvmResult:
@@ -84,8 +113,9 @@ class IvmResult:
 
     from_version: int  # exclusive
     to_version: int  # inclusive
-    groups_changed: int  # delta groups with any nonzero measure
+    groups_changed: int  # delta groups with any nonzero/changed measure
     affected_buckets: int
+    groups_recomputed: int = 0  # extremum retractions that forced exact recompute
     retries: int = 0
 
 
@@ -95,15 +125,39 @@ def _live(df: DataFrame) -> F.Column:
     return F.lit(True)
 
 
+def _nullable(dt):
+    """Recursively relax nullability: aggregate outputs are always nullable
+    (empty-group / all-null-contribution cases), even when the underlying
+    source column is NOT NULL — keeps _conform's cast legal for struct
+    measures (arg_min/arg_max patterns)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_nullable(dt.keyType), _nullable(dt.valueType), True)
+    return dt
+
+
+def _norm_measures(measures: dict) -> dict[str, Measure]:
+    out: dict[str, Measure] = {}
+    for n, m in measures.items():
+        out[n] = m if isinstance(m, Measure) else Measure(m)
+    return out
+
+
 class AggregateConsumer:
     """Maintain ``target`` = ``SELECT group_cols, count(*) AS n_rows,
-    SUM(measure)... FROM source-live-rows GROUP BY group_cols``
+    SUM/MAX/MIN(measure)... FROM source-live-rows GROUP BY group_cols``
     incrementally from ``source``'s changelog.
 
-    ``measures`` maps output column name → per-row contribution expression
-    (a Column over source columns; evaluated on LIVE rows only, null
-    contributes nothing). ``n_rows`` is maintained automatically and is
-    reserved.
+    ``measures`` maps output column name → a plain contribution Column
+    (sum kind) or a :class:`Measure`. ``n_rows`` is maintained
+    automatically and is reserved.
     """
 
     def __init__(
@@ -113,7 +167,7 @@ class AggregateConsumer:
         target: SnapshotTable,
         name: str,
         group_cols: list[str],
-        measures: dict[str, F.Column],
+        measures: dict[str, F.Column | Measure],
         strict: bool = True,
         max_retries: int = 8,
     ):
@@ -126,7 +180,7 @@ class AggregateConsumer:
         self.target = target
         self.name = name
         self.group_cols = list(group_cols)
-        self.measures = dict(measures)
+        self.measures = _norm_measures(measures)
         self.strict = strict
         self.max_retries = max_retries
 
@@ -143,21 +197,37 @@ class AggregateConsumer:
         return max(0, self.source.current_version() - max(self.position(), 1))
 
     # ---------------------------------------------------------- internals
-    def _contrib(self, df: DataFrame, sign: int) -> DataFrame:
-        """Per-row signed contributions (live rows only) under the group key."""
+    def _exact_agg(self, df: DataFrame) -> DataFrame:
+        """The view definition itself, over raw source-shaped rows —
+        used by reseed and by extremum-retraction group recomputes."""
         live = _live(df)
-        sg = F.lit(sign)
+        aggs = [F.sum(F.when(live, 1).otherwise(0)).cast("long").alias(SUPPORT_COL)]
+        for n, m in self.measures.items():
+            e = F.when(live, m.expr)
+            f = {"sum": F.sum, "max": F.max, "min": F.min}[m.kind]
+            aggs.append(f(e).alias(n))
+        return df.groupBy(*self.group_cols).agg(*aggs).where(F.col(SUPPORT_COL) > 0)
+
+    def _proj(self, df: DataFrame, side: int) -> DataFrame:
+        """Per-row projection under the group key: signed contributions for
+        sum measures, raw live values for extremum measures, side tag."""
+        live = _live(df)
+        sg = F.lit(1 if side == 1 else -1)
         cols = [
-            (sg * F.when(live, F.lit(1)).otherwise(0)).cast("long").alias(SUPPORT_COL)
-        ] + [(sg * F.when(live, expr)).alias(n) for n, expr in self.measures.items()]
+            F.lit(side).alias("__side"),
+            (sg * F.when(live, F.lit(1)).otherwise(0)).cast("long").alias(SUPPORT_COL),
+        ]
+        for n, m in self.measures.items():
+            if m.kind == "sum":
+                cols.append((sg * F.when(live, m.expr)).alias(n))
+            else:
+                cols.append(F.when(live, m.expr).alias(n))
         return df.select(*self.group_cols, *cols)
 
-    def _measure_cols(self) -> list[str]:
-        return [SUPPORT_COL, *self.measures.keys()]
-
     def _delta(self, from_v: int, tip: int) -> DataFrame | None:
-        """Per-group measure deltas for the (from_v, tip] changelog range,
-        or None when the range holds no logical changes."""
+        """Per-group delta frame for the (from_v, tip] changelog range
+        (sum deltas + extremum old/new candidates), or None when the range
+        holds no logical changes."""
         src = self.source
         ch = src.changes(from_v, tip, strict=self.strict).drop(
             "_change_version", "_change_type"
@@ -194,17 +264,22 @@ class AggregateConsumer:
             order=order,
         ).drop("__existing")
 
-        signed = self._contrib(new, +1).unionByName(self._contrib(old, -1))
-        mcols = self._measure_cols()
-        delta = signed.groupBy(*self.group_cols).agg(
-            *[F.sum(c).alias(c) for c in mcols]
-        )
-        # drop all-zero groups (unchanged nets, phantom null-group stubs)
-        nz = None
-        for c in mcols:
-            t = F.coalesce(F.col(c), F.lit(0)) != 0
-            nz = t if nz is None else (nz | t)
-        return delta.where(nz)
+        rows = self._proj(new, 1).unionByName(self._proj(old, 0))
+        side1 = F.col("__side") == 1
+        aggs = [F.sum(SUPPORT_COL).alias(SUPPORT_COL)]
+        changed = F.coalesce(F.col(SUPPORT_COL), F.lit(0)) != 0
+        for n, m in self.measures.items():
+            if m.kind == "sum":
+                aggs.append(F.sum(n).alias(n))
+                changed = changed | (F.coalesce(F.col(n), F.lit(0)) != 0)
+            else:
+                f = F.max if m.kind == "max" else F.min
+                aggs.append(f(F.when(side1, F.col(n))).alias(f"__new_{n}"))
+                aggs.append(f(F.when(~side1, F.col(n))).alias(f"__old_{n}"))
+                changed = changed | ~F.col(f"__new_{n}").eqNullSafe(F.col(f"__old_{n}"))
+        # HAVING drops no-op groups (zero nets, identical extremum
+        # candidates, phantom null-group stubs from delete-stub rows)
+        return rows.groupBy(*self.group_cols).agg(*aggs).where(changed)
 
     # ---------------------------------------------------------------- run
     def run_once(self) -> IvmResult | None:
@@ -217,13 +292,13 @@ class AggregateConsumer:
             tip = self.source.current_version()
             from_v = max(self.position(), 1)  # v1 = the empty CREATE
             if tip <= from_v:
-                return None if attempt == 0 else IvmResult(from_v, tip, 0, 0, attempt)
+                return None if attempt == 0 else IvmResult(from_v, tip, 0, 0, 0, attempt)
             delta = self._delta(from_v, tip)
             if delta is None:  # e.g. compaction-only range: advance cursor
                 self.target.commit(
                     add_files=[], properties_update={self._ckpt_key: str(tip)}
                 )
-                return IvmResult(from_v, tip, 0, 0, attempt)
+                return IvmResult(from_v, tip, 0, 0, 0, attempt)
             try:
                 return self._apply(delta, from_v, tip, attempt)
             except CommitConflict as e:
@@ -233,7 +308,6 @@ class AggregateConsumer:
 
     def _apply(self, delta: DataFrame, from_v: int, tip: int, attempt: int) -> IvmResult:
         tsnap = self.target.snapshot()
-        mcols = self._measure_cols()
         bstats = (
             delta.withColumn("__b", bucket_expr(tsnap.bucket_cols, tsnap.num_buckets))
             .groupBy("__b")
@@ -242,32 +316,104 @@ class AggregateConsumer:
         )
         if not bstats:
             self.target.commit(add_files=[], properties_update={self._ckpt_key: str(tip)})
-            return IvmResult(from_v, tip, 0, 0, attempt)
+            return IvmResult(from_v, tip, 0, 0, 0, attempt)
         affected = sorted(r["__b"] for r in bstats)
         n_groups = int(sum(r["n"] for r in bstats))
 
-        # state + delta -> one keyed sum; untouched groups in the affected
-        # buckets ride along unchanged (COW bucket rewrite); support == 0
-        # retracts the group to absence
-        state = self.target.read(buckets=affected).select(*self.group_cols, *mcols)
-        merged = (
-            state.unionByName(delta.select(*self.group_cols, *mcols))
-            .groupBy(*self.group_cols)
-            .agg(*[F.sum(c).alias(c) for c in mcols])
-            .where(F.col(SUPPORT_COL) > 0)
-        )
+        # state ⟗ delta: additive fold for sum measures; extremum rule for
+        # max/min (dominating new candidate replaces; untouched extremum
+        # stays; a retracted extremum flags the group for exact recompute).
+        # Untouched groups in the affected buckets ride along unchanged
+        # (COW bucket rewrite); support == 0 retracts the group to absence.
+        state = self.target.read(buckets=affected)
+        s, d = state.alias("s"), delta.alias("d")
+        joined = s.join(d, on=self.group_cols, how="full_outer")
+
+        def _sum_col(n: str) -> F.Column:
+            return (
+                F.coalesce(F.col(f"s.{n}"), F.lit(0)) + F.coalesce(F.col(f"d.{n}"), F.lit(0))
+            ).alias(n)
+
+        out_cols = [F.col(c) for c in self.group_cols] + [_sum_col(SUPPORT_COL)]
+        rec_flags: list[F.Column] = []
+        for n, m in self.measures.items():
+            if m.kind == "sum":
+                out_cols.append(_sum_col(n))
+                continue
+            E, new, old = F.col(f"s.{n}"), F.col(f"d.__new_{n}"), F.col(f"d.__old_{n}")
+            if m.kind == "max":
+                dominates = new.isNotNull() & (E.isNull() | (new >= E))
+                untouched = old.isNull() | E.isNull() | (old < E)
+                pick = F.greatest(E, new)
+            else:
+                dominates = new.isNotNull() & (E.isNull() | (new <= E))
+                untouched = old.isNull() | E.isNull() | (old > E)
+                pick = F.least(E, new)
+            # dominates → fold candidates; untouched → stored extremum held
+            # by an unchanged row; else the batch retracted the extremum
+            # itself and only the group's full history knows the new one
+            out_cols.append(
+                F.when(dominates, F.coalesce(pick, new)).when(untouched, E).alias(n)
+            )
+            rec_flags.append(~dominates & ~untouched)
+        rec = None
+        for fcol in rec_flags:
+            rec = fcol if rec is None else (rec | fcol)
+        out_cols.append(F.coalesce(rec, F.lit(False)).alias("__rec") if rec is not None else F.lit(False).alias("__rec"))
+
+        folded = joined.select(*out_cols).where(F.col(SUPPORT_COL) > 0)
+        n_recomputed = 0
+        if rec_flags:
+            # the retracted-extremum groups (usually none/few) get the exact
+            # per-group recompute from the source's CURRENT state — bucket-
+            # pruned when the source layout allows, key-semi-joined always
+            folded = folded.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                rec_rows = folded.where(F.col("__rec"))
+                ssnap = self.source.snapshot()
+                can_prune = set(ssnap.bucket_cols) <= set(self.group_cols)
+                if can_prune:
+                    rb = sorted(
+                        r["__b"]
+                        for r in rec_rows.select(
+                            bucket_expr(ssnap.bucket_cols, ssnap.num_buckets).alias("__b")
+                        )
+                        .distinct()
+                        .collect()
+                    )
+                    need = len(rb) > 0
+                else:
+                    rb = None
+                    need = not rec_rows.limit(1).isEmpty()
+                ok_rows = folded.where(~F.col("__rec")).drop("__rec")
+                if need:
+                    rec_keys = rec_rows.select(*self.group_cols)
+                    n_recomputed = rec_keys.count()
+                    src_rows = self.source.read_current(buckets=rb).join(
+                        F.broadcast(rec_keys), on=self.group_cols, how="left_semi"
+                    )
+                    merged = ok_rows.unionByName(self._exact_agg(src_rows))
+                else:
+                    merged = ok_rows
+                result = self._commit_merged(merged, tsnap, affected, tip)
+            finally:
+                folded.unpersist()
+        else:
+            merged = folded.drop("__rec")
+            result = self._commit_merged(merged, tsnap, affected, tip)
+        return IvmResult(from_v, tip, n_groups, len(affected), n_recomputed, attempt)
+
+    def _commit_merged(self, merged: DataFrame, tsnap, affected: list[int], tip: int):
         from cht_sync_spark.tables.format import _conform
 
         merged = _conform(merged, tsnap.schema)
         files = self.target._write_data(merged, tsnap, level="base")
-        committed = self.target.commit(
+        return self.target.commit(
             add_files=files,
             remove_buckets=set(affected),
             properties_update={self._ckpt_key: str(tip)},
             expected_version=tsnap.version,
         )
-        del committed
-        return IvmResult(from_v, tip, n_groups, len(affected), attempt)
 
     def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[IvmResult]:
         results: list[IvmResult] = []
@@ -293,13 +439,7 @@ class AggregateConsumer:
         range uncrossable). O(source live rows), the recovery path only."""
         tip = self.source.current_version()
         from_v = self.position()
-        full = self._contrib(self.source.read_current(), +1)
-        mcols = self._measure_cols()
-        agg = (
-            full.groupBy(*self.group_cols)
-            .agg(*[F.sum(c).alias(c) for c in mcols])
-            .where(F.col(SUPPORT_COL) > 0)
-        )
+        agg = self._exact_agg(self.source.read_current())
         self.target.overwrite(agg, properties_update={self._ckpt_key: str(tip)})
         return IvmResult(from_v, tip, -1, -1)
 
@@ -311,27 +451,39 @@ class AggregateConsumer:
         source: SnapshotTable | str,
         target_path: str,
         group_cols: list[str],
-        measures: dict[str, F.Column],
+        measures: dict[str, F.Column | Measure],
         num_buckets: int = 16,
         **table_kw,
     ) -> SnapshotTable:
         """Bootstrap the aggregate table: schema derived by ANALYZING the
-        measure expressions against the source schema (no Spark job), key =
+        view definition against the source schema (no Spark job), key =
         group columns, no LWW order (additive state has exactly one row per
         key by construction)."""
         src = source if isinstance(source, SnapshotTable) else SnapshotTable(spark, source)
-        # analyze-only (no job): measure columns take their POST-SUM types
-        # (count/int contributions accumulate as long)
-        probe = (
+        ms = _norm_measures(measures)
+        # analyze-only: measure columns take their POST-AGGREGATE types
+        # (count/int sums accumulate as long; extremums keep the expr type)
+        probe_aggs = [F.sum(F.lit(1)).cast("long").alias(SUPPORT_COL)]
+        for n, m in ms.items():
+            f = {"sum": F.sum, "max": F.max, "min": F.min}[m.kind]
+            probe_aggs.append(f(m.expr).alias(n))
+        from pyspark.sql import types as T
+
+        raw = (
             spark.createDataFrame([], src.snapshot().schema)
-            .select(
-                *group_cols,
-                F.lit(1).cast("long").alias(SUPPORT_COL),
-                *[expr.alias(n) for n, expr in measures.items()],
-            )
             .groupBy(*group_cols)
-            .agg(*[F.sum(c).alias(c) for c in [SUPPORT_COL, *measures.keys()]])
+            .agg(*probe_aggs)
             .schema
+        )
+        probe = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType if f.name in group_cols else _nullable(f.dataType),
+                    f.name not in group_cols or f.nullable,
+                )
+                for f in raw.fields
+            ]
         )
         return SnapshotTable.create(
             spark,

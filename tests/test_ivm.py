@@ -166,6 +166,142 @@ def test_reseed_recovers_uncrossable_changelog(spark, tmp_path):
     assert cons.run_once() is None  # cursor advanced by the reseed
 
 
+def EXT_MEASURES():
+    from cht_sync_spark.streaming.ivm import Measure
+
+    return {
+        "max_h": Measure(F.col("rev_height"), kind="max"),
+        "any_tool": Measure(F.col("tool").isNotNull(), kind="max"),  # bool_or
+        # arg_min(text, turn_idx): min over struct(order, value)
+        "first_text": Measure(
+            F.struct(F.col("turn_idx"), F.col("text")), kind="min"
+        ),
+    }
+
+
+def _ext_consumer(spark, src, path):
+    tgt = AggregateConsumer.create_target(
+        spark, src, str(path), ["conv_id"], EXT_MEASURES(), num_buckets=8
+    )
+    return AggregateConsumer(spark, src, tgt, "ext", ["conv_id"], EXT_MEASURES())
+
+
+def _ext_recompute(src):
+    live = src.read_current(drop_tombstones=True)
+    return live.groupBy("conv_id").agg(
+        F.count("*").alias("n_rows"),
+        F.max("rev_height").alias("max_h"),
+        F.max(F.col("tool").isNotNull()).alias("any_tool"),
+        F.min(F.struct("turn_idx", "text")).alias("first_text"),
+    )
+
+
+def _assert_ext_matches(cons):
+    got = cons.target.read_current().select(
+        "conv_id", "n_rows", "max_h", "any_tool", "first_text"
+    )
+    want = _ext_recompute(cons.source)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, (
+        f"got={sorted(got.collect())} want={sorted(want.collect())}"
+    )
+
+
+def test_extremum_dominating_and_untouched_skip_recompute(spark, tmp_path):
+    """Inserting a dominating value or touching a non-extremum row must
+    never trigger the per-group recompute path."""
+    src = _src(spark, tmp_path / "s")
+    cons = _ext_consumer(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "alpha", 3), _row("a", 1, "beta", 1, tool="s")], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 0
+    _assert_ext_matches(cons)
+
+    # dominating arrival: new key at height 9 — extremum replaced in place
+    merge_upsert(src, spark.createDataFrame([_row("a", 2, "gamma", 9)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 0
+    _assert_ext_matches(cons)
+
+    # non-holder update: a:1 re-edited at height 2 (< stored max 9), tool
+    # kept — no measure's extremum is retracted, so no recompute
+    merge_upsert(src, spark.createDataFrame([_row("a", 1, "beta2", 2, tool="s")], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 0
+    _assert_ext_matches(cons)
+
+    # dropping the ONLY tool row's tool field retracts the bool_or extremum
+    # — that one genuinely needs the group recompute (and gets it right)
+    merge_upsert(src, spark.createDataFrame([_row("a", 1, "beta3", 3)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 1
+    _assert_ext_matches(cons)
+    rows = {x["conv_id"]: x for x in cons.target.read_current().collect()}
+    assert rows["a"]["any_tool"] is False
+
+
+def test_extremum_retraction_recomputes_only_that_group(spark, tmp_path):
+    src = _src(spark, tmp_path / "s")
+    cons = _ext_consumer(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "low", 1), _row("a", 1, "high", 7),
+         _row("b", 0, "only", 2)], SRC_SCHEMA))
+    cons.run_once()
+
+    # delete a's max-holding row AND touch b without retracting its max:
+    # exactly one group recomputes
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 1, None, 8, deleted=True), _row("b", 1, "more", 1)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 1
+    _assert_ext_matches(cons)
+    rows = {x["conv_id"]: x for x in cons.target.read_current().collect()}
+    assert rows["a"]["max_h"] == 1  # fell back to the surviving row
+    # arg_min retraction: delete a's turn 0 (the first_text holder) too
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, None, 9, deleted=True)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 0  # group 'a' retracted to absence, no history scan
+    _assert_ext_matches(cons)
+    assert "a" not in {x["conv_id"] for x in cons.target.read_current().collect()}
+
+
+def test_extremum_mixed_with_sums_matches_recompute(spark, feed_path, tmp_path):
+    """Mixed sum+extremum measures over the real synthetic feed (conflicts,
+    delete-vs-edit, height-3 deletes): incremental == recompute after a
+    mid-replay cycle and at the end."""
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
+    from cht_sync_spark.streaming.ivm import Measure
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
+    pipe = ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8,
+                          table_properties={"cdc.enabled": "true"})
+    measures = {
+        "chars": F.length("text"),
+        "max_h": Measure(F.col("rev_height"), kind="max"),
+        "min_turn": Measure(F.col("turn_idx"), kind="min"),
+    }
+    tgt = AggregateConsumer.create_target(
+        spark, pipe.table, str(tmp_path / "agg"), ["conv_id"], measures, num_buckets=8
+    )
+    cons = AggregateConsumer(spark, pipe.table, tgt, "mix", ["conv_id"], measures)
+    pipe.run(max_batches=2)
+    cons.run()
+    pipe.run()
+    cons.run()
+    live = pipe.table.read_current(drop_tombstones=True)
+    want = live.groupBy("conv_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("text")).alias("chars"),
+        F.max("rev_height").alias("max_h"),
+        F.min("turn_idx").alias("min_turn"),
+    )
+    got = tgt.read_current().select("conv_id", "n_rows", "chars", "max_h", "min_turn")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_pipeline_feed_incremental_consumption(spark, feed_path, tmp_path):
     """Against the real synthetic feed replayed through the pipeline: consume
     mid-replay and after — the aggregate equals a full recompute both times
