@@ -81,13 +81,13 @@ def ensure_feed(spark, sf: float) -> tuple[str, int]:
 
 def bench_replay(
     spark, feed_path: str, n_events: int, mode: str, num_buckets: int,
-    with_models: bool = False,
+    with_models: bool = False, with_ivm: bool = False,
 ) -> float:
     from cht_sync_spark.sources.changes import ChangesFeedSource
     from cht_sync_spark.sources.feedgen import feed_sources
     from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
-    tag = f"replay_{mode}" + ("_models" if with_models else "")
+    tag = f"replay_{mode}" + ("_models" if with_models else "") + ("_ivm" if with_ivm else "")
     out = os.path.join(BENCH_TMP, tag)
     shutil.rmtree(out, ignore_errors=True)
     models = []
@@ -108,6 +108,36 @@ def bench_replay(
         # ModelRunner mode='mor'); compaction is paid in-time below
         model_mode=mode,
     )
+    if with_ivm:
+        # conversations-profile aggregate maintained per batch by the IVM
+        # consumer (streaming/ivm.py): sum measures delta-merge at O(batch),
+        # the max-kind ones fold candidates and recompute only retracted
+        # groups — the scale comparison point for replay_mor_models, which
+        # recomputes every touched group's slice per epoch
+        from pyspark.sql import functions as F
+
+        from cht_sync_spark.streaming.ivm import AggregateConsumer, Measure
+
+        measures = {
+            "chars": F.length("text"),
+            "max_h": Measure(F.col("rev_height"), kind="max"),
+            "any_tool": Measure(F.col("tool").isNotNull(), kind="max"),
+        }
+        tgt = AggregateConsumer.create_target(
+            spark, pipe.table, os.path.join(out, "conv_agg"), ["conv_id"],
+            measures, num_buckets=num_buckets,
+        )
+        cons = AggregateConsumer(spark, pipe.table, tgt, "agg", ["conv_id"], measures)
+        t0 = time.monotonic()
+        cuts = feed.plan_batches(pipe.batch_size)
+        lo = -(2**62)
+        for epoch, hi in enumerate(cuts):
+            pipe.run_batch(epoch, lo, hi)
+            cons.run_once()
+            lo = hi
+        if mode == "mor":
+            pipe.table.compact()
+        return time.monotonic() - t0
     t0 = time.monotonic()
     pipe.run()
     if mode == "mor":
@@ -142,6 +172,11 @@ def main() -> None:
     sec = bench_replay(spark, feed_path, n_events, "mor", num_buckets=64, with_models=True)
     timings["replay_mor_models"] = round(sec, 3)
     extras["replay_mor_models_events_per_sec"] = round(n_events / sec, 1)
+    # same ingest with a per-batch IVM aggregate instead of the group-
+    # recompute model plane (the O(batch) vs O(touched-group-history) story)
+    sec = bench_replay(spark, feed_path, n_events, "mor", num_buckets=64, with_ivm=True)
+    timings["replay_mor_ivm"] = round(sec, 3)
+    extras["replay_mor_ivm_events_per_sec"] = round(n_events / sec, 1)
 
     # ---- group 2: driver-table operator queries -----------------------
     import __spark_entry__ as entrymod

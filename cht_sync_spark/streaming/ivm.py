@@ -72,6 +72,14 @@ models fully re-select per run (dbt-run.py loop; persons.sql). This is
 the Spark-first capability a 10^10-event deployment needs so dashboards
 over the transcripts (turns per conversation, volume per source, last
 activity) don't re-scan conversation histories every micro-batch.
+
+Measured honesty (BENCH/BASELINE.md `replay_mor_ivm`): on the bench
+corpus — every batch touches ~all groups, history ~1.4 rows/key — this
+plane TIES the grouped-model recompute plane (both are bound by reading
+the touched buckets, which coincide). The advantage is algorithmic and
+appears with deep per-group histories or batches touching a small group
+fraction: preimages are one row per changed key regardless of history
+depth, while a group recompute re-reads the whole slice.
 """
 
 from __future__ import annotations
