@@ -164,8 +164,18 @@ def debezium_to_events(
         )
         op = F.coalesce(op, bad_op)
         seq = F.coalesce(seq, bad_seq.cast("long"))
+    else:
+        # the lenient-mode DLQ contract is "malformed rows have null op":
+        # a known op with NO usable log position is just as malformed (null
+        # seq breaks range planning; concat_ws would silently drop the
+        # missing height prefix from rev) — null its op too so one
+        # op-is-null filter catches every malformed shape
+        op = F.when(seq.isNotNull(), op)
 
-    rev = F.concat_ws("-", seq.cast("string"), F.md5(F.concat_ws("|", name, key, F.col("op"))))
+    rev = F.when(
+        seq.isNotNull(),
+        F.concat_ws("-", seq.cast("string"), F.md5(F.concat_ws("|", name, key, F.col("op")))),
+    )
     doc = F.when(F.col("op") != "d", F.to_json(F.col("after")))
 
     return env.select(

@@ -207,13 +207,21 @@ class AggregateConsumer:
     # ---------------------------------------------------------- internals
     def _exact_agg(self, df: DataFrame) -> DataFrame:
         """The view definition itself, over raw source-shaped rows —
-        used by reseed and by extremum-retraction group recomputes."""
+        used by reseed and by extremum-retraction group recomputes.
+
+        Sum measures coalesce to 0 (not SQL SUM's NULL) so a group whose
+        live rows all carry null contributions stores the same value on
+        this path as on the incremental path (whose additive fold starts
+        at 0) — the maintained invariant is "sum of non-null
+        contributions, 0 when none", on every code path."""
         live = _live(df)
         aggs = [F.sum(F.when(live, 1).otherwise(0)).cast("long").alias(SUPPORT_COL)]
         for n, m in self.measures.items():
             e = F.when(live, m.expr)
-            f = {"sum": F.sum, "max": F.max, "min": F.min}[m.kind]
-            aggs.append(f(e).alias(n))
+            if m.kind == "sum":
+                aggs.append(F.coalesce(F.sum(e), F.lit(0)).alias(n))
+            else:
+                aggs.append((F.max if m.kind == "max" else F.min)(e).alias(n))
         return df.groupBy(*self.group_cols).agg(*aggs).where(F.col(SUPPORT_COL) > 0)
 
     def _proj(self, df: DataFrame, side: int) -> DataFrame:
@@ -301,18 +309,33 @@ class AggregateConsumer:
             from_v = max(self.position(), 1)  # v1 = the empty CREATE
             if tip <= from_v:
                 return None if attempt == 0 else IvmResult(from_v, tip, 0, 0, 0, attempt)
-            delta = self._delta(from_v, tip)
-            if delta is None:  # e.g. compaction-only range: advance cursor
-                self.target.commit(
-                    add_files=[], properties_update={self._ckpt_key: str(tip)}
-                )
-                return IvmResult(from_v, tip, 0, 0, 0, attempt)
             try:
+                delta = self._delta(from_v, tip)
+                if delta is None:  # e.g. compaction-only range: advance cursor
+                    self._advance_cursor(tip)
+                    return IvmResult(from_v, tip, 0, 0, 0, attempt)
                 return self._apply(delta, from_v, tip, attempt)
             except CommitConflict as e:
                 last_err = e
                 time.sleep(0.05 * (attempt + 1))
         raise last_err  # type: ignore[misc]
+
+    def _advance_cursor(self, tip: int) -> None:
+        """Cursor-only commit, PINNED to the target version it read — an
+        unpinned advance could rebase on top of a concurrent same-name
+        consumer's commit and move the cursor BACKWARD (its range would
+        then be re-applied additively: a double count). Monotonicity is
+        re-checked against the pinned snapshot; a conflict retries through
+        run_once's loop, which re-reads the cursor first."""
+        tsnap = self.target.snapshot()
+        cur = int(tsnap.properties.get(self._ckpt_key, 0))
+        if tip <= cur:
+            return
+        self.target.commit(
+            add_files=[],
+            properties_update={self._ckpt_key: str(tip)},
+            expected_version=tsnap.version,
+        )
 
     def _apply(self, delta: DataFrame, from_v: int, tip: int, attempt: int) -> IvmResult:
         tsnap = self.target.snapshot()
@@ -323,7 +346,7 @@ class AggregateConsumer:
             .collect()
         )
         if not bstats:
-            self.target.commit(add_files=[], properties_update={self._ckpt_key: str(tip)})
+            self._advance_cursor(tip)
             return IvmResult(from_v, tip, 0, 0, 0, attempt)
         affected = sorted(r["__b"] for r in bstats)
         n_groups = int(sum(r["n"] for r in bstats))
@@ -373,12 +396,17 @@ class AggregateConsumer:
         n_recomputed = 0
         if rec_flags:
             # the retracted-extremum groups (usually none/few) get the exact
-            # per-group recompute from the source's CURRENT state — bucket-
-            # pruned when the source layout allows, key-semi-joined always
+            # per-group recompute from the source AT THE PINNED VERSION
+            # `tip` — never the unpinned current tip: a producer commit
+            # racing this apply would otherwise bake post-tip rows into the
+            # recomputed group while the cursor commits as tip, and the next
+            # cycle would re-apply the (tip, tip'] delta on top (a double
+            # count). Bucket-pruned when the source layout allows,
+            # key-semi-joined always.
             folded = folded.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 rec_rows = folded.where(F.col("__rec"))
-                ssnap = self.source.snapshot()
+                ssnap = self.source.snapshot(tip)
                 can_prune = set(ssnap.bucket_cols) <= set(self.group_cols)
                 if can_prune:
                     rb = sorted(
@@ -397,7 +425,7 @@ class AggregateConsumer:
                 if need:
                     rec_keys = rec_rows.select(*self.group_cols)
                     n_recomputed = rec_keys.count()
-                    src_rows = self.source.read_current(buckets=rb).join(
+                    src_rows = self.source.read_current(version=tip, buckets=rb).join(
                         F.broadcast(rec_keys), on=self.group_cols, how="left_semi"
                     )
                     merged = ok_rows.unionByName(self._exact_agg(src_rows))
@@ -444,10 +472,16 @@ class AggregateConsumer:
         atomic overwrite that also sets the cursor — bootstrap over a
         pre-existing table, and recovery from a producer rollback or a
         cursor lagged past snapshot retention (both make the incremental
-        range uncrossable). O(source live rows), the recovery path only."""
+        range uncrossable). O(source live rows), the recovery path only.
+
+        The read is PINNED to the version the cursor commits as — an
+        unpinned read racing a producer commit would bake post-tip rows
+        into the overwrite while the cursor says tip, and the next
+        incremental cycle would re-apply them additively (double count).
+        """
         tip = self.source.current_version()
         from_v = self.position()
-        agg = self._exact_agg(self.source.read_current())
+        agg = self._exact_agg(self.source.read_current(version=tip))
         self.target.overwrite(agg, properties_update={self._ckpt_key: str(tip)})
         return IvmResult(from_v, tip, -1, -1)
 

@@ -302,6 +302,23 @@ def test_extremum_mixed_with_sums_matches_recompute(spark, feed_path, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_all_null_contributions_store_zero_on_both_paths(spark, tmp_path):
+    """A group whose live rows all carry null contributions must store the
+    SAME value (0) whether built incrementally or by the exact-recompute /
+    reseed path — the maintained invariant is 'sum of non-null
+    contributions, 0 when none'."""
+    src = _src(spark, tmp_path / "s")
+    cons = _consumer(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame([_row("z", 0, None, 1)], SRC_SCHEMA))
+    cons.run_once()
+    inc = {r["conv_id"]: r for r in cons.target.read_current().collect()}
+    assert inc["z"]["chars"] == 0  # incremental path
+    cons.reseed()
+    res = {r["conv_id"]: r for r in cons.target.read_current().collect()}
+    assert res["z"]["chars"] == 0  # exact path agrees
+    assert inc["z"] == res["z"]
+
+
 def test_pipeline_feed_incremental_consumption(spark, feed_path, tmp_path):
     """Against the real synthetic feed replayed through the pipeline: consume
     mid-replay and after — the aggregate equals a full recompute both times

@@ -78,9 +78,15 @@ def test_strict_mode_gates_malformed(spark, wal_pg):
     )
     with pytest.raises(Exception, match="log position"):
         debezium_to_events(no_pos).collect()
-    # lenient mode: malformed rows become null-op rows for DLQ routing
+    # lenient mode: malformed rows become null-op rows for DLQ routing —
+    # unknown ops AND missing log positions alike (one filter catches both)
     lenient = debezium_to_events(broken, strict=False)
     assert lenient.where(F.col("op").isNull()).count() == 5
+    lenient_pos = debezium_to_events(no_pos, strict=False)
+    bad = lenient_pos.where(F.col("op").isNull())
+    assert bad.count() == 5
+    # and no half-formed rev escapes (would corrupt LWW height parsing)
+    assert lenient_pos.where(F.col("seq").isNull() & F.col("rev").isNotNull()).count() == 0
 
 
 def test_wal_replay_converges_to_log_state(spark, wal_pg, wal_events, tmp_path):
