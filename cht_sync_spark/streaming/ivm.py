@@ -243,7 +243,14 @@ class AggregateConsumer:
     def _delta(self, from_v: int, tip: int) -> DataFrame | None:
         """Per-group delta frame for the (from_v, tip] changelog range
         (sum deltas + extremum old/new candidates), or None when the range
-        holds no logical changes."""
+        holds no logical changes.
+
+        Scale note: the changed-key semi-join broadcasts O(range's distinct
+        keys) — ~15 MB for a 500k-key micro-batch, comfortably inside
+        executor broadcast budgets at the design point. A consumer resuming
+        across a HUGE range (days of lag) should :meth:`reseed` instead of
+        crossing it incrementally; the broadcast is the first thing that
+        says so."""
         src = self.source
         ch = src.changes(from_v, tip, strict=self.strict).drop(
             "_change_version", "_change_type"
@@ -303,6 +310,7 @@ class AggregateConsumer:
         up. The additive merge re-reads the cursor inside the retry loop:
         additive state is not idempotent, so a lost commit race must
         re-check whether the range already landed before reapplying."""
+        self._check_sole_owner()
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
             tip = self.source.current_version()
@@ -319,6 +327,26 @@ class AggregateConsumer:
                 last_err = e
                 time.sleep(0.05 * (attempt + 1))
         raise last_err  # type: ignore[misc]
+
+    def _check_sole_owner(self) -> None:
+        """An additive target admits exactly ONE maintaining cursor: two
+        consumers under DIFFERENT names would each track their own cursor
+        and both apply every range — silent double-counting (same-name
+        concurrency is safe; the pinned commits serialize it). Fail fast on
+        the misconfiguration instead."""
+        others = [
+            k
+            for k in self.target.snapshot().properties
+            if k.startswith("consumer.")
+            and k.endswith(".version")
+            and k != self._ckpt_key
+        ]
+        if others:
+            raise ValueError(
+                f"aggregate target {self.target.path} is already maintained by "
+                f"{others}; one additive target admits one consumer name "
+                f"(this one: {self._ckpt_key})"
+            )
 
     def _advance_cursor(self, tip: int) -> None:
         """Cursor-only commit, PINNED to the target version it read — an

@@ -302,6 +302,18 @@ def test_extremum_mixed_with_sums_matches_recompute(spark, feed_path, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_second_consumer_name_on_same_target_rejected(spark, tmp_path):
+    """Two DIFFERENT-named consumers on one additive target would each
+    apply every range once — silent double-counting. Fail fast instead."""
+    src = _src(spark, tmp_path / "s")
+    cons1 = _consumer(spark, src, tmp_path / "t", name="agg")
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "x", 1)], SRC_SCHEMA))
+    cons1.run_once()
+    rogue = AggregateConsumer(spark, src, cons1.target, "other", ["conv_id"], MEASURES())
+    with pytest.raises(ValueError, match="one additive target admits one consumer"):
+        rogue.run_once()
+
+
 def test_all_null_contributions_store_zero_on_both_paths(spark, tmp_path):
     """A group whose live rows all carry null contributions must store the
     SAME value (0) whether built incrementally or by the exact-recompute /
