@@ -425,6 +425,50 @@ def q_model_dag_chain_mor(spark, sf):
     return _model_dag_chain(spark, sf, "mor")
 
 
+def q_consistent_read(spark, sf):
+    """Cross-table snapshot-isolation read (tables/consistent.py): replay
+    two batches through the pipeline maintaining the model DAG, then read
+    the landing table AND the chained conv_profiles model pinned at epoch
+    0 via the committed epoch markers. The result joins a landing-derived
+    count with the model's columns, so it only matches the oracle
+    (aggregates over events of batch 0 alone) if BOTH tables resolved to
+    exactly the epoch-0 versions — later versions exist in both."""
+    import tempfile
+
+    from cht_sync_spark.operators.models import CONV_PROFILES, CONVERSATIONS
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+    from cht_sync_spark.tables.consistent import read_consistent
+
+    work = tempfile.mkdtemp(prefix="cons_q_")
+    dirs, hi = _events_as_feed(spark, sf, work)
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
+        num_buckets=8, mode="mor",
+        models=[
+            (CONVERSATIONS, f"{work}/conversations"),
+            (CONV_PROFILES, f"{work}/conv_profiles"),
+        ],
+        model_mode="mor",
+    )
+    cut = hi // 2
+    pipe.run_batch(0, -(2**62), cut)
+    pipe.run_batch(1, cut, hi)
+    got = read_consistent(
+        {
+            "landing": pipe.table,
+            "conv_profiles": pipe._runners_by_name["conv_profiles"].table,
+        },
+        epoch=0,
+        drop_tombstones=True,
+    )
+    landing0, prof0 = got["landing"][1], got["conv_profiles"][1]
+    counts = landing0.groupBy("conv_id").agg(F.count("*").alias("n_landing"))
+    return prof0.select(
+        "conv_id", "n_turns", "has_tool_calls", "first_user_text"
+    ).join(counts, "conv_id")
+
+
 def q_ivm_aggregate(spark, sf):
     """Incremental view maintenance (streaming/ivm.py): a per-conversation
     aggregate (n_rows, chars, tool_turns) maintained from the landing
@@ -1586,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_dag_chain_mor": q_model_dag_chain_mor,
         "checkpoint_liveness": q_checkpoint_liveness,
         "ivm_aggregate": q_ivm_aggregate,
+        "consistent_read": q_consistent_read,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
         "dedup_exact": q_dedup_exact,
@@ -1783,6 +1828,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, count(*) AS n_turns, "
             "bool_or(role = 'tool') AS has_tool_calls, "
             "arg_min(text, turn_idx) FILTER (WHERE role = 'user') AS first_user_text "
+            "FROM t GROUP BY conv_id"
+        ),
+        # epoch-pinned cross-table read: both tables resolved at epoch 0
+        # == aggregates over batch-0 events only (event_id <= cut)
+        "consistent_read": (
+            "WITH cut AS (SELECT max(event_id) // 2 AS c FROM events), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx, "
+            "(['user','assistant','tool'])[CAST(event_id % 3 AS INTEGER) + 1] AS role, "
+            "event_type AS text FROM events, cut WHERE event_id <= c) "
+            "SELECT conv_id, count(*) AS n_turns, "
+            "bool_or(role = 'tool') AS has_tool_calls, "
+            "arg_min(text, turn_idx) FILTER (WHERE role = 'user') AS first_user_text, "
+            "count(*) AS n_landing "
             "FROM t GROUP BY conv_id"
         ),
         # IVM aggregate: final state after insert waves + the 'error'
