@@ -366,7 +366,9 @@ def _events_as_feed(spark, sf, work, n_parts=2):
                     F.pmod(F.col("event_id"), F.lit(3)).cast("int") + 1,
                 ).alias("role"),
                 F.col("event_type").alias("text"),
-                (F.col("event_id") * 1000).alias("ts"),
+                # one day per event id: gives date-derived rollups real
+                # group spread (epoch-seconds collapsed to a single day)
+                (F.col("event_id") * 86_400_000).alias("ts"),
             )
         ).alias("doc"),
     )
@@ -469,23 +471,16 @@ def q_consistent_read(spark, sf):
     ).join(counts, "conv_id")
 
 
-def q_ivm_aggregate(spark, sf):
-    """Incremental view maintenance (streaming/ivm.py): a per-conversation
-    aggregate (n_rows, chars, tool_turns) maintained from the landing
-    table's changelog with retractions recovered via time-travel preimages
-    — O(batch) per cycle instead of the model plane's O(touched group
-    history). The replay runs three batches (two insert waves, then a
-    tombstone wave deleting every 'error' turn at revision 2) with the
-    consumer draining BETWEEN batches, so the final state only matches the
-    oracle (aggregates over non-error events) if update/delete retractions
-    and the additive cursor-guarded merge are exactly right."""
-    import tempfile
-
+def _ivm_replay(spark, sf, work, group_cols, measures):
+    """Shared IVM driver harness: three-wave replay (two insert batches,
+    then a tombstone wave deleting every 'error' turn at revision 2) with
+    the AggregateConsumer draining BETWEEN batches — retractions recovered
+    via time-travel preimages must be exactly right for the final state to
+    match a plain aggregation over the surviving events."""
     from cht_sync_spark.sources.changes import ChangesFeedSource
     from cht_sync_spark.streaming.ivm import AggregateConsumer
     from cht_sync_spark.streaming.pipeline import ReplayPipeline
 
-    work = tempfile.mkdtemp(prefix="ivm_q_")
     dirs, hi = _events_as_feed(spark, sf, work)
     # third wave: DELETE every 'error' turn (rev height 2 beats the insert),
     # seq-banded past the insert waves so it is its own batch
@@ -512,14 +507,10 @@ def q_ivm_aggregate(spark, sf):
         spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
         num_buckets=8, mode="mor",
     )
-    measures = {
-        "chars": F.length("text"),
-        "tool_turns": F.when(F.col("role") == "tool", F.lit(1)).otherwise(0),
-    }
     tgt = AggregateConsumer.create_target(
-        spark, pipe.table, f"{work}/agg", ["conv_id"], measures, num_buckets=8
+        spark, pipe.table, f"{work}/agg", group_cols, measures, num_buckets=8
     )
-    cons = AggregateConsumer(spark, pipe.table, tgt, "agg", ["conv_id"], measures)
+    cons = AggregateConsumer(spark, pipe.table, tgt, "agg", group_cols, measures)
     cut = hi // 2
     pipe.run_batch(0, -(2**62), cut)
     cons.run()
@@ -527,7 +518,37 @@ def q_ivm_aggregate(spark, sf):
     cons.run()
     pipe.run_batch(2, hi, hi + off)
     cons.run()
+    return tgt
+
+
+def q_ivm_aggregate(spark, sf):
+    """Incremental view maintenance (streaming/ivm.py): a per-conversation
+    aggregate (n_rows, chars, tool_turns) maintained from the landing
+    table's changelog with retractions recovered via time-travel preimages
+    — O(batch) per cycle instead of the model plane's O(touched group
+    history). Oracle = plain aggregation over the non-'error' events."""
+    import tempfile
+
+    measures = {
+        "chars": F.length("text"),
+        "tool_turns": F.when(F.col("role") == "tool", F.lit(1)).otherwise(0),
+    }
+    tgt = _ivm_replay(spark, sf, tempfile.mkdtemp(prefix="ivm_q_"), ["conv_id"], measures)
     return tgt.read_current().select("conv_id", "n_rows", "chars", "tool_turns")
+
+
+def q_ivm_daily_rollup(spark, sf):
+    """IVM with DERIVED group keys — the canonical dashboard rollup
+    per (day := to_date(ts), source), maintained incrementally through the
+    same three-wave replay. The delete wave retracts rows out of their day
+    buckets; group migration and retraction must both be exact for the
+    hash to match the oracle's direct date-grouped aggregation."""
+    import tempfile
+
+    group = [("day", F.to_date("ts")), "source"]
+    measures = {"chars": F.length("text")}
+    tgt = _ivm_replay(spark, sf, tempfile.mkdtemp(prefix="ivmroll_q_"), group, measures)
+    return tgt.read_current().select("day", "source", "n_rows", "chars")
 
 
 def q_checkpoint_liveness(spark, sf):
@@ -1630,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_dag_chain_mor": q_model_dag_chain_mor,
         "checkpoint_liveness": q_checkpoint_liveness,
         "ivm_aggregate": q_ivm_aggregate,
+        "ivm_daily_rollup": q_ivm_daily_rollup,
         "consistent_read": q_consistent_read,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
@@ -1850,6 +1872,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(event_type)) AS BIGINT) AS chars, "
             "CAST(count(*) FILTER (WHERE event_id % 3 = 2) AS BIGINT) AS tool_turns "
             "FROM events WHERE event_type <> 'error' GROUP BY user_id"
+        ),
+        # IVM derived-group rollup: per-(day, source) over surviving events;
+        # landing ts = one day per event id (doc ts = event_id*86400000 ms)
+        "ivm_daily_rollup": (
+            "SELECT CAST(epoch_ms(event_id * 86400000) AS DATE) AS day, "
+            "'db' || CAST(user_id % 2 AS VARCHAR) AS source, "
+            "count(*) AS n_rows, "
+            "CAST(sum(length(event_type)) AS BIGINT) AS chars "
+            "FROM events WHERE event_type <> 'error' GROUP BY 1, 2"
         ),
         "checkpoint_liveness": (
             "WITH cut AS (SELECT max(event_id) // 2 AS c FROM events) "

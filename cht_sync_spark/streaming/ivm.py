@@ -158,6 +158,23 @@ def _norm_measures(measures: dict) -> dict[str, Measure]:
     return out
 
 
+def _norm_groups(group_cols) -> tuple[list[str], dict[str, F.Column]]:
+    """Group spec: plain source column names, or (name, expr) pairs for
+    DERIVED group keys (daily rollups: ("day", F.to_date("ts"))). An expr
+    must be a deterministic function of the row — it is evaluated on
+    changelog rows, preimages, and recompute reads alike."""
+    names: list[str] = []
+    exprs: dict[str, F.Column] = {}
+    for g in group_cols:
+        if isinstance(g, str):
+            names.append(g)
+        else:
+            n, e = g
+            names.append(n)
+            exprs[n] = e
+    return names, exprs
+
+
 class AggregateConsumer:
     """Maintain ``target`` = ``SELECT group_cols, count(*) AS n_rows,
     SUM/MAX/MIN(measure)... FROM source-live-rows GROUP BY group_cols``
@@ -174,7 +191,7 @@ class AggregateConsumer:
         source: SnapshotTable | str,
         target: SnapshotTable,
         name: str,
-        group_cols: list[str],
+        group_cols: list[str | tuple[str, F.Column]],
         measures: dict[str, F.Column | Measure],
         strict: bool = True,
         max_retries: int = 8,
@@ -187,10 +204,25 @@ class AggregateConsumer:
         )
         self.target = target
         self.name = name
-        self.group_cols = list(group_cols)
+        self.group_cols, self._group_exprs = _norm_groups(group_cols)
+        src_cols = {f.name for f in self.source.snapshot().schema.fields}
+        shadowed = sorted(set(self._group_exprs) & src_cols)
+        if shadowed:
+            raise ValueError(
+                f"derived group column(s) {shadowed} shadow existing source columns"
+            )
         self.measures = _norm_measures(measures)
         self.strict = strict
         self.max_retries = max_retries
+
+    def _grouped(self, df: DataFrame) -> DataFrame:
+        """Materialize derived group columns. Idempotent (skips columns
+        already materialized); shadowing of real source columns is rejected
+        at construction."""
+        for n, e in self._group_exprs.items():
+            if n not in df.columns:
+                df = df.withColumn(n, e)
+        return df
 
     # ------------------------------------------------------------- cursor
     @property
@@ -214,6 +246,7 @@ class AggregateConsumer:
         this path as on the incremental path (whose additive fold starts
         at 0) — the maintained invariant is "sum of non-null
         contributions, 0 when none", on every code path."""
+        df = self._grouped(df)
         live = _live(df)
         aggs = [F.sum(F.when(live, 1).otherwise(0)).cast("long").alias(SUPPORT_COL)]
         for n, m in self.measures.items():
@@ -227,6 +260,7 @@ class AggregateConsumer:
     def _proj(self, df: DataFrame, side: int) -> DataFrame:
         """Per-row projection under the group key: signed contributions for
         sum measures, raw live values for extremum measures, side tag."""
+        df = self._grouped(df)
         live = _live(df)
         sg = F.lit(1 if side == 1 else -1)
         cols = [
@@ -453,9 +487,9 @@ class AggregateConsumer:
                 if need:
                     rec_keys = rec_rows.select(*self.group_cols)
                     n_recomputed = rec_keys.count()
-                    src_rows = self.source.read_current(version=tip, buckets=rb).join(
-                        F.broadcast(rec_keys), on=self.group_cols, how="left_semi"
-                    )
+                    src_rows = self._grouped(
+                        self.source.read_current(version=tip, buckets=rb)
+                    ).join(F.broadcast(rec_keys), on=self.group_cols, how="left_semi")
                     merged = ok_rows.unionByName(self._exact_agg(src_rows))
                 else:
                     merged = ok_rows
@@ -520,7 +554,7 @@ class AggregateConsumer:
         spark: SparkSession,
         source: SnapshotTable | str,
         target_path: str,
-        group_cols: list[str],
+        group_cols: list[str | tuple[str, F.Column]],
         measures: dict[str, F.Column | Measure],
         num_buckets: int = 16,
         **table_kw,
@@ -531,6 +565,7 @@ class AggregateConsumer:
         key by construction)."""
         src = source if isinstance(source, SnapshotTable) else SnapshotTable(spark, source)
         ms = _norm_measures(measures)
+        names, exprs = _norm_groups(group_cols)
         # analyze-only: measure columns take their POST-AGGREGATE types
         # (count/int sums accumulate as long; extremums keep the expr type)
         probe_aggs = [F.sum(F.lit(1)).cast("long").alias(SUPPORT_COL)]
@@ -539,9 +574,11 @@ class AggregateConsumer:
             probe_aggs.append(f(m.expr).alias(n))
         from pyspark.sql import types as T
 
+        base = spark.createDataFrame([], src.snapshot().schema)
+        for n, e in exprs.items():
+            base = base.withColumn(n, e)
         raw = (
-            spark.createDataFrame([], src.snapshot().schema)
-            .groupBy(*group_cols)
+            base.groupBy(*names)
             .agg(*probe_aggs)
             .schema
         )
@@ -549,8 +586,8 @@ class AggregateConsumer:
             [
                 T.StructField(
                     f.name,
-                    f.dataType if f.name in group_cols else _nullable(f.dataType),
-                    f.name not in group_cols or f.nullable,
+                    f.dataType if f.name in names else _nullable(f.dataType),
+                    f.name not in names or f.nullable,
                 )
                 for f in raw.fields
             ]
@@ -559,7 +596,7 @@ class AggregateConsumer:
             spark,
             target_path,
             probe,
-            key_cols=list(group_cols),
+            key_cols=names,
             num_buckets=num_buckets,
             **table_kw,
         )

@@ -302,6 +302,68 @@ def test_extremum_mixed_with_sums_matches_recompute(spark, feed_path, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_derived_group_migration(spark, tmp_path):
+    """Derived group keys ((name, expr) pairs): an UPDATE that moves a row
+    between derived groups must retract from the old group and add to the
+    new one; fully-vacated derived groups disappear."""
+    src = _src(spark, tmp_path / "s")
+    grp = [("hband", (F.col("seq") / F.lit(100)).cast("long"))]  # = rev height
+    measures = {"chars": F.length("text")}
+    tgt = AggregateConsumer.create_target(
+        spark, src, str(tmp_path / "t"), grp, measures, num_buckets=4
+    )
+    cons = AggregateConsumer(spark, src, tgt, "mig", grp, measures)
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "one", 1), _row("b", 0, "two", 1)], SRC_SCHEMA))
+    cons.run_once()
+    rows = {r["hband"]: r for r in tgt.read_current().collect()}
+    assert rows[1]["n_rows"] == 2
+
+    # update a:0 to height 2 — its row migrates from band 1 to band 2
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "one+", 2)], SRC_SCHEMA))
+    cons.run_once()
+    rows = {r["hband"]: r for r in tgt.read_current().collect()}
+    assert rows[1]["n_rows"] == 1 and rows[1]["chars"] == len("two")
+    assert rows[2]["n_rows"] == 1 and rows[2]["chars"] == len("one+")
+
+    # move the last band-1 row too: band 1 must vanish entirely
+    merge_upsert(src, spark.createDataFrame([_row("b", 0, "two+", 2)], SRC_SCHEMA))
+    cons.run_once()
+    rows = {r["hband"]: r for r in tgt.read_current().collect()}
+    assert set(rows) == {2} and rows[2]["n_rows"] == 2
+    # shadowing a real source column is rejected at construction
+    with pytest.raises(ValueError, match="shadow"):
+        AggregateConsumer(spark, src, tgt, "bad", [("text", F.lit("x"))], measures)
+
+
+def test_derived_group_daily_rollup_matches_recompute(spark, feed_path, tmp_path):
+    """The canonical dashboard shape — per-(day, source) rollup — over the
+    real feed, incremental == recompute."""
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
+    pipe = ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8,
+                          table_properties={"cdc.enabled": "true"})
+    grp = [("day", F.to_date("ts")), "source"]
+    measures = {"chars": F.length("text")}
+    tgt = AggregateConsumer.create_target(
+        spark, pipe.table, str(tmp_path / "agg"), grp, measures, num_buckets=4
+    )
+    cons = AggregateConsumer(spark, pipe.table, tgt, "roll", grp, measures)
+    pipe.run(max_batches=2)
+    cons.run()
+    pipe.run()
+    cons.run()
+    live = pipe.table.read_current(drop_tombstones=True)
+    want = live.groupBy(F.to_date("ts").alias("day"), F.col("source")).agg(
+        F.count("*").alias("n_rows"), F.sum(F.length("text")).alias("chars")
+    )
+    got = tgt.read_current().select("day", "source", "n_rows", "chars")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_second_consumer_name_on_same_target_rejected(spark, tmp_path):
     """Two DIFFERENT-named consumers on one additive target would each
     apply every range once — silent double-counting. Fail fast instead."""
