@@ -205,12 +205,13 @@ class AggregateConsumer:
         self.target = target
         self.name = name
         self.group_cols, self._group_exprs = _norm_groups(group_cols)
-        src_cols = {f.name for f in self.source.snapshot().schema.fields}
-        shadowed = sorted(set(self._group_exprs) & src_cols)
-        if shadowed:
-            raise ValueError(
-                f"derived group column(s) {shadowed} shadow existing source columns"
-            )
+        if self._group_exprs:  # plain-name consumers pay no snapshot read here
+            src_cols = {f.name for f in self.source.snapshot().schema.fields}
+            shadowed = sorted(set(self._group_exprs) & src_cols)
+            if shadowed:
+                raise ValueError(
+                    f"derived group column(s) {shadowed} shadow existing source columns"
+                )
         self.measures = _norm_measures(measures)
         self.strict = strict
         self.max_retries = max_retries
@@ -379,7 +380,9 @@ class AggregateConsumer:
             raise ValueError(
                 f"aggregate target {self.target.path} is already maintained by "
                 f"{others}; one additive target admits one consumer name "
-                f"(this one: {self._ckpt_key})"
+                f"(this one: {self._ckpt_key}). To take over under a new name "
+                "(rename, ownership transfer), run reseed() — it rebuilds the "
+                "state and clears the stale cursor atomically."
             )
 
     def _advance_cursor(self, tip: int) -> None:
@@ -420,14 +423,24 @@ class AggregateConsumer:
         # (COW bucket rewrite); support == 0 retracts the group to absence.
         state = self.target.read(buckets=affected)
         s, d = state.alias("s"), delta.alias("d")
-        joined = s.join(d, on=self.group_cols, how="full_outer")
+        # NULL-SAFE group equality: a null group key (derived day over a
+        # null ts is the flagship case) is a real group; a null-unsafe join
+        # would never match its state row against its delta row, splitting
+        # the group into permanent duplicate target rows
+        cond = None
+        for c in self.group_cols:
+            t = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+            cond = t if cond is None else (cond & t)
+        joined = s.join(d, on=cond, how="full_outer")
 
         def _sum_col(n: str) -> F.Column:
             return (
                 F.coalesce(F.col(f"s.{n}"), F.lit(0)) + F.coalesce(F.col(f"d.{n}"), F.lit(0))
             ).alias(n)
 
-        out_cols = [F.col(c) for c in self.group_cols] + [_sum_col(SUPPORT_COL)]
+        out_cols = [
+            F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c) for c in self.group_cols
+        ] + [_sum_col(SUPPORT_COL)]
         rec_flags: list[F.Column] = []
         for n, m in self.measures.items():
             if m.kind == "sum":
@@ -487,9 +500,15 @@ class AggregateConsumer:
                 if need:
                     rec_keys = rec_rows.select(*self.group_cols)
                     n_recomputed = rec_keys.count()
-                    src_rows = self._grouped(
+                    src = self._grouped(
                         self.source.read_current(version=tip, buckets=rb)
-                    ).join(F.broadcast(rec_keys), on=self.group_cols, how="left_semi")
+                    ).alias("r")
+                    k = rec_keys.alias("k")
+                    sem = None  # null-safe: null group keys recompute too
+                    for c in self.group_cols:
+                        t = F.col(f"r.{c}").eqNullSafe(F.col(f"k.{c}"))
+                        sem = t if sem is None else (sem & t)
+                    src_rows = src.join(F.broadcast(k), on=sem, how="left_semi")
                     merged = ok_rows.unionByName(self._exact_agg(src_rows))
                 else:
                     merged = ok_rows
@@ -540,11 +559,21 @@ class AggregateConsumer:
         unpinned read racing a producer commit would bake post-tip rows
         into the overwrite while the cursor says tip, and the next
         incremental cycle would re-apply them additively (double count).
+
+        Also the OWNERSHIP-TAKEOVER path: any OTHER consumer's cursor on
+        this target is definitionally stale after a full rebuild, so reseed
+        deletes those keys in the same atomic commit (a renamed consumer
+        would otherwise be bricked by the sole-owner fence forever —
+        properties inherit through every commit, including this overwrite).
         """
         tip = self.source.current_version()
         from_v = self.position()
         agg = self._exact_agg(self.source.read_current(version=tip))
-        self.target.overwrite(agg, properties_update={self._ckpt_key: str(tip)})
+        props: dict[str, str | None] = {self._ckpt_key: str(tip)}
+        for k in self.target.snapshot().properties:
+            if k.startswith("consumer.") and k.endswith(".version") and k != self._ckpt_key:
+                props[k] = None  # None deletes the key
+        self.target.overwrite(agg, properties_update=props)
         return IvmResult(from_v, tip, -1, -1)
 
     # ---------------------------------------------------------------- DDL

@@ -105,12 +105,19 @@ def version_at_epoch(
     while v >= 1:
         props = table.snapshot(v).properties
         ev = props.get(marker)
-        if ev is None or int(ev) <= epoch:
+        # a marker-LESS version is ambiguous, not epoch-0: properties
+        # inherit through every commit, so markers only vanish BELOW the
+        # first marked commit — pre-pipeline data whose epoch alignment is
+        # unknowable (it may reflect arbitrarily late source state, e.g. a
+        # bootstrap full-load). Skip it; raising at the bottom beats
+        # silently returning a torn read.
+        if ev is not None and int(ev) <= epoch:
             return v
         v -= 1
     raise ValueError(
-        f"{table.path}: no retained version at or before epoch {epoch} "
-        "(expired by snapshot retention?)"
+        f"{table.path}: no retained version with committed epoch <= {epoch} "
+        "(expired by snapshot retention, or the table's history predates "
+        "its first epoch-marked commit)"
     )
 
 
@@ -124,10 +131,26 @@ def read_consistent(
     its latest version with committed epoch ≤ ``epoch`` (default: the
     current :func:`epoch_frontier`), so every DataFrame reflects exactly
     the events of epochs ≤ E. Versions are returned alongside so callers
-    can audit or re-pin (e.g. ``table.tag()`` the aligned set)."""
+    can audit or re-pin (e.g. ``table.tag()`` the aligned set).
+
+    An explicit ``epoch`` ABOVE the frontier is rejected: a lagging table
+    cannot serve it, and pinning the others forward anyway would hand back
+    exactly the torn multi-table read this function exists to prevent."""
     markers = markers or {}
+    frontier = epoch_frontier(tables, markers)
     if epoch is None:
-        epoch = epoch_frontier(tables, markers)
+        epoch = frontier
+    elif epoch > frontier:
+        lag = {
+            name: epoch_of(t, marker=markers.get(name))
+            for name, t in tables.items()
+        }
+        raise ValueError(
+            f"epoch {epoch} is past the consistent frontier {frontier} — "
+            f"lagging table(s): "
+            f"{ {n: e for n, e in lag.items() if e is not None and e < epoch} } "
+            "(wait for them to catch up, or read at the frontier)"
+        )
     out: dict[str, tuple[int, DataFrame]] = {}
     for name, t in tables.items():
         v = version_at_epoch(t, epoch, marker=markers.get(name))

@@ -103,6 +103,12 @@ def test_frontier_and_lag(spark, run):
     got = read_consistent(tabs, drop_tombstones=True)
     g_land = {(r["_id"], r["_rev"]) for r in got["landing"][1].collect()}
     assert g_land == states[last]["landing"]
+    # pinning PAST the frontier would be a torn read — rejected, naming lag
+    with pytest.raises(ValueError, match="past the consistent frontier"):
+        read_consistent(tabs, epoch=last + 1)
+    # pinning BELOW the first marked commit is unknowable — rejected too
+    with pytest.raises(ValueError, match="no retained version"):
+        version_at_epoch(pipe.table, -1)
 
 
 def test_version_walk_and_marker_errors(spark, run, tmp_path):

@@ -366,7 +366,9 @@ def test_derived_group_daily_rollup_matches_recompute(spark, feed_path, tmp_path
 
 def test_second_consumer_name_on_same_target_rejected(spark, tmp_path):
     """Two DIFFERENT-named consumers on one additive target would each
-    apply every range once — silent double-counting. Fail fast instead."""
+    apply every range once — silent double-counting. Fail fast instead;
+    reseed() under the new name is the takeover path (clears the stale
+    cursor so the rename is not bricked forever)."""
     src = _src(spark, tmp_path / "s")
     cons1 = _consumer(spark, src, tmp_path / "t", name="agg")
     merge_upsert(src, spark.createDataFrame([_row("a", 0, "x", 1)], SRC_SCHEMA))
@@ -374,6 +376,41 @@ def test_second_consumer_name_on_same_target_rejected(spark, tmp_path):
     rogue = AggregateConsumer(spark, src, cons1.target, "other", ["conv_id"], MEASURES())
     with pytest.raises(ValueError, match="one additive target admits one consumer"):
         rogue.run_once()
+    rogue.reseed()  # documented takeover: rebuild + clear stale cursor
+    assert "consumer.agg.version" not in cons1.target.snapshot().properties
+    _assert_matches(rogue)
+    assert rogue.run_once() is None  # and it owns the cursor now
+    with pytest.raises(ValueError, match="one additive target"):
+        cons1.run_once()  # the OLD name is now the rejected one
+
+
+def test_null_group_key_is_one_group(spark, tmp_path):
+    """A null derived group key (to_date over null ts is the flagship) is a
+    real group: the null-safe state⟗delta join must fold consecutive
+    cycles into ONE row, never split the group into duplicates."""
+    src = _src(spark, tmp_path / "s")
+    from cht_sync_spark.streaming.ivm import Measure
+
+    grp = [("tchar", F.substring(F.col("text"), 1, 1))]  # null text -> null key
+    measures = {"heights": Measure(F.col("rev_height"), kind="max")}
+    tgt = AggregateConsumer.create_target(
+        spark, src, str(tmp_path / "t"), grp, measures, num_buckets=4
+    )
+    cons = AggregateConsumer(spark, src, tgt, "nullg", grp, measures)
+    # _row(text=None) is LIVE with a null contribution and a NULL group key
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, None, 1)], SRC_SCHEMA))
+    cons.run_once()
+    merge_upsert(src, spark.createDataFrame([_row("b", 0, None, 2)], SRC_SCHEMA))
+    cons.run_once()
+    rows = tgt.read_current().collect()
+    assert len(rows) == 1 and rows[0]["tchar"] is None and rows[0]["n_rows"] == 2
+    # extremum retraction inside the null group recomputes it (null-safe
+    # semi-join), never drops or duplicates it
+    merge_upsert(src, spark.createDataFrame([_row("b", 0, None, 3, deleted=True)], SRC_SCHEMA))
+    r = cons.run_once()
+    assert r.groups_recomputed == 1
+    rows = tgt.read_current().collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 1 and rows[0]["heights"] == 1
 
 
 def test_all_null_contributions_store_zero_on_both_paths(spark, tmp_path):
