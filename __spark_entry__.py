@@ -1528,6 +1528,57 @@ def q_cdc_wal_normalize(spark, sf):
     )
 
 
+def q_cdc_wal_replay(spark, sf):
+    """WAL tail END TO END: synthesize a Debezium-shaped envelope stream
+    from raw events (LSN = event_id; key = (user, event_id % 16) so keys
+    collide across events and LWW-by-log-position does real work; 'error'
+    events are op-d deletes carrying only a before-image), normalize via
+    debezium_to_events, replay through the UNCHANGED pipeline, and return
+    the live table state. Oracle: per key, the image at the highest LSN,
+    absent if that entry is a delete — i.e. Postgres logical-replication
+    apply semantics recomputed in plain SQL."""
+    import tempfile
+
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.envelopes import debezium_to_events
+    from cht_sync_spark.sources.feedgen import write_feed
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    ev = _t(spark, sf, "events")
+    is_del = F.col("event_type") == "error"
+    img = F.struct(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 16).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    env = ev.select(
+        F.when(is_del, "d").when(F.col("event_type") == "click", "u").otherwise(F.lit("c")).alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            F.lit("waldb").alias("db"),
+            F.lit("transcripts").alias("table"),
+            F.col("event_id").cast("long").alias("lsn"),
+            F.lit(None).cast("string").alias("file"),
+            F.lit(None).cast("long").alias("pos"),
+            F.col("event_id").cast("long").alias("tx_id"),
+        ).alias("source"),
+    )
+    work = tempfile.mkdtemp(prefix="walrep_q_")
+    write_feed(debezium_to_events(env), f"{work}/feed", n_files=4)
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, f"{work}/feed", sources=["waldb"]),
+        f"{work}/t", num_buckets=8, mode="mor",
+    )
+    pipe.run()
+    live = pipe.table.read_current(drop_tombstones=True)
+    return live.select("conv_id", "turn_idx", "text", "seq")
+
+
 def q_datasource_stream_drain(spark, sf):
     """Admission-capped streaming drain through `cht_changes` readStream:
     offsets are per-feed-partition seq cursors in Spark's OWN offset log
@@ -1684,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_changes_pull": q_datasource_changes_pull,
         "datasource_stream_drain": q_datasource_stream_drain,
         "cdc_wal_normalize": q_cdc_wal_normalize,
+        "cdc_wal_replay": q_cdc_wal_replay,
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
@@ -2413,6 +2465,19 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN opl = 'd' THEN NULL ELSE props END AS text, "
             "  CASE WHEN opl = 'd' THEN NULL ELSE tsms END AS ts_ms "
             "FROM env"
+        ),
+        # WAL tail end to end: per key the image at the highest LSN, absent
+        # if that entry is a delete (logical-replication apply semantics)
+        "cdc_wal_replay": (
+            "WITH e AS (SELECT user_id, event_id % 16 AS turn, event_id, "
+            "    event_type, props FROM events), "
+            "w AS (SELECT user_id, turn, max(event_id) AS m FROM e GROUP BY 1, 2) "
+            "SELECT 'c' || CAST(e.user_id AS VARCHAR) AS conv_id, "
+            "  CAST(e.turn AS INTEGER) AS turn_idx, e.props AS text, "
+            "  e.event_id AS seq "
+            "FROM e JOIN w ON e.user_id = w.user_id AND e.turn = w.turn "
+            "  AND e.event_id = w.m "
+            "WHERE e.event_type <> 'error'"
         ),
         # capped streaming drain + re-drain: per-source totals over the
         # union of all micro-batches == raw events (dups/loss break sums)
