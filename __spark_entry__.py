@@ -1237,6 +1237,60 @@ def q_zorder_cluster(spark, sf):
     return got.select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def q_gdpr_purge(spark, sf):
+    """Right-to-be-forgotten erasure (tables/format.py SnapshotTable.purge):
+    land three generations of upserts + tombstones (multi-version history),
+    then purge every key of a deterministic user cohort (user_id % 7 == 0)
+    by group prefix on a cdc-enabled, user-bucketed table. Returns the
+    surviving reconciled state PLUS the changelog rows the purge emitted —
+    content-free delete markers whose bumped LWW seq beats the stored
+    winner (the CouchDB delete-is-a-new-revision analogue). The oracle
+    recomputes winners per (user, event): a survivor lost, a purged row
+    retained, or a marker leaking purged content (non-null val) all
+    hash-mismatch. Unlike a tombstone (T7, a retained deletion RECORD),
+    a purge leaves no row at all; erase_history() then removes the bytes.
+    Reference contrast: the reference can only redact fields in flight
+    (importer.js:37-44) — it has no erasure story for landed history."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="purge_q_")
+    ev = _t(spark, sf, "events").select("user_id", "event_id")
+
+    def gen(cond, val, seq, deleted=False):
+        df = ev if cond is None else ev.where(cond)
+        return df.select(
+            "user_id",
+            "event_id",
+            (F.lit(val) if val is not None else F.lit(None).cast("string")).alias("val"),
+            F.lit(deleted).alias("_deleted"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    g1 = gen(None, "v1", 1)
+    t = SnapshotTable.create(
+        spark, f"{work}/t", g1.schema, key_cols=["user_id", "event_id"],
+        bucket_cols=["user_id"], num_buckets=8, sort_cols=["user_id", "event_id"],
+        lww_order=[("seq", False)], properties={"cdc.enabled": "true"},
+    )
+    t.append_delta(g1)
+    t.append_delta(gen(F.col("event_id") % 3 == 0, "v2", 2))
+    t.append_delta(gen(F.col("event_id") % 13 == 0, None, 3, deleted=True))
+    v0 = t.current_version()
+    cohort = ev.select("user_id").where(F.col("user_id") % 7 == 0).distinct()
+    t.purge(cohort)
+    state = t.read_current().select(
+        F.lit("state").alias("kind"), "user_id", "event_id", "val", "seq",
+        F.col("_deleted").alias("deleted"),
+    )
+    markers = t.changes(v0).select(
+        F.lit("purge_marker").alias("kind"), "user_id", "event_id", "val", "seq",
+        F.col("_deleted").alias("deleted"),
+    )
+    return state.unionByName(markers)
+
+
 def q_model_run_stats(spark, sf):
     """Model run-stats — the dbt_results observability plane (reference
     sql-exporter-config.yaml:75-90 scrapes per-model status/execution_time
@@ -1740,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "rebucket_evolution": q_rebucket_evolution,
+        "gdpr_purge": q_gdpr_purge,
         "zorder_cluster": q_zorder_cluster,
         "model_run_stats": q_model_run_stats,
         "model_latency": q_model_latency,
@@ -2361,6 +2416,27 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g) "
             "SELECT event_id, val, CAST(seq AS BIGINT) AS seq "
             "FROM w WHERE rn = 1 AND NOT deleted"
+        ),
+        # purge: surviving winners exclude the cohort entirely; the cohort's
+        # winners reappear ONLY as content-free delete markers at seq+1
+        "gdpr_purge": (
+            "WITH g AS ("
+            "  SELECT user_id, event_id, 'v1' AS val, FALSE AS deleted, 1 AS seq "
+            "    FROM events "
+            "  UNION ALL SELECT user_id, event_id, 'v2', FALSE, 2 FROM events "
+            "    WHERE event_id % 3 = 0 "
+            "  UNION ALL SELECT user_id, event_id, NULL, TRUE, 3 FROM events "
+            "    WHERE event_id % 13 = 0), "
+            "w AS (SELECT user_id, event_id, val, deleted, seq, "
+            "  ROW_NUMBER() OVER (PARTITION BY user_id, event_id "
+            "    ORDER BY seq DESC) AS rn FROM g) "
+            "SELECT 'state' AS kind, user_id, event_id, val, "
+            "  CAST(seq AS BIGINT) AS seq, deleted "
+            "FROM w WHERE rn = 1 AND user_id % 7 <> 0 "
+            "UNION ALL "
+            "SELECT 'purge_marker', user_id, event_id, NULL, "
+            "  CAST(seq + 1 AS BIGINT), TRUE "
+            "FROM w WHERE rn = 1 AND user_id % 7 = 0"
         ),
         # z-order: the clustered 2-dim filtered read == the plain SQL filter
         # (clustering is a physical rewrite; content must be unchanged)

@@ -207,6 +207,7 @@ def main() -> None:
         "sft_examples",
         "changelog_read",
         "changelog_consume",
+        "gdpr_purge",
         "stats_prune_scan",
         "sql_view",
     ):

@@ -1353,6 +1353,12 @@ class SnapshotTable:
           reader without change files, and a non-strict consumer's target
           will retain the removed keys. Keep deletes as tombstone rows (the
           landing-table convention) or enable ``cdc.enabled``.
+        - ``purge`` (right-to-be-forgotten) — with ``cdc.enabled`` the
+          commit carries content-free delete MARKER files (cdc level) and
+          reads exactly like an append of deletes; without them ``strict``
+          raises (the removal is inexpressible) and non-strict
+          over-delivers restated rows while silently retaining the purged
+          keys downstream — re-seed or cascade the purge explicitly.
 
         Snapshots expired by ``expire_snapshots`` cannot be read
         incrementally (their manifests may be vacuumed); reading version
@@ -1378,7 +1384,7 @@ class SnapshotTable:
             snap = self.snapshot(v)
             if snap.operation in ("replace", "create"):
                 continue  # no logical change
-            if snap.operation not in ("append", "overwrite", "unknown", "rollback"):
+            if snap.operation not in ("append", "overwrite", "unknown", "rollback", "purge"):
                 raise ValueError(f"unknown snapshot operation {snap.operation!r} at v{v}")
             parent = self.snapshot(v - 1) if snap.parent is not None else None
             prev = {f["path"] for f in (parent.files if parent else [])}
@@ -1423,6 +1429,14 @@ class SnapshotTable:
                 # the restated bucket files, making an overwrite snapshot
                 # as precisely readable as an append
                 entries = cdc
+            elif snap.operation == "purge" and strict:
+                raise ValueError(
+                    f"v{v} is a purge with no change-data marker files; the removal "
+                    "cannot be delivered as row-level deltas (and non-strict "
+                    "over-delivery would silently RETAIN the purged keys downstream) "
+                    "— enable 'cdc.enabled' on the producer so purge() writes "
+                    "content-free delete markers, or re-seed the consumer"
+                )
             elif snap.operation in ("overwrite", "unknown") and strict:
                 raise ValueError(
                     f"v{v} is a logical rewrite ({snap.operation}) with no change-data "
@@ -1657,6 +1671,178 @@ class SnapshotTable:
         return snap
 
     # ---------------------------------------------------------- maintenance
+    # ------------------------------------------------------------- erasure
+    def purge(
+        self,
+        keys: DataFrame,
+        *,
+        cdc_markers: bool = True,
+        max_retries: int = 5,
+    ) -> tuple[Snapshot, int]:
+        """Right-to-be-forgotten erasure: physically remove every version of
+        the matching keys from the LIVE table — the GDPR/erasure primitive
+        (Iceberg/Delta "DELETE + expire + remove_orphan_files" guidance),
+        and the one thing a tombstone deliberately does NOT do. A tombstone
+        (T7) is a retained *record* that a key was deleted; a purge leaves
+        no row, no tombstone, and — after :meth:`erase_history` — no bytes.
+
+        ``keys`` is a DataFrame of key values to erase. Its columns must be
+        key columns and must cover ``bucket_cols`` (so the touched buckets
+        are derivable and pruning stays sound — every version of a matching
+        key lives in a derived bucket). A group-prefix purge, e.g. one
+        ``conv_id`` column on a conv_id-bucketed transcript table, erases
+        entire conversations.
+
+        Cost: O(touched buckets), like :meth:`compact` — the touched
+        buckets' reconciled state is anti-joined against the keys and
+        rewritten; untouched buckets carry over by reference. The commit is
+        pinned to the snapshot it read and redone on conflict (S4), so a
+        concurrent append is never silently swallowed.
+
+        Changelog semantics (``operation='purge'``): a purge REMOVES keys,
+        which plain restated-bucket files cannot express (removal would be
+        under-delivered — see :meth:`changes`). With ``cdc.enabled`` and
+        ``cdc_markers=True`` the commit also writes *marker* files at the
+        ``cdc`` level: one row per purged key carrying the key columns, a
+        bumped most-significant LWW order value (so it beats the stored
+        winner downstream — for transcripts this is exactly a CouchDB
+        delete: rev height + 1), ``_deleted=true``, and NULL everywhere
+        else — so the changelog delivers exact content-free deletes,
+        strict consumers cascade the removal, and no purged content is
+        re-emitted. Without markers, ``changes()`` over the purge raises
+        under ``strict`` and under-delivers the removal otherwise.
+
+        Erasure scope: this removes the keys from the CURRENT state of THIS
+        table. Historical snapshots still reference the old files; complete
+        the erasure with :meth:`erase_history`. Upstream feed files and
+        downstream derived tables are separate stores — purge each.
+
+        Returns ``(snapshot, rows_purged)``; a purge matching nothing is a
+        metadata no-op (no new version — idempotent re-runs don't churn
+        history).
+        """
+        from pyspark.sql import Observation
+
+        kcols = list(keys.columns)
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            bad = [c for c in kcols if c not in snap.key_cols]
+            if bad:
+                raise ValueError(
+                    f"purge keys columns must be key columns {snap.key_cols}; got {bad}"
+                )
+            missing = [c for c in snap.bucket_cols if c not in kcols]
+            if missing:
+                raise ValueError(
+                    f"purge keys must cover bucket_cols {snap.bucket_cols} "
+                    f"(missing {missing}) — otherwise the touched buckets are "
+                    "not derivable and the purge would scan the whole table"
+                )
+            keys_d = keys.select(*kcols).distinct()
+            touched_all = {
+                r["__b"]
+                for r in keys_d.select(
+                    bucket_expr(snap.bucket_cols, snap.num_buckets).alias("__b")
+                )
+                .distinct()
+                .collect()
+            }
+            touched = sorted(touched_all & {f["bucket"] for f in snap.files})
+            if not touched:
+                return snap, 0
+            cur = self.read_current(buckets=touched)
+            purged = cur.join(keys_d, on=kcols, how="left_semi")
+
+            marker_files: list[dict[str, Any]] = []
+            use_markers = (
+                cdc_markers
+                and snap.properties.get("cdc.enabled") == "true"
+                and snap.lww_order
+                and isinstance(
+                    snap.schema[snap.lww_order[0][0]].dataType, T.NumericType
+                )
+            )
+            obs = Observation()
+            purged = purged.observe(obs, F.count(F.lit(1)).alias("n"))
+            if use_markers:
+                msc, asc = snap.lww_order[0]
+                bump = F.coalesce(F.col(msc), F.lit(0)) + F.lit(-1 if asc else 1)
+                keep = set(snap.key_cols) | {c for c, _ in snap.lww_order}
+                cols = []
+                for f in snap.schema.fields:
+                    if f.name == msc:
+                        cols.append(bump.cast(f.dataType).alias(f.name))
+                    elif f.name == "_deleted":
+                        cols.append(F.lit(True).cast(f.dataType).alias(f.name))
+                    elif f.name in keep:
+                        cols.append(F.col(f.name))
+                    else:
+                        cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                marker_files = self._write_data(purged.select(*cols), snap, level="cdc")
+                n_purged = int(obs.get["n"])
+            else:
+                n_purged = int(purged.count())
+            if n_purged == 0:
+                # marker files (if any) are zero-row orphans; vacuum collects
+                return snap, 0
+            survivors = cur.join(keys_d, on=kcols, how="left_anti")
+            files = self._write_data(survivors, snap, level="base") + marker_files
+            try:
+                out = self.commit(
+                    add_files=files,
+                    remove_buckets=set(touched),
+                    remove_level=("base", "delta", "cdc"),
+                    expected_version=snap.version,
+                    operation="purge",
+                )
+                return out, n_purged
+            except CommitConflict as e:
+                last_err = e  # concurrent commit landed: redo from tip
+        raise last_err  # type: ignore[misc]
+
+    def erase_history(
+        self,
+        *,
+        keep_last: int = 1,
+        grace_seconds: float = 3600.0,
+        force: bool = False,
+    ) -> tuple[int, int]:
+        """Complete an erasure: expire historical snapshots and vacuum the
+        now-unreferenced files so purged content physically leaves disk.
+        This is Iceberg's documented GDPR sequence (DELETE →
+        expire_snapshots → remove_orphan_files) as one call.
+
+        Refuses (unless ``force``) while tags or branches pin history —
+        a tagged/branched snapshot would silently keep the purged bytes
+        alive, defeating the erasure while appearing to succeed. With
+        ``force=True`` pinned snapshots are still retained (the caller is
+        acknowledging partial erasure, e.g. a branch scheduled for its own
+        purge), not deleted out from under their refs.
+
+        ``grace_seconds`` is :meth:`vacuum`'s in-flight-commit guard; pass
+        ``0`` only on a quiesced table. Note the changelog contracts: after
+        expiry, consumers more than ``keep_last - 1`` snapshots behind must
+        :meth:`~cht_sync_spark.streaming.consumer.ChangelogConsumer.reseed`.
+
+        Returns ``(snapshots_expired, files_removed)``."""
+        if not force:
+            if self.tags():
+                raise ValueError(
+                    f"tags {sorted(self.tags())} pin historical snapshots — "
+                    "purged content would survive under them; drop the tags "
+                    "or pass force=True to accept partial erasure"
+                )
+            if self.branches():
+                raise ValueError(
+                    f"branches {self.branches()} are retention roots — purged "
+                    "content may survive on them; drop/purge the branches or "
+                    "pass force=True to accept partial erasure"
+                )
+        expired = self.expire_snapshots(keep_last=keep_last)
+        removed = self.vacuum(grace_seconds=grace_seconds)
+        return expired, removed
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Remove manifests older than the last ``keep_last`` snapshots
         (Iceberg's expire_snapshots analogue). Bounds driver-side metadata:
