@@ -1237,6 +1237,58 @@ def q_zorder_cluster(spark, sf):
     return got.select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def q_table_diff(spark, sf):
+    """Keyed ref-to-ref diff (tables/format.py SnapshotTable.diff — the
+    write-audit-publish audit surface): land two generations of upserts,
+    tag the state, then apply tombstone-drops, edits, and brand-new keys,
+    and diff the tag against the tip. Buckets whose file sets are
+    identical between the refs are pruned driver-side (provably equal);
+    the rest is two pruned reconciled reads and one keyed full-outer
+    join. The oracle recomputes BOTH states from the raw events and full-
+    outer-joins them in SQL, so a missed removal, a phantom change, or a
+    wrong before/after image hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+    from cht_sync_spark.tables.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="diff_q_")
+    ev = _t(spark, sf, "events").select("event_id")
+    hi = ev.agg(F.max("event_id")).first()[0]
+
+    def gen(df, val, seq, deleted=False):
+        return df.select(
+            "event_id",
+            (F.lit(val) if val is not None else F.lit(None).cast("string")).alias("val"),
+            F.lit(deleted).alias("_deleted"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    g1 = gen(ev, "v1", 1)
+    t = SnapshotTable.create(
+        spark, f"{work}/t", g1.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("seq", False)],
+    )
+    merge_upsert(t, g1, tombstones="drop")
+    merge_upsert(t, gen(ev.where(F.col("event_id") % 3 == 0), "v2", 2), tombstones="drop")
+    t.tag("audit-base")
+    merge_upsert(t, gen(ev.where(F.col("event_id") % 13 == 0), None, 3, True), tombstones="drop")
+    merge_upsert(t, gen(ev.where(F.col("event_id") % 5 == 0), "v4", 4), tombstones="drop")
+    fresh = ev.where(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") + F.lit(hi)).alias("event_id")
+    )
+    merge_upsert(t, gen(fresh, "new", 5), tombstones="drop")
+    d = t.diff("audit-base", compare_cols=["val", "seq"])
+    return d.select(
+        "event_id",
+        "diff_type",
+        F.col("before.val").alias("val_a"),
+        F.col("before.seq").alias("seq_a"),
+        F.col("after.val").alias("val_b"),
+        F.col("after.seq").alias("seq_b"),
+    )
+
+
 def q_gdpr_purge(spark, sf):
     """Right-to-be-forgotten erasure (tables/format.py SnapshotTable.purge):
     land three generations of upserts + tombstones (multi-version history),
@@ -1795,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_tag": q_time_travel_tag,
         "rebucket_evolution": q_rebucket_evolution,
         "gdpr_purge": q_gdpr_purge,
+        "table_diff": q_table_diff,
         "zorder_cluster": q_zorder_cluster,
         "model_run_stats": q_model_run_stats,
         "model_latency": q_model_latency,
@@ -2437,6 +2490,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'purge_marker', user_id, event_id, NULL, "
             "  CAST(seq + 1 AS BIGINT), TRUE "
             "FROM w WHERE rn = 1 AND user_id % 7 = 0"
+        ),
+        # table diff: both states recomputed in SQL, full-outer-joined;
+        # rows equal on (val, seq) must NOT appear
+        "table_diff": (
+            "WITH m AS (SELECT max(event_id) AS hi FROM events), "
+            "sa AS (SELECT event_id, "
+            "  CASE WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS val, "
+            "  CAST(CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS seq "
+            "  FROM events), "
+            "sb AS (SELECT event_id, "
+            "  CASE WHEN event_id % 5 = 0 THEN 'v4' "
+            "    WHEN event_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS val, "
+            "  CAST(CASE WHEN event_id % 5 = 0 THEN 4 "
+            "    WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS seq "
+            "  FROM events WHERE event_id % 13 <> 0 OR event_id % 5 = 0 "
+            "  UNION ALL "
+            "  SELECT event_id + hi, 'new', CAST(5 AS BIGINT) FROM events, m "
+            "    WHERE event_id % 7 = 0) "
+            "SELECT COALESCE(sa.event_id, sb.event_id) AS event_id, "
+            "  CASE WHEN sa.event_id IS NULL THEN 'added' "
+            "    WHEN sb.event_id IS NULL THEN 'removed' "
+            "    ELSE 'changed' END AS diff_type, "
+            "  sa.val AS val_a, sa.seq AS seq_a, sb.val AS val_b, sb.seq AS seq_b "
+            "FROM sa FULL JOIN sb ON sa.event_id = sb.event_id "
+            "WHERE sa.event_id IS NULL OR sb.event_id IS NULL "
+            "  OR sa.val IS DISTINCT FROM sb.val OR sa.seq IS DISTINCT FROM sb.seq"
         ),
         # z-order: the clustered 2-dim filtered read == the plain SQL filter
         # (clustering is a physical rewrite; content must be unchanged)

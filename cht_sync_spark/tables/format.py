@@ -105,6 +105,11 @@ class Snapshot:
     # COW merge / full refresh) | "replace" (physical-only rewrite:
     # compaction — NO logical change, skipped by changelog reads)
     operation: str = "append"
+    # commit wall-clock (epoch seconds) — Iceberg's timestamp-ms: enables
+    # AS OF <timestamp> time travel (:meth:`SnapshotTable.as_of`). Metadata
+    # only; never feeds data-plane determinism. Legacy snapshots fall back
+    # to the snapshot file's mtime on load.
+    committed_at: float | None = None
 
 
 def _fsync_dir(d: str) -> None:
@@ -399,6 +404,11 @@ class SnapshotTable:
             with open(fp) as fh:
                 m = json.load(fh)
         snap = self._from_manifest(m)
+        if snap.committed_at is None:  # legacy snapshot: file mtime
+            try:
+                snap.committed_at = os.path.getmtime(fp)
+            except OSError:
+                pass
         self._snap_cache[v] = snap
         return snap
 
@@ -427,6 +437,7 @@ class SnapshotTable:
             # "unknown" makes changelog reads over them explicitly refuse
             # instead of silently guessing
             operation=m.get("operation", "unknown"),
+            committed_at=m.get("committed_at"),
         )
 
     # -------------------------------------------------------- manifest files
@@ -516,6 +527,13 @@ class SnapshotTable:
         return self.spark.createDataFrame(rows, cols)
 
     def _write_manifest(self, snap: Snapshot) -> None:
+        if snap.committed_at is None:
+            import time as _time
+
+            # stamped at the single commit choke point — every committed
+            # snapshot gets a wall-clock for AS OF time travel (metadata
+            # only; replay determinism never reads it)
+            snap.committed_at = _time.time()
         d = os.path.join(self.path, self._snapdir)
         final = os.path.join(d, f"v{snap.version:08d}.json")
         # O_EXCL claim: a concurrent writer racing to the same version loses
@@ -536,6 +554,7 @@ class SnapshotTable:
             "properties": snap.properties,
             "parent": snap.parent,
             "operation": snap.operation,
+            "committed_at": snap.committed_at,
         }
         if snap.manifests is not None:
             body["manifests"] = snap.manifests  # split form: O(#manifests)
@@ -1467,6 +1486,133 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ----------------------------------------------------------------- diff
+    def as_of(self, ts: Any) -> int:
+        """Resolve ``AS OF <timestamp>`` time travel (Iceberg's
+        timestamp-based snapshot lookup): the newest retained snapshot
+        committed at or before ``ts`` (epoch seconds or ``datetime``).
+        Use the result as the ``version=`` argument of :meth:`read` /
+        :meth:`read_current`. Raises if every retained snapshot is newer
+        (the moment predates the table or its retained history —
+        :meth:`expire_snapshots` bounds how far back this can resolve,
+        exactly as in Iceberg)."""
+        from datetime import datetime as _dt
+
+        if isinstance(ts, _dt):
+            ts = ts.timestamp()
+        best: int | None = None
+        for v in self._versions():
+            s = self.snapshot(v)
+            if s.committed_at is not None and s.committed_at <= float(ts):
+                best = v  # _versions() ascends: last match wins
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before ts={ts} — history may have been expired"
+            )
+        return best
+
+    def diff(
+        self,
+        ref_a: int | str,
+        ref_b: int | str | None = None,
+        *,
+        other: "SnapshotTable | None" = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Keyed diff of two reconciled states — the audit surface for
+        write-audit-publish (what did this branch change vs main?), debugging
+        (what moved between yesterday's tag and now?), and replay validation
+        (engine state vs an independently rebuilt table).
+
+        ``ref_a``/``ref_b`` are versions or tag names; ``ref_b`` defaults to
+        the current tip. ``other`` diffs against a DIFFERENT handle — a
+        branch of the same table, or an entirely separate table sharing the
+        key columns. ``compare_cols`` restricts which non-key columns define
+        "changed" (default: the non-key columns both sides share).
+
+        Returns one row per differing key: the key columns, ``diff_type``
+        (``'added'``/``'removed'``/``'changed'``, from a's perspective →
+        b has it / lost it / changed it), and ``before``/``after`` structs
+        of the compared columns (null struct on the absent side).
+
+        Scale: when both refs share the table's path and hash layout, the
+        candidate buckets are pruned DRIVER-SIDE to those whose file sets
+        differ between the snapshots (identical files ⇒ identical content —
+        zero Spark work for untouched buckets; ``last_diff_buckets`` records
+        the pruned set). The residual is two pruned reconciled reads and one
+        keyed full-outer join — O(changed buckets), not O(table)."""
+        other_t = other if other is not None else self
+        va = self.resolve_ref(ref_a) if isinstance(ref_a, str) else int(ref_a)
+        if ref_b is None:
+            vb = other_t.current_version()
+        else:
+            vb = other_t.resolve_ref(ref_b) if isinstance(ref_b, str) else int(ref_b)
+        sa, sb = self.snapshot(va), other_t.snapshot(vb)
+        if sa.key_cols != sb.key_cols:
+            raise ValueError(
+                f"diff requires matching key columns; got {sa.key_cols} vs {sb.key_cols}"
+            )
+        keys = list(sa.key_cols)
+        a_names = set(sa.schema.fieldNames())
+        b_names = set(sb.schema.fieldNames())
+        cmp = compare_cols or sorted(
+            (a_names & b_names) - set(keys)
+        )
+        bad = [c for c in cmp if c not in a_names or c not in b_names]
+        if bad:
+            raise ValueError(f"compare_cols {bad} missing from one side's schema")
+
+        buckets: list[int] | None = None
+        if (
+            other_t.path == self.path
+            and sa.num_buckets == sb.num_buckets
+            and sa.bucket_cols == sb.bucket_cols
+        ):
+            def per_bucket(snap: Snapshot) -> dict[int, frozenset]:
+                out: dict[int, set] = {}
+                for f in snap.files:
+                    if f["level"] in ("base", "delta"):
+                        out.setdefault(f["bucket"], set()).add(f["path"])
+                return {b: frozenset(s) for b, s in out.items()}
+
+            pa, pb = per_bucket(sa), per_bucket(sb)
+            buckets = sorted(
+                b for b in (pa.keys() | pb.keys()) if pa.get(b) != pb.get(b)
+            )
+        self.last_diff_buckets = buckets
+
+        def side(t: "SnapshotTable", v: int, alias: str) -> DataFrame:
+            df = t.read_current(version=v, buckets=buckets)
+            return df.select(
+                *keys, F.struct(*[F.col(c) for c in cmp]).alias(alias)
+            )
+
+        if buckets == []:  # identical file sets everywhere: provably equal
+            fields = [sa.schema[k] for k in keys]
+            mk = lambda s: T.StructType([s.schema[c] for c in cmp])  # noqa: E731
+            empty = T.StructType(
+                fields
+                + [
+                    T.StructField("diff_type", T.StringType(), False),
+                    T.StructField("before", mk(sa), True),
+                    T.StructField("after", mk(sb), True),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        j = side(self, va, "before").join(side(other_t, vb, "after"), on=keys, how="full_outer")
+        return (
+            j.where(~F.col("before").eqNullSafe(F.col("after")))
+            .select(
+                *keys,
+                F.when(F.col("before").isNull(), F.lit("added"))
+                .when(F.col("after").isNull(), F.lit("removed"))
+                .otherwise(F.lit("changed"))
+                .alias("diff_type"),
+                "before",
+                "after",
+            )
+        )
 
     # ----------------------------------------------------------------- tags
     def tag(self, name: str, version: int | None = None) -> int:
