@@ -1014,6 +1014,61 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_curation_funnel(spark, sf):
+    """Staged quality-filter funnel (functions/corpus.py curation_funnel +
+    funnel_report): the C4/RefinedWeb cleaning-cascade accounting — each
+    document is attributed to the FIRST gate it fails in ONE chained-when
+    map stage (zero shuffle), then the per-stage drop table telescopes to
+    the survivor count. The oracle replays the same first-failure CASE and
+    cumulative-window arithmetic in SQL, so a doc attributed to the wrong
+    stage, double-counted, or a broken telescoping sum hash-mismatches."""
+    from cht_sync_spark.functions.corpus import curation_funnel, funnel_report
+    from cht_sync_spark.functions.text import words
+
+    docs = _t(spark, sf, "documents")
+    stages = [
+        ("too_short", F.length("text") >= 150),
+        ("bad_lang", F.col("lang") == "en"),
+        ("few_tokens", F.size(words(F.col("text"))) >= 30),
+    ]
+    v = curation_funnel(docs, stages)
+    return funnel_report(v, stages).select(
+        "stage_idx", "stage", "dropped", "remaining"
+    )
+
+
+def q_doc_chunking(spark, sf):
+    """Sliding-window chunking (functions/corpus.py chunk_documents): cut
+    every document into 64-token chunks overlapping by 16 (stride 48) —
+    the fixed-length-example cutter between curation and tokenization.
+    Pure Catalyst split→sequence→explode→slice, zero shuffle. The oracle
+    re-derives every chunk boundary and text in SQL, so an off-by-one
+    window, a lost tail chunk, or a phantom chunk from an empty doc
+    hash-mismatches."""
+    from cht_sync_spark.functions.corpus import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_id", "chunk_text", "chunk_n_tokens"
+    )
+
+
+def q_bm25_search(spark, sf):
+    """BM25 keyword retrieval (functions/search.py bm25_topk): Okapi BM25
+    (k1=1.2, b=0.75) top-10 for a 3-term OR query. The exchange carries
+    only (doc, query-term) hits — tokens are filtered to the query terms
+    BEFORE any shuffle; df/N/avgdl are tiny broadcast aggregates; top-k
+    is TakeOrderedAndProject. The oracle recomputes the identical double
+    arithmetic (ln/idf/tf saturation) in SQL with the same (score desc,
+    doc_id) tie-break, so a wrong df, a length-normalization slip, or an
+    unstable top-k boundary hash-mismatches."""
+    from cht_sync_spark.functions.search import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    out = bm25_topk(docs, ["merge", "window", "vector"], k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_changelog_read(spark, sf):
     """Incremental changelog read (tables/format.py SnapshotTable.changes —
     the Iceberg incremental append scan / downstream-CDC surface): commit
@@ -1836,6 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
+        "curation_funnel": q_curation_funnel,
+        "doc_chunking": q_doc_chunking,
+        "bm25_search": q_bm25_search,
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
         "datasource_changes_pull": q_datasource_changes_pull,
@@ -2440,6 +2498,60 @@ def oracle_sql() -> dict[str, str]:
             "FROM t "
             "WINDOW w AS (PARTITION BY source ORDER BY doc_id "
             "  ROWS UNBOUNDED PRECEDING)"
+        ),
+        # curation funnel: first-failure CASE + telescoping window
+        "curation_funnel": (
+            "WITH v AS (SELECT CASE "
+            "  WHEN NOT coalesce(length(text) >= 150, FALSE) THEN 'too_short' "
+            "  WHEN NOT coalesce(lang = 'en', FALSE) THEN 'bad_lang' "
+            "  WHEN NOT coalesce(len(list_filter(regexp_split_to_array("
+            "    trim(text), '\\s+'), x -> x <> '')) >= 30, FALSE) "
+            "    THEN 'few_tokens' END AS dropped_at FROM documents), "
+            "s AS (SELECT * FROM (VALUES (0, 'too_short'), (1, 'bad_lang'), "
+            "  (2, 'few_tokens')) AS t(stage_idx, stage)), "
+            "c AS (SELECT dropped_at, count(*) AS dropped FROM v "
+            "  WHERE dropped_at IS NOT NULL GROUP BY dropped_at), "
+            "tot AS (SELECT count(*) AS n FROM v) "
+            "SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, "
+            "  CAST(coalesce(dropped, 0) AS BIGINT) AS dropped, "
+            "  CAST(n - SUM(coalesce(dropped, 0)) "
+            "    OVER (ORDER BY stage_idx) AS BIGINT) AS remaining "
+            "FROM s LEFT JOIN c ON s.stage = c.dropped_at, tot"
+        ),
+        # chunking: every 48-stride/64-token window re-derived in SQL
+        "doc_chunking": (
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "  trim(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM t "
+            "  WHERE len(toks) > 0), "
+            "c AS (SELECT doc_id, toks, n, greatest(1, "
+            "  CAST(ceil((n - 16) / 48.0) AS BIGINT)) AS nc FROM n) "
+            "SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, "
+            "  array_to_string(toks[CAST(i * 48 + 1 AS BIGINT):"
+            "    CAST(least(i * 48 + 64, n) AS BIGINT)], ' ') AS chunk_text, "
+            "  CAST(least(64, n - i * 48) AS INTEGER) AS chunk_n_tokens "
+            "FROM c, LATERAL unnest(range(nc)) AS u(i)"
+        ),
+        # BM25: identical double arithmetic + (score desc, doc_id) tie-break
+        "bm25_search": (
+            "WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "  trim(lower(text)), '\\s+'), x -> x <> '') AS toks "
+            "  FROM documents), "
+            "l AS (SELECT doc_id, len(toks) AS dl, toks FROM d), "
+            "s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM l), "
+            "tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM ("
+            "  SELECT doc_id, dl, unnest(toks) AS w FROM l) "
+            "  WHERE w IN ('merge', 'window', 'vector') "
+            "  GROUP BY doc_id, dl, w), "
+            "dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w) "
+            "SELECT tf.doc_id, round(sum("
+            "  ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / "
+            "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score "
+            "FROM tf JOIN dfq USING (w), s "
+            "GROUP BY tf.doc_id "
+            "ORDER BY sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / "
+            "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) DESC, tf.doc_id "
+            "LIMIT 10"
         ),
         # changelog: exactly-once delivery with commit attribution —
         # batch = event_id third; tombstone rows type as 'delete'

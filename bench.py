@@ -203,6 +203,9 @@ def main() -> None:
         "contamination_check",
         "repetition_stats",
         "pack_sequences",
+        "curation_funnel",
+        "doc_chunking",
+        "bm25_search",
         "conversation_assembly",
         "sft_examples",
         "changelog_read",

@@ -41,7 +41,10 @@ from .dedup import word_ngrams
 from .text import normalize_text, spread
 
 __all__ = [
+    "chunk_documents",
     "contamination",
+    "curation_funnel",
+    "funnel_report",
     "hash_split",
     "pack_sequences",
     "sample_stratified",
@@ -294,6 +297,121 @@ def repetition_stats(
 # --------------------------------------------------------------------------
 # sequence packing (concat-then-chunk training-example assembly)
 # --------------------------------------------------------------------------
+
+def curation_funnel(
+    df: DataFrame,
+    stages: "list[tuple[str, Column]]",
+    *,
+    verdict_col: str = "dropped_at",
+) -> DataFrame:
+    """Staged quality-filter funnel (the C4/RefinedWeb-style cleaning
+    cascade): each document is attributed to the FIRST stage whose keep-
+    predicate it fails — the accounting every production curation pipeline
+    publishes ("N dropped by language ID, M by length, ..."), which a bare
+    chain of ``.where()`` calls cannot produce without one full pass per
+    stage.
+
+    ``stages`` is an ordered list of ``(name, keep_condition)``; the
+    result is the input plus ``dropped_at`` (the failing stage's name, or
+    null for survivors). ONE chained-when map stage — zero shuffle, zero
+    extra passes, whole-stage-codegen'd — so the funnel costs the same as
+    a single filter at 100 TB. A null predicate value counts as a failure
+    (an un-evaluable document must not silently pass a gate). Compose with
+    :func:`funnel_report` for the per-stage drop table, or
+    ``.where(F.col('dropped_at').isNull())`` for the survivors.
+    """
+    if not stages:
+        raise ValueError("curation_funnel needs at least one stage")
+    expr = None
+    for name, keep in stages:
+        fail = ~F.coalesce(keep, F.lit(False))
+        expr = F.when(fail, F.lit(name)) if expr is None else expr.when(fail, F.lit(name))
+    return df.withColumn(verdict_col, expr.otherwise(F.lit(None).cast("string")))
+
+
+def funnel_report(
+    verdict: DataFrame,
+    stages: "list[tuple[str, Column]]",
+    *,
+    verdict_col: str = "dropped_at",
+) -> DataFrame:
+    """Per-stage funnel accounting over a :func:`curation_funnel` result:
+    ``(stage_idx, stage, dropped, remaining)`` — ``remaining`` is the
+    corpus size after that stage (so the last row's remaining is the
+    surviving-document count). One tiny keyed aggregation (≤ #stages + 1
+    groups) plus a window over #stages rows — O(corpus) scan, O(stages)
+    state, fully plan-side."""
+    from pyspark.sql import Window
+
+    spark = verdict.sparkSession
+    sdf = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(stages)],
+        "stage_idx int, stage string",
+    )
+    counts = verdict.groupBy(F.col(verdict_col).alias("stage")).agg(
+        F.count(F.lit(1)).alias("dropped")
+    )
+    total = verdict.agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        sdf.join(counts, on="stage", how="left")
+        .withColumn("dropped", F.coalesce(F.col("dropped"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("remaining", F.col("__total") - F.sum("dropped").over(w))
+        .select("stage_idx", "stage", "dropped", "remaining")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the fixed-length-example cutter
+    between curation and tokenization (and the retrieval-corpus builder):
+    each document's whitespace tokens are windowed into chunks of
+    ``chunk_tokens`` with ``overlap`` tokens shared between neighbours
+    (stride = chunk_tokens - overlap). The last chunk may be short; every
+    token is covered by at least one chunk; empty documents yield none.
+
+    Output: ``id_col``, ``chunk_id`` (0-based), ``chunk_text``,
+    ``chunk_n_tokens``. Pure Catalyst (split → sequence → explode →
+    slice): a zero-shuffle map stage — chunking 100 TB costs one scan.
+    Deterministic: chunk boundaries depend only on the text, so re-runs
+    and re-shards produce identical chunks (the property dedup-by-chunk
+    and stable retrieval ids rely on).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    from .text import words
+
+    toks = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    return (
+        toks.where(F.col("__n") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("chunk_id") * stride
+            ).cast("int").alias("chunk_n_tokens"),
+        )
+    )
+
 
 def pack_sequences(
     df: DataFrame,
