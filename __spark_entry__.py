@@ -1069,6 +1069,55 @@ def q_bm25_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bm25_index_search(spark, sf):
+    """BM25 from the PERSISTED, incrementally-maintained term index
+    (streaming/term_index.py TermIndexConsumer + bm25_index_topk): land
+    the documents as a CDC source table, bootstrap the term-bucketed
+    postings index from its changelog, then apply a second range —
+    rewrites (doc_id%3: stale terms must be invalidated by delete-by-
+    absence tombstones) and deletions (doc_id%13: every posting dropped,
+    corpus stats decremented) — and answer the query from the index with
+    term-bucket pruning. The oracle recomputes the FINAL corpus state and
+    its BM25 scores from scratch in SQL: a stale posting still scoring, a
+    lost posting, or drifted N/avgdl maintenance hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.streaming.term_index import TermIndexConsumer, bm25_index_topk
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="bm25idx_q_")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(df, seq, deleted=False, text_col=None):
+        return df.select(
+            "doc_id",
+            (text_col if text_col is not None else F.col("text")).alias("text"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(deleted).alias("_deleted"),
+        )
+
+    g1 = gen(docs, 1)
+    src = SnapshotTable.create(
+        spark, f"{work}/src", g1.schema, key_cols=["doc_id"],
+        num_buckets=8, sort_cols=["doc_id"], lww_order=[("seq", False)],
+    )
+    idx = TermIndexConsumer.create_index(spark, src, f"{work}/idx", num_buckets=16)
+    c = TermIndexConsumer(spark, src, idx, "ix")
+    src.append_delta(g1)
+    c.run_once()  # bootstrap = incremental from zero
+    src.append_delta(
+        gen(docs.where(F.col("doc_id") % 3 == 0), 2,
+            text_col=F.lit("rewritten window document"))
+    )
+    src.append_delta(
+        gen(docs.where(F.col("doc_id") % 13 == 0), 3, deleted=True,
+            text_col=F.lit(None).cast("string"))
+    )
+    c.run_once()
+    out = bm25_index_topk(idx, ["merge", "window", "vector"], k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_changelog_read(spark, sf):
     """Incremental changelog read (tables/format.py SnapshotTable.changes —
     the Iceberg incremental append scan / downstream-CDC surface): commit
@@ -1894,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "doc_chunking": q_doc_chunking,
         "bm25_search": q_bm25_search,
+        "bm25_index_search": q_bm25_index_search,
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
         "datasource_changes_pull": q_datasource_changes_pull,
@@ -2537,6 +2587,31 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array("
             "  trim(lower(text)), '\\s+'), x -> x <> '') AS toks "
             "  FROM documents), "
+            "l AS (SELECT doc_id, len(toks) AS dl, toks FROM d), "
+            "s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM l), "
+            "tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM ("
+            "  SELECT doc_id, dl, unnest(toks) AS w FROM l) "
+            "  WHERE w IN ('merge', 'window', 'vector') "
+            "  GROUP BY doc_id, dl, w), "
+            "dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w) "
+            "SELECT tf.doc_id, round(sum("
+            "  ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / "
+            "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score "
+            "FROM tf JOIN dfq USING (w), s "
+            "GROUP BY tf.doc_id "
+            "ORDER BY sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / "
+            "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) DESC, tf.doc_id "
+            "LIMIT 10"
+        ),
+        # indexed BM25: final corpus state (rewrites win, deletions gone)
+        # rebuilt from scratch, then the identical BM25 arithmetic
+        "bm25_index_search": (
+            "WITH corpus AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 'rewritten window document' "
+            "    ELSE text END AS text "
+            "  FROM documents WHERE doc_id % 13 <> 0), "
+            "d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "  trim(lower(text)), '\\s+'), x -> x <> '') AS toks FROM corpus), "
             "l AS (SELECT doc_id, len(toks) AS dl, toks FROM d), "
             "s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM l), "
             "tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM ("

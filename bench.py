@@ -206,6 +206,7 @@ def main() -> None:
         "curation_funnel",
         "doc_chunking",
         "bm25_search",
+        "bm25_index_search",
         "conversation_assembly",
         "sft_examples",
         "changelog_read",
