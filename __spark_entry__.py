@@ -1393,6 +1393,49 @@ def q_table_diff(spark, sf):
     )
 
 
+def q_metadata_count(spark, sf):
+    """Metadata-only row counts (tables/format.py SnapshotTable.count_rows
+    — Iceberg's metadata count(*)): land upserts + tombstones, compact,
+    then append a delta that LWW-resurrects some tombstoned keys; count
+    the reconciled state both ways. Pure-base buckets answer from recorded
+    footer row counts (zero Spark I/O — the most common operational query
+    on a 10^10-row table becomes a driver-side sum); delta-holding buckets
+    fall back to one pruned scan. The oracle recomputes both counts from
+    the raw events incl. the resurrection rule, so a stale per-file count,
+    a missed delta fold, or tombstone miscounting hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+    from cht_sync_spark.tables.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="cnt_q_")
+    ev = _t(spark, sf, "events").select("event_id")
+
+    def gen(cond, val, seq, deleted=False):
+        df = ev if cond is None else ev.where(cond)
+        return df.select(
+            "event_id",
+            (F.lit(val) if val is not None else F.lit(None).cast("string")).alias("val"),
+            F.lit(deleted).alias("_deleted"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    g1 = gen(None, "v1", 1)
+    t = SnapshotTable.create(
+        spark, f"{work}/t", g1.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("seq", False)],
+    )
+    merge_upsert(t, g1)
+    merge_upsert(t, gen(F.col("event_id") % 13 == 0, None, 2, deleted=True))
+    t.compact(buckets=list(range(8)))
+    t.append_delta(gen(F.col("event_id") % 5 == 0, "v3", 3))
+    n_total = t.count_rows(live=False)
+    n_live = t.count_rows(live=True)
+    return spark.createDataFrame(
+        [(n_total, n_live)], "n_total bigint, n_live bigint"
+    )
+
+
 def q_gdpr_purge(spark, sf):
     """Right-to-be-forgotten erasure (tables/format.py SnapshotTable.purge):
     land three generations of upserts + tombstones (multi-version history),
@@ -1956,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_evolution": q_rebucket_evolution,
         "gdpr_purge": q_gdpr_purge,
         "table_diff": q_table_diff,
+        "metadata_count": q_metadata_count,
         "zorder_cluster": q_zorder_cluster,
         "model_run_stats": q_model_run_stats,
         "model_latency": q_model_latency,
@@ -2677,6 +2721,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'purge_marker', user_id, event_id, NULL, "
             "  CAST(seq + 1 AS BIGINT), TRUE "
             "FROM w WHERE rn = 1 AND user_id % 7 = 0"
+        ),
+        # metadata count: total keys + live keys under the LWW resurrection
+        # rule (%65 edits at seq 3 beat the %13 tombstones at seq 2)
+        "metadata_count": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_total, "
+            "  CAST(count(*) FILTER (WHERE event_id % 13 <> 0 "
+            "    OR event_id % 5 = 0) AS BIGINT) AS n_live "
+            "FROM events"
         ),
         # table diff: both states recomputed in SQL, full-outer-joined;
         # rows equal on (val, seq) must NOT appear

@@ -189,17 +189,38 @@ def _norm_bound(v: Any, dtype: T.DataType) -> Any:
 
 def _file_stats(
     abs_path: str, stat_cols: list[str], schema: T.StructType
-) -> dict[str, dict[str, Any]]:
-    """Column bounds of one parquet file from its FOOTER metadata (no data
-    pages read; ~ms per file, driver-side). A bound side is ``None`` when
-    unknowable (all-null chunk, missing stats, over-cap string upper bound)
-    — ``None`` disables pruning on that side, never causes a false skip.
-    String lower bounds may be truncated (a prefix is a valid lower bound);
-    string upper bounds are kept only when exact."""
+) -> tuple[dict[str, dict[str, Any]], int, bool | None]:
+    """Column bounds, row count, and tombstone-freedom of one parquet file
+    from its FOOTER metadata (no data pages read; ~ms per file,
+    driver-side). A bound side is ``None`` when unknowable (all-null
+    chunk, missing stats, over-cap string upper bound) — ``None`` disables
+    pruning on that side, never causes a false skip. String lower bounds
+    may be truncated (a prefix is a valid lower bound); string upper
+    bounds are kept only when exact.
+
+    The third element is the ``_deleted`` verdict for metadata-only LIVE
+    counts: ``True`` = provably no tombstone rows (column absent, all
+    null, or boolean max is False), ``None`` = unknowable from the footer
+    (mixed/unstatted) — never a guess."""
     import pyarrow.parquet as pq
 
     by_name = {f.name: f.dataType for f in schema.fields}
     md = pq.ParquetFile(abs_path).metadata
+    tomb_free: bool | None = True
+    didx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == "_deleted":
+            didx = i
+            break
+    if didx is not None:
+        for rg in range(md.num_row_groups):
+            ch = md.row_group(rg).column(didx)
+            st = ch.statistics
+            if st is not None and st.null_count == ch.num_values:
+                continue  # all-null chunk: no tombstones here
+            if st is None or not st.has_min_max or st.max is not False:
+                tomb_free = None  # may hold tombstones: footer can't say
+                break
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict[str, dict[str, Any]] = {}
     for col in stat_cols:
@@ -229,7 +250,7 @@ def _file_stats(
             if hi is not None and len(hi) > _STR_BOUND_CAP:
                 hi = None  # a truncated upper bound would over-prune
         out[col] = {"lo": lo, "hi": hi}
-    return out
+    return out, int(md.num_rows), tomb_free
 
 
 _FILTER_OPS = ("=", "<", "<=", ">", ">=")
@@ -499,10 +520,14 @@ class SnapshotTable:
         elif kind == "files":
             snap = self.snapshot()
             rows = [
-                (f["path"], f["bucket"], f["level"], f["commit"], "stats" in f)
+                (f["path"], f["bucket"], f["level"], f["commit"], "stats" in f,
+                 f.get("rows"), bool(f.get("live_exact", False)))
                 for f in snap.files
             ]
-            cols = "path string, bucket int, level string, commit string, has_stats boolean"
+            cols = (
+                "path string, bucket int, level string, commit string, "
+                "has_stats boolean, rows bigint, live_exact boolean"
+            )
         elif kind == "manifests":
             snap = self.snapshot()
             rows = [(m, len(self._load_manifest(m))) for m in (snap.manifests or [])]
@@ -729,6 +754,55 @@ class SnapshotTable:
             df = df.drop(*hide)
         return df
 
+    def count_rows(self, *, live: bool = True, version: int | None = None) -> int:
+        """Row count of the reconciled state, answered from MANIFEST
+        metadata wherever that is provably exact — Iceberg's
+        metadata-only ``count(*)`` — and by a bucket-pruned scan only for
+        the residue:
+
+        - a bucket holding only ``base`` files is one LWW fold's output
+          (one row per key), so its count is the sum of recorded per-file
+          row counts — zero I/O;
+        - ``live=True`` (default) excludes tombstone rows; a base file
+          whose footer PROVES it tombstone-free (``live_exact``) still
+          counts from metadata, others fall to the scan;
+        - buckets holding deltas (fold would collapse versions) or legacy
+          entries without recorded counts fall to ONE ``read_current``
+          scan over exactly those buckets.
+
+        ``last_count_scanned_buckets`` records the residue (empty = the
+        answer cost zero Spark jobs — on a compacted 10^10-row table this
+        turns the most common operational query from a full scan into a
+        driver-side sum)."""
+        snap = self.snapshot(version)
+        retain = snap.properties.get("tombstones.retain", "true") != "false"
+        need_live_proof = live and retain and "_deleted" in snap.schema.fieldNames()
+        per_bucket: dict[int, list[dict[str, Any]]] = {}
+        for f in snap.files:
+            if f["level"] in ("base", "delta"):
+                per_bucket.setdefault(f["bucket"], []).append(f)
+        total = 0
+        scan: list[int] = []
+        for b, files in per_bucket.items():
+            exact = all(
+                f["level"] == "base"
+                and f.get("rows") is not None
+                and (not need_live_proof or f.get("live_exact"))
+                for f in files
+            )
+            if exact:
+                total += sum(f["rows"] for f in files)
+            else:
+                scan.append(b)
+        self.last_count_scanned_buckets = sorted(scan)
+        if scan:
+            total += (
+                self.read_current(
+                    version=version, buckets=sorted(scan), drop_tombstones=live
+                ).count()
+            )
+        return total
+
     # ---------------------------------------------------------------- write
     def _write_data(
         self, df: DataFrame, snap: Snapshot, level: str,
@@ -791,21 +865,25 @@ class SnapshotTable:
         return list(json.loads(raw)) if raw is not None else list(snap.sort_cols)
 
     def _attach_stats(self, entries: list[dict[str, Any]], snap: Snapshot) -> None:
-        """Record column bounds on freshly written manifest entries, read
-        from parquet footers concurrently (O(files-in-commit) ms-scale
-        driver work — the same place Iceberg's writer gathers its bounds)."""
+        """Record column bounds, row counts, and tombstone-freedom on
+        freshly written manifest entries, read from parquet footers
+        concurrently (O(files-in-commit) ms-scale driver work — the same
+        place Iceberg's writer gathers its bounds)."""
         scols = self._stats_cols(snap)
-        if not scols or not entries:
+        if not entries:
             return
         from concurrent.futures import ThreadPoolExecutor
 
-        def one(e: dict[str, Any]) -> dict[str, dict[str, Any]]:
+        def one(e: dict[str, Any]):
             return _file_stats(os.path.join(self.path, e["path"]), scols, snap.schema)
 
         with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
-            for e, st in zip(entries, ex.map(one, entries)):
+            for e, (st, nrows, tomb_free) in zip(entries, ex.map(one, entries)):
                 if st:
                     e["stats"] = st
+                e["rows"] = nrows
+                if tomb_free:
+                    e["live_exact"] = True
 
     def commit(
         self,
