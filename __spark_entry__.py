@@ -1118,6 +1118,23 @@ def q_bm25_index_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_export_shards(spark, sf):
+    """Training-shard export (functions/corpus.py export_shards): write the
+    corpus as 8 deterministic shard files (one file per shard, md5-band
+    assignment — re-shard-stable) and return the audit manifest: per-shard
+    doc/token counts plus an order-independent BIT_XOR content checksum a
+    reader can re-verify without trusting the writer. The oracle replays
+    the identical band arithmetic and checksum in SQL, so a doc exported
+    to the wrong shard, dropped, duplicated, or altered hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.functions.corpus import export_shards
+
+    work = tempfile.mkdtemp(prefix="shards_q_")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return export_shards(docs, f"{work}/out", 8)
+
+
 def q_changelog_read(spark, sf):
     """Incremental changelog read (tables/format.py SnapshotTable.changes —
     the Iceberg incremental append scan / downstream-CDC surface): commit
@@ -1987,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "bm25_search": q_bm25_search,
         "bm25_index_search": q_bm25_index_search,
+        "export_shards": q_export_shards,
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
         "datasource_changes_pull": q_datasource_changes_pull,
@@ -2646,6 +2664,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / "
             "  (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) DESC, tf.doc_id "
             "LIMIT 10"
+        ),
+        # shard export: identical md5-band assignment + bit_xor checksum
+        "export_shards": (
+            "WITH t AS (SELECT doc_id, text, "
+            "  CAST(('0x' || substr(md5('shards:' || CAST(doc_id AS VARCHAR)), "
+            "    1, 8)) AS BIGINT) * 8 // 4294967296 AS shard_id, "
+            "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "    x -> x <> '')) AS nt, "
+            "  CAST(('0x' || substr(md5(coalesce(text, '')), 1, 15)) AS BIGINT) "
+            "    AS h60 "
+            "  FROM documents) "
+            "SELECT CAST(shard_id AS INTEGER) AS shard_id, "
+            "  CAST(count(*) AS BIGINT) AS n_docs, "
+            "  CAST(sum(nt) AS BIGINT) AS n_tokens, "
+            "  CAST(bit_xor(h60) AS BIGINT) AS checksum "
+            "FROM t GROUP BY shard_id"
         ),
         # indexed BM25: final corpus state (rewrites win, deletions gone)
         # rebuilt from scratch, then the identical BM25 arithmetic

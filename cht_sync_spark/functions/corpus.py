@@ -42,6 +42,8 @@ from .text import normalize_text, spread
 
 __all__ = [
     "chunk_documents",
+    "export_shards",
+    "shard_assign",
     "contamination",
     "curation_funnel",
     "funnel_report",
@@ -297,6 +299,80 @@ def repetition_stats(
 # --------------------------------------------------------------------------
 # sequence packing (concat-then-chunk training-example assembly)
 # --------------------------------------------------------------------------
+
+def shard_assign(col: Column, n_shards: int, salt: str = "shards") -> Column:
+    """Deterministic shard id in [0, n_shards): the md5-hex value of
+    (salt, id) scaled into n equal bands. A pure function of the id —
+    re-running on a re-partitioned/re-ordered corpus yields the same
+    assignment (the property that makes incremental re-exports append-
+    consistent), and the arithmetic replays verbatim in SQL
+    (``CAST('0x' || substr(md5(..),1,8) AS BIGINT) * n // 2^32``)."""
+    h = F.conv(_hash8(col, salt), 16, 10).cast("long")
+    return ((h * F.lit(int(n_shards))) / F.lit(0x100000000)).cast("int")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "parquet",
+    salt: str = "shards",
+) -> DataFrame:
+    """Export the curated corpus as ``n_shards`` deterministic shard files
+    plus a manifest — the last mile of the training pipeline (what the
+    tokenizer/dataloader fleet actually reads).
+
+    - assignment: :func:`shard_assign` — a pure function of the id, so
+      re-exports of the same corpus produce byte-identical shard
+      membership regardless of partitioning;
+    - layout: ONE file per shard (one shuffle into exactly n_shards
+      tasks, rows ordered by id within a shard — the same write shape as
+      the table format's bucket writer), ``shard=<k>/`` directories in
+      ``fmt`` ('parquet' or 'json' for JSONL loaders);
+    - manifest (returned): ``(shard_id, n_docs, n_tokens, checksum)``
+      where checksum is the order-independent BIT_XOR of each doc's
+      60-bit md5 prefix — cross-engine verifiable, so a reader can audit
+      a shard without trusting the writer.
+
+    Sizing note: n_shards is the dataloader-parallelism knob; at 100 TB
+    pick n_shards >> cores so shards stay rsync/object-store sized. The
+    manifest is a second pass over the exported columns (production
+    writers fold it into the write task; the audit replay needs the
+    recompute anyway).
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    shard = shard_assign(F.col(id_col), n_shards, salt)
+    out = df.withColumn("shard", shard)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    from .text import token_count
+
+    h60 = F.conv(
+        F.substring(F.md5(F.coalesce(F.col(text_col), F.lit(""))), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        out.withColumn("__h60", h60)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long")
+            ).alias("n_tokens"),
+            F.expr("bit_xor(__h60)").alias("checksum"),
+        )
+        .withColumnRenamed("shard", "shard_id")
+    )
+
 
 def curation_funnel(
     df: DataFrame,

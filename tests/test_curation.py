@@ -192,3 +192,73 @@ def test_bm25_deterministic_ties_and_validation(spark):
     assert top == [0, 1, 2]  # equal scores break by doc id
     with pytest.raises(ValueError, match="term"):
         bm25_topk(df, [])
+
+
+# --------------------------------------------------------------- shard export
+
+def test_export_shards_roundtrip_and_manifest(spark, tmp_path):
+    from cht_sync_spark.functions.corpus import export_shards, shard_assign
+
+    texts = [" ".join(f"d{i}w{j}" for j in range(1 + i % 7)) for i in range(200)]
+    df = _docs(spark, texts)
+    out = str(tmp_path / "shards")
+    manifest = export_shards(df.select("doc_id", "text"), out, 8)
+    rows = {r.shard_id: r for r in manifest.collect()}
+    assert sum(r.n_docs for r in rows.values()) == 200
+    # one file per shard directory
+    import os
+
+    for k in rows:
+        d = os.path.join(out, f"shard={k}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+    # round trip: the exported corpus is exactly the input
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    got = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    assert got == {(r.doc_id, r.text) for r in df.select("doc_id", "text").collect()}
+    # manifest agrees with a recount over the exported files (reader audit)
+    from pyspark.sql import functions as F2
+
+    re_manifest = {
+        r.shard: (r.n, r.toks)
+        for r in back.groupBy("shard")
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(F2.size(F2.split(F2.trim("text"), r"\s+"))).alias("toks"),
+        )
+        .collect()
+    }
+    for k, r in rows.items():
+        assert re_manifest[k] == (r.n_docs, r.n_tokens)
+    # assignment is partition-invariant (re-shard stability)
+    a = {r.doc_id: r.s for r in df.select("doc_id", shard_assign(F2.col("doc_id"), 8).alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in df.repartition(13)
+        .select("doc_id", shard_assign(F2.col("doc_id"), 8).alias("s"))
+        .collect()
+    }
+    assert a == b and set(a.values()) == set(range(8))
+
+
+def test_export_shards_checksum_detects_corruption(spark, tmp_path):
+    from cht_sync_spark.functions.corpus import export_shards
+
+    df = _docs(spark, [f"doc number {i} words" for i in range(50)])
+    m1 = {r.shard_id: r.checksum for r in export_shards(df.select("doc_id", "text"), str(tmp_path / "a"), 4).collect()}
+    df2 = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 17, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    m2 = {r.shard_id: r.checksum for r in export_shards(df2.select("doc_id", "text"), str(tmp_path / "b"), 4).collect()}
+    diff = [k for k in m1 if m1[k] != m2[k]]
+    assert len(diff) == 1  # exactly the shard holding doc 17
+
+
+def test_export_shards_validation(spark, tmp_path):
+    from cht_sync_spark.functions.corpus import export_shards
+
+    df = _docs(spark, ["x"])
+    with pytest.raises(ValueError, match="fmt"):
+        export_shards(df, str(tmp_path / "x"), 4, fmt="csvish")
