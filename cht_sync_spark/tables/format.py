@@ -1963,7 +1963,13 @@ class SnapshotTable:
                     f"(missing {missing}) — otherwise the touched buckets are "
                     "not derivable and the purge would scan the whole table"
                 )
-            keys_d = keys.select(*kcols).distinct()
+            # conform key types to the table schema BEFORE hashing: Spark's
+            # hash functions are type-sensitive (int 5 and long 5 hash
+            # differently), so an int-typed keys df against a long-typed
+            # table would derive the wrong buckets and silently miss rows
+            keys_d = keys.select(
+                *[F.col(c).cast(snap.schema[c].dataType).alias(c) for c in kcols]
+            ).distinct()
             touched_all = {
                 r["__b"]
                 for r in keys_d.select(

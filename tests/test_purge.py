@@ -253,3 +253,34 @@ def test_concurrent_append_during_purge_not_lost(spark, tmp_path, monkeypatch):
     got = _state(t)
     assert ("d", 0, "late", 9, False) in got  # concurrent append survived
     assert not any(r[0] == "a" for r in got)
+
+
+def test_purge_keys_type_conformed_before_hashing(spark, tmp_path):
+    """Spark hash functions are type-sensitive: an INT-typed key against a
+    LONG-keyed table must still derive the right buckets (the keys are cast
+    to the table schema first) — otherwise the purge silently misses."""
+    from pyspark.sql import types as TT
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["doc_id"], num_buckets=8,
+        lww_order=[("seq", False)],
+    )
+    merge_upsert(
+        t,
+        spark.createDataFrame(
+            [Row(doc_id=i, text=f"x{i}", seq=1, _deleted=False) for i in range(20)],
+            schema,
+        ),
+    )
+    int_keys = spark.createDataFrame([Row(doc_id=7)], "doc_id int")
+    _, n = t.purge(int_keys)
+    assert n == 1
+    assert t.read_current().where("doc_id = 7").count() == 0
