@@ -414,9 +414,10 @@ def funnel_report(
     """Per-stage funnel accounting over a :func:`curation_funnel` result:
     ``(stage_idx, stage, dropped, remaining)`` — ``remaining`` is the
     corpus size after that stage (so the last row's remaining is the
-    surviving-document count). One tiny keyed aggregation (≤ #stages + 1
-    groups) plus a window over #stages rows — O(corpus) scan, O(stages)
-    state, fully plan-side."""
+    surviving-document count). ONE keyed aggregation over the corpus
+    (≤ #stages + 1 groups, materialized once via localCheckpoint so the
+    total and the per-stage join don't each re-trigger the scan), then
+    driver-tiny joins/windows."""
     from pyspark.sql import Window
 
     spark = verdict.sparkSession
@@ -424,10 +425,15 @@ def funnel_report(
         [(i, name) for i, (name, _) in enumerate(stages)],
         "stage_idx int, stage string",
     )
-    counts = verdict.groupBy(F.col(verdict_col).alias("stage")).agg(
-        F.count(F.lit(1)).alias("dropped")
+    # the null group is the survivor count — the single aggregation holds
+    # the whole report; localCheckpoint pins its (<= #stages + 1)-row
+    # result so deriving total does not rescan the corpus
+    counts = (
+        verdict.groupBy(F.col(verdict_col).alias("stage"))
+        .agg(F.count(F.lit(1)).alias("dropped"))
+        .localCheckpoint()
     )
-    total = verdict.agg(F.count(F.lit(1)).alias("__total"))
+    total = counts.agg(F.sum("dropped").alias("__total"))
     w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, 0)
     return (
         sdf.join(counts, on="stage", how="left")
@@ -460,8 +466,14 @@ def chunk_documents(
     and re-shards produce identical chunks (the property dedup-by-chunk
     and stable retrieval ids rely on).
     """
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens); got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens} (a negative overlap would skip "
+            "tokens, breaking the every-token-covered invariant)"
+        )
     stride = chunk_tokens - overlap
     from .text import words
 

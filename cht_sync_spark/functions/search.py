@@ -40,6 +40,25 @@ from .text import words
 __all__ = ["bm25_topk", "term_postings"]
 
 
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks, dl): the shared tokenization stage."""
+    return df.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+
+
+def _tf_for_terms(toks: DataFrame, id_col: str, terms: list[str]) -> DataFrame:
+    """(id, dl, term, tf) for the query terms only — the filter runs
+    BEFORE the shuffle, so the exchange carries query-term hits, not the
+    vocabulary."""
+    return (
+        toks.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def term_postings(
     df: DataFrame,
     terms: list[str],
@@ -50,15 +69,7 @@ def term_postings(
     """Per-(doc, term) frequencies with doc length, for the given terms
     only: ``(id, dl, term, tf)``. The shared first half of BM25; exposed
     for boolean/AND-OR retrieval composition."""
-    toks = df.select(
-        F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
-    ).withColumn("dl", F.size("__toks"))
-    return (
-        toks.select(id_col, "dl", F.explode("__toks").alias("term"))
-        .where(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    return _tf_for_terms(_tokens(df, id_col, text_col), id_col, terms)
 
 
 def bm25_topk(
@@ -77,18 +88,11 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
-    toks = df.select(
-        F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
-    ).withColumn("dl", F.size("__toks"))
+    toks = _tokens(df, id_col, text_col)
     stats = toks.agg(
         F.count(F.lit(1)).alias("__N"), F.avg("dl").alias("__avgdl")
     )
-    tf = (
-        toks.select(id_col, "dl", F.explode("__toks").alias("term"))
-        .where(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = _tf_for_terms(toks, id_col, terms)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     idf: Column = F.log(
         F.lit(1.0)

@@ -74,6 +74,12 @@ _N_DOCS = "termindex.n_docs"
 _TOTAL_DL = "termindex.total_dl"
 
 
+class _RangeAlreadyApplied(Exception):
+    """Raised from the pre-commit hook when a concurrent same-name
+    maintainer already landed this changelog range — the additive corpus
+    stats must not be applied twice (IVM's additive-state rule)."""
+
+
 @dataclass
 class IndexResult:
     from_version: int
@@ -265,25 +271,55 @@ class TermIndexConsumer:
                     time.sleep(0.05 * (attempt + 1))
                     continue
             batch, docs_delta, dl_delta, old, new = d
-            try:
+            applied_n = {"n": 0}
+
+            def _props() -> dict[str, str]:
+                # post-write, PRE-COMMIT (same atomic snapshot as the
+                # postings): re-read the cursor so the additive stats are
+                # a pinned read-modify-write. A concurrent same-name
+                # maintainer that already landed this range shows up as an
+                # advanced cursor with NO CommitConflict (the merge pinned
+                # to the post-racer tip) — abort instead of double-adding.
                 p = self.index.snapshot().properties
-                props = {
+                cur = max(int(p.get(self._ckpt_key, 0)), 1)
+                if cur >= tip:
+                    raise _RangeAlreadyApplied()
+                if cur != from_v:
+                    raise CommitConflict(
+                        f"cursor moved {from_v} -> {cur} under the merge"
+                    )
+                applied_n["n"] = int(p.get(_N_DOCS, 0)) + docs_delta
+                return {
                     self._ckpt_key: str(tip),
-                    _N_DOCS: str(int(p.get(_N_DOCS, 0)) + docs_delta),
+                    _N_DOCS: str(applied_n["n"]),
                     _TOTAL_DL: str(int(p.get(_TOTAL_DL, 0)) + dl_delta),
                 }
+
+            try:
                 stats = merge_upsert(
                     self.index,
                     batch,
                     tombstones="drop",
                     prefer="batch",  # a re-derived posting is authoritative
-                    properties_update=props,
+                    properties_fn=_props,
                     max_retries=1,  # losses re-check the cursor out here
                 )
+                if self.position() < tip:
+                    # empty postings batch (e.g. changed docs with only
+                    # stop/empty text): the merge's empty path skips
+                    # properties_fn — commit stats + cursor pinned here
+                    isnap = self.index.snapshot()
+                    self.index.commit(
+                        add_files=[],
+                        properties_update=_props(),
+                        expected_version=isnap.version,
+                    )
                 return IndexResult(
                     from_v, tip, stats.rows_in_batch,
-                    stats.rows_deleted_tombstones, int(props[_N_DOCS]), attempt,
+                    stats.rows_deleted_tombstones, applied_n["n"], attempt,
                 )
+            except _RangeAlreadyApplied:
+                return IndexResult(from_v, tip, 0, 0, self.stats()[0], attempt)
             except CommitConflict as e:
                 last_err = e
                 time.sleep(0.05 * (attempt + 1))
@@ -400,7 +436,21 @@ def bm25_index_topk(
             [], T.StructType([snap.schema[c] for c in key] + [T.StructField("score", T.DoubleType(), True)])
         )
     avgdl = total_dl / n_docs
-    buckets = sorted({index.bucket_for({"term": t}) for t in terms})
+    # all query terms' buckets in ONE constant-folded job (per-term
+    # bucket_for calls would pay one driver job per term), evaluated with
+    # the table's own bucket expression so it cannot disagree with the
+    # layout hash
+    tdf = index.spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    buckets = sorted(
+        {
+            r["__b"]
+            for r in tdf.select(
+                bucket_expr(["term"], snap.num_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
     cand = index.read_current(buckets=buckets, drop_tombstones=True).where(
         F.col("term").isin(list(terms))
     )

@@ -55,7 +55,7 @@ import json
 import os
 import shutil
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,8 +108,10 @@ class Snapshot:
     # commit wall-clock (epoch seconds) — Iceberg's timestamp-ms: enables
     # AS OF <timestamp> time travel (:meth:`SnapshotTable.as_of`). Metadata
     # only; never feeds data-plane determinism. Legacy snapshots fall back
-    # to the snapshot file's mtime on load.
-    committed_at: float | None = None
+    # to the snapshot file's mtime on load. compare=False: CONTENT equality
+    # (fast_forward's fork-point check) must not depend on when — or from
+    # which copied file's mtime — a snapshot was stamped.
+    committed_at: float | None = field(default=None, compare=False)
 
 
 def _fsync_dir(d: str) -> None:
@@ -1634,12 +1636,21 @@ class SnapshotTable:
         keys = list(sa.key_cols)
         a_names = set(sa.schema.fieldNames())
         b_names = set(sb.schema.fieldNames())
-        cmp = compare_cols or sorted(
-            (a_names & b_names) - set(keys)
+        # internal.cols (e.g. the MOR model plane's _fold_rank) are hidden
+        # from every reconciled read, so they can neither be compared nor
+        # selected from read_current's output
+        hidden = set(json.loads(sa.properties.get("internal.cols", "[]"))) | set(
+            json.loads(sb.properties.get("internal.cols", "[]"))
         )
-        bad = [c for c in cmp if c not in a_names or c not in b_names]
+        cmp = compare_cols or sorted((a_names & b_names) - set(keys) - hidden)
+        bad = [
+            c for c in cmp if c not in a_names or c not in b_names or c in hidden
+        ]
         if bad:
-            raise ValueError(f"compare_cols {bad} missing from one side's schema")
+            raise ValueError(
+                f"compare_cols {bad} missing from one side's schema or hidden "
+                "(internal.cols)"
+            )
 
         buckets: list[int] | None = None
         if (
@@ -1985,14 +1996,22 @@ class SnapshotTable:
             purged = cur.join(keys_d, on=kcols, how="left_semi")
 
             marker_files: list[dict[str, Any]] = []
-            use_markers = (
-                cdc_markers
-                and snap.properties.get("cdc.enabled") == "true"
-                and snap.lww_order
-                and isinstance(
-                    snap.schema[snap.lww_order[0][0]].dataType, T.NumericType
-                )
+            cdc_on = snap.properties.get("cdc.enabled") == "true"
+            markable = bool(snap.lww_order) and isinstance(
+                snap.schema[snap.lww_order[0][0]].dataType, T.NumericType
             )
+            if cdc_markers and cdc_on and not markable:
+                # refuse rather than silently commit an unreadable purge:
+                # every strict changelog consumer downstream would wedge on
+                # it with no signal at purge time
+                raise ValueError(
+                    "cdc.enabled is set but purge markers need a numeric "
+                    "most-significant LWW order column to outrank the stored "
+                    f"winner (lww_order={snap.lww_order}); pass "
+                    "cdc_markers=False to accept that strict changelog "
+                    "readers cannot cross this purge and must re-seed"
+                )
+            use_markers = cdc_markers and cdc_on and markable
             obs = Observation()
             purged = purged.observe(obs, F.count(F.lit(1)).alias("n"))
             if use_markers:

@@ -156,3 +156,60 @@ def test_as_of_resolves_by_commit_time(spark, tmp_path):
     from datetime import datetime
 
     assert t.as_of(datetime.fromtimestamp(t_mid)) == v1
+
+
+def test_diff_skips_hidden_internal_cols(spark, tmp_path):
+    """MOR model tables hide internal.cols from reconciled reads; diff's
+    default compare set must skip them instead of crashing (and refuse
+    them in explicit compare_cols)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("_fold_rank", T.LongType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], num_buckets=2,
+        lww_order=[("seq", False)],
+        properties={"internal.cols": '["_fold_rank"]'},
+    )
+    rows = spark.createDataFrame([Row(k=1, v="a", seq=1, _fold_rank=0)], schema)
+    merge_upsert(t, rows)
+    v1 = t.current_version()
+    merge_upsert(t, spark.createDataFrame([Row(k=1, v="b", seq=2, _fold_rank=0)], schema))
+    got = {r.k: r.diff_type for r in t.diff(v1).collect()}
+    assert got == {1: "changed"}
+    with pytest.raises(ValueError, match="hidden"):
+        t.diff(v1, compare_cols=["_fold_rank"])
+
+
+def test_snapshot_equality_ignores_committed_at(spark, tmp_path):
+    """fast_forward's fork-point CONTENT compare must not depend on when
+    (or from which copied file's mtime) a snapshot was stamped — legacy
+    snapshots fall back to file mtimes, which differ across branch copies."""
+    import json as _json
+    import os
+
+    t = _mk(spark, tmp_path / "t")
+    merge_upsert(t, _rows(spark, [("a", 0, "x", 1, False)]))
+    tip = t.current_version()
+    br = t.create_branch("wip")
+    # simulate LEGACY snapshots: strip committed_at from both copies so the
+    # loader falls back to (differing) file mtimes
+    for snapdir in (t._snapdir, br._snapdir):
+        d = os.path.join(t.path, snapdir)
+        fp = os.path.join(d, f"v{tip:08d}.json")
+        m = _json.load(open(fp))
+        m.pop("committed_at", None)
+        _json.dump(m, open(fp, "w"))
+    os.utime(os.path.join(t.path, br._snapdir, f"v{tip:08d}.json"), (1, 1))
+    t._snap_cache.clear()
+    br._snap_cache.clear()
+    a, b = t.snapshot(tip), br.snapshot(tip)
+    assert a.committed_at != b.committed_at  # mtimes really differ...
+    assert a == b  # ...but content equality holds
+    # and the publish path accepts the untouched branch
+    merge_upsert(br, _rows(spark, [("b", 0, "y", 2, False)]))
+    assert t.fast_forward("wip") == tip + 1

@@ -284,3 +284,26 @@ def test_purge_keys_type_conformed_before_hashing(spark, tmp_path):
     _, n = t.purge(int_keys)
     assert n == 1
     assert t.read_current().where("doc_id = 7").count() == 0
+
+
+def test_purge_refuses_unmarkable_cdc_table(spark, tmp_path):
+    """cdc.enabled without a numeric most-significant LWW column cannot
+    emit markers — purge must refuse loudly (a silent markerless purge
+    wedges every strict changelog consumer downstream) unless the caller
+    explicitly opts out."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("_rev", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["conv_id"], num_buckets=2,
+        lww_order=[("_rev", False)], properties={"cdc.enabled": "true"},
+    )
+    merge_upsert(t, spark.createDataFrame([Row(conv_id="a", _rev="1-x", text="t")], schema))
+    with pytest.raises(ValueError, match="numeric"):
+        t.purge(_keys(spark, ["a"]))
+    _, n = t.purge(_keys(spark, ["a"]), cdc_markers=False)  # explicit opt-out
+    assert n == 1
