@@ -212,6 +212,8 @@ def main() -> None:
         "changelog_read",
         "changelog_consume",
         "gdpr_purge",
+        "table_diff",
+        "metadata_count",
         "stats_prune_scan",
         "sql_view",
     ):
