@@ -1118,6 +1118,62 @@ def q_bm25_index_search(spark, sf):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_dedup_index_pairs(spark, sf):
+    """Near-dup pairs from the PERSISTED, incrementally-maintained
+    MinHash-LSH index (streaming/dedup_index.py DedupIndexConsumer +
+    dedup_index_pairs): land the documents as a CDC source table, bootstrap
+    the (band, bh)-bucketed signature index from its changelog, then apply
+    a second range — rewrites (doc_id%3: the old signatures' band rows must
+    be invalidated by delete-by-absence tombstones) and deletions
+    (doc_id%13: every band row dropped) — and answer the within-corpus
+    near-dup audit from the index. md5 string-min permutations make every
+    signature, band key and candidate pair replayable in SQL: the oracle
+    recomputes the FINAL corpus state from scratch and re-derives the full
+    LSH + exact-Jaccard result, so a stale band row still matching, a lost
+    row, or a wrong jaccard hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.streaming.dedup_index import (
+        DedupIndexConsumer, dedup_index_pairs,
+    )
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="dedupidx_q_")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(df, seq, deleted=False, text_col=None):
+        return df.select(
+            "doc_id",
+            (text_col if text_col is not None else F.col("text")).alias("text"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(deleted).alias("_deleted"),
+        )
+
+    g1 = gen(docs, 1)
+    src = SnapshotTable.create(
+        spark, f"{work}/src", g1.schema, key_cols=["doc_id"],
+        num_buckets=8, sort_cols=["doc_id"], lww_order=[("seq", False)],
+    )
+    idx = DedupIndexConsumer.create_index(
+        spark, src, f"{work}/idx", num_buckets=16, hash_fn="md5", shingle_n=2,
+    )
+    c = DedupIndexConsumer(spark, src, idx, "ix")
+    src.append_delta(g1)
+    c.run_once()  # bootstrap = incremental from zero
+    src.append_delta(
+        gen(docs.where(F.col("doc_id") % 3 == 0), 2,
+            text_col=F.concat(F.col("text"), F.lit(" shifted tail token")))
+    )
+    src.append_delta(
+        gen(docs.where(F.col("doc_id") % 13 == 0), 3, deleted=True,
+            text_col=F.lit(None).cast("string"))
+    )
+    c.run_once()
+    final = src.read_current(drop_tombstones=True).select("doc_id", "text")
+    out = dedup_index_pairs(idx, final, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_export_shards(spark, sf):
     """Training-shard export (functions/corpus.py export_shards): write the
     corpus as 8 deterministic shard files (one file per shard, md5-band
@@ -2004,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "bm25_search": q_bm25_search,
         "bm25_index_search": q_bm25_index_search,
+        "dedup_index_pairs": q_dedup_index_pairs,
         "export_shards": q_export_shards,
         "changelog_read": q_changelog_read,
         "changelog_consume": q_changelog_consume,
@@ -2400,6 +2457,35 @@ def oracle_sql() -> dict[str, str]:
         # 32 hashes, 8 bands x 4 rows, threshold 0.5)
         "dedup_minhash_lsh": (
             f"WITH docs AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES2} AS s FROM docs), "
+            "sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh), "
+            "post AS (SELECT doc_id, unnest(s) AS tok FROM sh), "
+            "perm AS (SELECT doc_id, j, min(md5(concat(j, ':', tok))) AS m "
+            "  FROM post, range(0, 32) t(j) GROUP BY doc_id, j), "
+            "bnd AS (SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS bkey "
+            "  FROM perm GROUP BY doc_id, j // 4), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter "
+            "  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT c.id_a, c.id_b, "
+            "  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+            "FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b "
+            "JOIN sizes sa ON c.id_a = sa.doc_id JOIN sizes sb ON c.id_b = sb.doc_id "
+            "WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"
+        ),
+        # Incrementally-maintained dedup index: the oracle recomputes the
+        # FINAL corpus state after the CDC sequence (doc_id%3 rewritten
+        # with a tail token, doc_id%13 deleted) and replays the identical
+        # md5 minhash/banding/jaccard pipeline over it — a stale band row
+        # surviving the delete-by-absence tombstones, a lost row, or a
+        # drifted jaccard hash-mismatches
+        "dedup_index_pairs": (
+            "WITH final AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 0 THEN concat(text, ' shifted tail token') "
+            "       ELSE text END AS text "
+            "  FROM documents WHERE doc_id % 13 <> 0), "
+            f"docs AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM final), "
             f"sh AS (SELECT doc_id, {_SHINGLES2} AS s FROM docs), "
             "sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh), "
             "post AS (SELECT doc_id, unnest(s) AS tok FROM sh), "

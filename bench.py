@@ -207,6 +207,7 @@ def main() -> None:
         "doc_chunking",
         "bm25_search",
         "bm25_index_search",
+        "dedup_index_pairs",
         "conversation_assembly",
         "sft_examples",
         "changelog_read",
