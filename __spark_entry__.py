@@ -739,6 +739,64 @@ def q_similarity_ivf(spark, sf):
     )
 
 
+def q_ann_index_cdc(spark, sf):
+    """Approximate top-k from the CDC-MAINTAINED LSH index
+    (streaming/ann_index.py AnnIndexConsumer + ann_index_search): land the
+    embeddings as a CDC source table, bootstrap the signature-bucketed
+    index from its changelog, then apply a second range — re-embeddings
+    (vec_id%5==1: negated vectors, whose signatures flip and whose STALE
+    rows must be invalidated by delete-by-absence tombstones — the update
+    path the append-only ann_index_append documents as missing) and
+    deletions (vec_id%7==2) — and search with the same margin-aware
+    multiprobe as the static index. Fully oracle-checked: the splitmix
+    planes, final-state signatures, multiprobe flip set and exact cosine
+    ranking all replay in DuckDB SQL over the recomputed final corpus — a
+    stale signature row still matching, or a dropped vector surviving,
+    hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.functions.similarity import make_planes
+    from cht_sync_spark.streaming.ann_index import AnnIndexConsumer, ann_index_search
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="anncdc_q_")
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+    dim = len(_t(spark, sf, "embeddings").select("embedding").first()[0])
+
+    def gen(df, seq, deleted=False, vec=None):
+        return df.select(
+            "vec_id",
+            (vec if vec is not None else F.col("embedding")).alias("embedding"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(deleted).alias("_deleted"),
+        )
+
+    g1 = gen(e, 1)
+    src = SnapshotTable.create(
+        spark, f"{work}/src", g1.schema, key_cols=["vec_id"],
+        num_buckets=8, sort_cols=["vec_id"], lww_order=[("seq", False)],
+    )
+    idx = AnnIndexConsumer.create_index(
+        spark, src, f"{work}/idx", planes=make_planes(dim, 6), num_buckets=32,
+    )
+    c = AnnIndexConsumer(spark, src, idx, "ix")
+    src.append_delta(g1)
+    c.run_once()  # bootstrap = incremental from zero
+    src.append_delta(
+        gen(e.where(F.col("vec_id") % 5 == 1), 2,
+            vec=F.transform("embedding", lambda x: -x))
+    )
+    src.append_delta(
+        gen(e.where(F.col("vec_id") % 7 == 2), 3, deleted=True,
+            vec=F.lit(None).cast(g1.schema["embedding"].dataType))
+    )
+    c.run_once()
+    qvec = _t(spark, sf, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_index_search(idx, qvec, k=10, probe_bits=5).select(
+        "vec_id", F.round("cos", 4).alias("cos")
+    )
+
+
 def q_text_stats(spark, sf):
     from cht_sync_spark.functions.text import text_stats
 
@@ -2041,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "ann_index_cdc": q_ann_index_cdc,
         "text_stats": q_text_stats,
         "text_fingerprint_winnow": q_text_fingerprint_winnow,
         "multimodal_meta": q_multimodal_meta,
@@ -2332,6 +2391,39 @@ def oracle_sql() -> dict[str, str]:
         # ann_index_topk's probe + prune + re-rank
         "similarity_ann_lsh": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "mix AS (SELECT p, i, CAST((("
+            "   42*11400714819323198485::HUGEINT + p*13787848793156543929::HUGEINT"
+            "   + i*10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z0 "
+            "  FROM range(0, 6) t(p), range(0, 64) s(i)), "
+            "mix2 AS (SELECT p, i, xor(z0, z0 >> 30) AS xv FROM mix), "
+            "sgn AS (SELECT p, i, CAST((((xv & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT"
+            "   + ((((xv >> 32)::HUGEINT * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)"
+            "  ) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z1 FROM mix2), "
+            "pl AS (SELECT p, list(CASE WHEN (z1 >> 63) = 0 THEN 1.0 ELSE -1.0 END ORDER BY i) AS plane "
+            "  FROM sgn GROUP BY p), "
+            "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+            "mq AS (SELECT p, list_dot_product(qv, plane) AS m FROM pl, q), "
+            "qs AS (SELECT CAST(sum(CASE WHEN m >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS qsig FROM mq), "
+            "ord AS (SELECT p, row_number() OVER (ORDER BY abs(m), p) - 1 AS r FROM mq "
+            "  QUALIFY row_number() OVER (ORDER BY abs(m), p) <= 5), "
+            "probes AS (SELECT xor((SELECT qsig FROM qs), "
+            "    CAST(coalesce(sum(CASE WHEN (mask >> r) & 1 = 1 THEN (1 << p) END), 0) AS BIGINT)) AS sig "
+            "  FROM range(0, 32) t(mask) CROSS JOIN ord GROUP BY mask), "
+            "ds AS (SELECT e.vec_id, e.v, "
+            "    CAST(sum(CASE WHEN list_dot_product(e.v, pl.plane) >= 0 THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS sig "
+            "  FROM e, pl WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.v) "
+            "SELECT vec_id, round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos "
+            "FROM ds, q WHERE sig IN (SELECT sig FROM probes) "
+            "ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
+        ),
+        # CDC-maintained ANN index: the similarity_ann_lsh oracle over the
+        # RECOMPUTED final corpus state (vec_id%5==1 negated at seq 2,
+        # vec_id%7==2 deleted at seq 3) — a stale pre-update signature row
+        # still matching, or a deleted vector surviving, hash-mismatches
+        "ann_index_cdc": (
+            "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "e AS (SELECT vec_id, CASE WHEN vec_id % 5 = 1 THEN list_transform(v, x -> -x) "
+            "      ELSE v END AS v FROM e0 WHERE vec_id = 0 OR vec_id % 7 <> 2), "
             "mix AS (SELECT p, i, CAST((("
             "   42*11400714819323198485::HUGEINT + p*13787848793156543929::HUGEINT"
             "   + i*10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT) AS UBIGINT) AS z0 "

@@ -208,6 +208,7 @@ def main() -> None:
         "bm25_search",
         "bm25_index_search",
         "dedup_index_pairs",
+        "ann_index_cdc",
         "conversation_assembly",
         "sft_examples",
         "changelog_read",

@@ -1,0 +1,182 @@
+"""CDC-maintained embedding ANN index: updates and deletes, not just appends.
+
+``functions/similarity.py`` ships the persisted signature-bucketed LSH
+index (``build_ann_index`` + ``ann_index_topk``) and an APPEND-ONLY
+incremental path (``ann_index_append``), whose docstring states the
+limitation honestly: an UPDATED vector can change signature and therefore
+bucket, so its stale row would survive in its old bucket (bucket-pruned
+probes cannot see across buckets to reconcile), and deletes have no path
+at all short of a rebuild.
+
+This module closes that gap with the generic changelog-fed derived-index
+machinery (:mod:`cht_sync_spark.streaming.derived_index`): the index is a
+SnapshotTable keyed (``__sig``, vec key) and bucketed by ``__sig`` — the
+signature is part of the ROW KEY, so a re-embedded vector's new row is a
+NEW key and its stale row in the old signature's bucket is invalidated by
+a delete-by-absence tombstone derived from the source changelog's
+preimage diff (physically dropped at the merge). Deleted vectors lose
+their row the same way. Cost per cycle is O(changed vectors); crash-window
+replays are idempotent (plain LWW, no additive state).
+
+When a vector's update KEEPS its signature, the (sig, key) row key is
+unchanged and the upsert simply overwrites the payload embedding with the
+fresher LWW winner — exact re-ranking always sees current vectors.
+
+Plane parameters are committed in the index table properties at
+:meth:`AnnIndexConsumer.create_index` (same contract as
+``build_ann_index``), so maintenance and probes can never diverge.
+:func:`ann_index_search` queries with the same margin-aware multiprobe as
+``ann_index_topk`` but reads through ``read_current`` (LWW fold +
+tombstone drop) — correct over MOR delta files between compactions.
+
+Reference parity: none (SURVEY §2.5-class capability); the maintenance
+pattern is streaming/consumer.py's applied to the similarity plane.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from cht_sync_spark.functions.similarity import (
+    _multiprobe_sigs,
+    cosine_topk,
+    lsh_signature,
+    make_planes,
+)
+from cht_sync_spark.streaming.derived_index import DerivedIndexConsumer, DerivedIndexResult
+from cht_sync_spark.tables.format import SnapshotTable, bucket_expr
+
+__all__ = ["AnnIndexConsumer", "AnnIndexResult", "ann_index_search"]
+
+AnnIndexResult = DerivedIndexResult
+
+_PLANES = "ann.planes"
+_N_PLANES = "ann.n_planes"
+
+
+def _planes_of(snap) -> tuple[list[list[float]], int]:
+    p = snap.properties
+    try:
+        return json.loads(p[_PLANES]), int(p[_N_PLANES])
+    except KeyError as e:
+        raise ValueError(
+            "not an ANN index: missing plane property "
+            f"{e} — create it with AnnIndexConsumer.create_index"
+        ) from None
+
+
+class AnnIndexConsumer(DerivedIndexConsumer):
+    derived_key = ["__sig"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapshotTable,
+        index: SnapshotTable,
+        name: str,
+        *,
+        vec_col: str = "embedding",
+        strict: bool = True,
+        max_retries: int = 8,
+    ):
+        super().__init__(spark, source, index, name, strict=strict, max_retries=max_retries)
+        self.vec_col = vec_col
+
+    def derived_rows(self, docs: DataFrame, key: list[str]) -> DataFrame:
+        planes, n_planes = _planes_of(self.index.snapshot())
+        live = (
+            docs.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            if "_deleted" in docs.columns
+            else docs
+        )
+        # null/absent embeddings derive no rows (an emptied vector drops
+        # out of the index entirely via absence)
+        return live.where(F.col(self.vec_col).isNotNull()).select(
+            lsh_signature(F.col(self.vec_col), n_planes, planes).alias("__sig"),
+            *key,
+            F.col(self.vec_col),
+        )
+
+    # --------------------------------------------------------------- setup
+    @classmethod
+    def create_index(
+        cls,
+        spark: SparkSession,
+        source: SnapshotTable,
+        path: str,
+        *,
+        vec_col: str = "embedding",
+        n_planes: int = 8,
+        planes: list[list[float]] | None = None,
+        dim: int | None = None,
+        num_buckets: int = 16,
+    ) -> SnapshotTable:
+        """Empty signature-bucketed index wired to the source's key and LWW
+        spec, planes committed in table properties (build_ann_index's
+        contract); bootstrap = run the consumer (history is one range)."""
+        if planes is None:
+            if dim is None:
+                raise ValueError("create_index needs planes or dim")
+            planes = make_planes(dim, n_planes)
+        snap = source.snapshot()
+        fields = [T.StructField("__sig", T.LongType(), True)]
+        for k in snap.key_cols:
+            fields.append(T.StructField(k, snap.schema[k].dataType, True))
+        fields.append(T.StructField(vec_col, snap.schema[vec_col].dataType, True))
+        for c, _ in snap.lww_order or []:
+            if c not in snap.key_cols and c not in ("__sig", vec_col, "_deleted"):
+                fields.append(T.StructField(c, snap.schema[c].dataType, True))
+        fields.append(T.StructField("_deleted", T.BooleanType(), True))
+        return SnapshotTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=["__sig", *snap.key_cols],
+            bucket_cols=["__sig"],
+            num_buckets=num_buckets,
+            sort_cols=["__sig", *snap.key_cols],
+            lww_order=list(snap.lww_order or []),
+            properties={_PLANES: json.dumps(planes), _N_PLANES: str(len(planes))},
+        )
+
+
+def ann_index_search(
+    index: SnapshotTable,
+    query_vec,
+    k: int = 10,
+    probe_bits: int = 4,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k from the CDC-maintained index: identical probe
+    strategy to ``similarity.ann_index_topk`` (margin-aware multiprobe
+    signatures computed driver-side from the committed planes; scan pruned
+    to the probed signatures' buckets at the file level, filtered at the
+    row level) but read through ``read_current`` — the LWW fold drops
+    absence tombstones and reconciles MOR delta rows, so results are exact
+    over the index's CURRENT state between compactions."""
+    snap = index.snapshot()
+    planes, _ = _planes_of(snap)
+    qsig = 0
+    margins = []
+    for j, p in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        margins.append(d)
+        if d >= 0:
+            qsig |= 1 << j
+    sigs = _multiprobe_sigs(qsig, margins, probe_bits)
+    spark = index.spark
+    buckets = sorted(
+        {
+            r["__b"]
+            for r in spark.createDataFrame([(s,) for s in sigs], "__sig long")
+            .select(bucket_expr(["__sig"], snap.num_buckets).alias("__b"))
+            .collect()
+        }
+    )
+    cand = index.read_current(buckets=buckets, drop_tombstones=True).where(
+        F.col("__sig").isin(sigs)
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

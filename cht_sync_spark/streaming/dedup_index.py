@@ -6,39 +6,17 @@ dedup gate at 10^10 documents, where each micro-batch should pay only for
 its own changes. This module keeps a **band-signature table** fresh from
 the document table's own changelog — the same query-time -> persisted-index
 promotion the similarity plane (ANN/IVF) and the retrieval plane
-(streaming/term_index.py) already made:
+(streaming/term_index.py) already made.
 
-- **Index layout**: one row per (band, band-hash, doc key), stored as a
-  SnapshotTable **bucketed by (band, bh)** — the LSH band hash IS the
-  candidate-lookup key, so probing a batch of M docs prunes the scan to
-  the (<= num_buckets) buckets its M x bands band hashes live in; cost is
-  O(postings of the probe's buckets), not O(index). Because the band hash
-  changes when the doc changes, (band, bh) is part of the ROW KEY (a row
-  is immutable once written; an update is delete + insert of different
-  keys), which keeps the one-key-one-bucket invariant the merge and the
-  pruning both rely on.
-- **Maintenance** (:class:`DedupIndexConsumer`): per cycle, the consumer
-  reads the source changelog (O(changed files)), recovers each changed
-  key's PREIMAGE with the IVM plane's time-travel read (bucket-pruned +
-  broadcast semi-join at the cursor version), and diffs old vs new band
-  rows:
+The maintenance loop is the generic changelog-fed derived-index machinery
+(:mod:`cht_sync_spark.streaming.derived_index`): one row per (band,
+band-hash, doc key), bucketed by (band, bh) — the LSH band hash IS the
+candidate-lookup key, so probing a batch of M docs prunes the scan to the
+(<= num_buckets) buckets its M x bands band hashes live in. (band, bh) is
+part of the ROW KEY (a signature row is immutable; an update is delete +
+insert of different keys), and stale rows of edited/deleted docs are
+invalidated by the base class's delete-by-absence tombstones.
 
-    * the new winner's band rows -> upserts carrying the winner's LWW
-      order columns;
-    * band rows the new version no longer produces (every row of a
-      deleted or emptied doc, and every old-signature row of an edited
-      doc) -> **delete-by-absence tombstones** carrying the SAME new
-      order columns, so they beat the stale row and the merge
-      (``tombstones='drop'``) physically removes it — the within-group
-      absence move of the SFT model and term-index planes, applied to
-      signatures.
-
-  The cursor commits ATOMICALLY with the signature merge (one snapshot
-  per cycle). No additive state is kept, so crash-window replays are
-  byte-identical by plain LWW idempotence — concurrent same-name
-  maintainers are safe, just wasteful.
-- **Bootstrap** is incremental from zero: create an empty index and run
-  the consumer — the whole history is one changelog range.
 - **Hash config** (num_hashes / bands / shingle n / hash_fn) is pinned in
   index table properties at :meth:`DedupIndexConsumer.create_index` and
   read back by the consumer and the query functions, so maintenance and
@@ -57,22 +35,9 @@ whose every step exists verbatim in ANSI SQL, so a DuckDB oracle replays
 signatures, band keys, candidates and verified jaccards across the whole
 CDC sequence; the xxhash64 form stays the at-scale default (fixed-width
 long mixing beats 32 md5s per shingle).
-
-Retention contract: each cycle opens the cursor's snapshot (changelog
-diff + preimage read), so with producer ``expire_snapshots(keep_last=k)``
-the safe lag is k-1 snapshots; a lapsed cursor or producer rollback is
-recovered by :meth:`DedupIndexConsumer.reseed`.
-
-Reference parity: none — the reference has no dedup surface (SURVEY
-§2.5-class capability); the maintenance pattern is the reference's own
-checkpoint-after-commit loop (importer.js:171-172) applied one level
-down, like streaming/consumer.py and streaming/term_index.py.
 """
 
 from __future__ import annotations
-
-import time
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -83,31 +48,23 @@ from cht_sync_spark.functions.dedup import (
     shingle_hashes,
     word_ngrams,
 )
-from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
-from cht_sync_spark.tables.merge import merge_upsert
+from cht_sync_spark.streaming.derived_index import DerivedIndexConsumer, DerivedIndexResult
+from cht_sync_spark.tables.format import SnapshotTable, bucket_expr
 
-__all__ = ["DedupIndexConsumer", "DedupIndexResult", "dedup_index_pairs", "dedup_index_probe"]
+__all__ = [
+    "DedupIndexConsumer",
+    "DedupIndexResult",
+    "dedup_index_pairs",
+    "dedup_index_probe",
+]
+
+# kept as the public result type of this plane
+DedupIndexResult = DerivedIndexResult
 
 _NUM_HASHES = "dedupindex.num_hashes"
 _BANDS = "dedupindex.bands"
 _SHINGLE_N = "dedupindex.shingle_n"
 _HASH_FN = "dedupindex.hash_fn"
-
-
-class _RangeAlreadyApplied(Exception):
-    """A concurrent same-name maintainer already landed this range (the
-    cursor advanced under the merge with no CommitConflict) — re-applying
-    would be harmless (plain LWW, no additive state) but pointless."""
-
-
-@dataclass
-class DedupIndexResult:
-    from_version: int
-    to_version: int
-    rows_upserted: int
-    rows_deleted: int
-    retries: int = 0
 
 
 def _index_config(snap) -> tuple[int, int, int, str]:
@@ -165,7 +122,9 @@ def _banded_rows(
     ).select(F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"), *key)
 
 
-class DedupIndexConsumer:
+class DedupIndexConsumer(DerivedIndexConsumer):
+    derived_key = ["band", "bh"]
+
     def __init__(
         self,
         spark: SparkSession,
@@ -177,189 +136,12 @@ class DedupIndexConsumer:
         strict: bool = True,
         max_retries: int = 8,
     ):
-        self.spark = spark
-        self.source = source
-        self.index = index
-        self.name = name
+        super().__init__(spark, source, index, name, strict=strict, max_retries=max_retries)
         self.text_col = text_col
-        self.strict = strict
-        self.max_retries = max_retries
 
-    # ------------------------------------------------------------- cursor
-    @property
-    def _ckpt_key(self) -> str:
-        return f"consumer.{self.name}.version"
-
-    def position(self) -> int:
-        v = self.index.snapshot().properties.get(self._ckpt_key)
-        return int(v) if v is not None else 0
-
-    def pending_versions(self) -> int:
-        return max(0, self.source.current_version() - max(self.position(), 1))
-
-    # ------------------------------------------------------------- deltas
-    def _banded(self, docs: DataFrame, key: list[str]) -> DataFrame:
+    def derived_rows(self, docs: DataFrame, key: list[str]) -> DataFrame:
         nh, bands, n, fn = _index_config(self.index.snapshot())
         return _banded_rows(docs, key, self.text_col, nh, bands, n, fn)
-
-    def _delta(self, from_v: int, tip: int):
-        """(index batch, old, new) for the changelog range, or None when
-        the range holds no logical changes (compaction-only)."""
-        src = self.source
-        ch = src.changes(from_v, tip, strict=self.strict).drop(
-            "_change_version", "_change_type"
-        )
-        snap = src.snapshot(from_v)
-        key = list(snap.key_cols)
-        touched = [
-            r["__b"]
-            for r in ch.select(
-                bucket_expr(snap.bucket_cols, snap.num_buckets).alias("__b")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return None
-        keys = ch.select(*key).distinct()
-        old = src.read_current(version=from_v, buckets=sorted(touched)).join(
-            F.broadcast(keys), on=key, how="left_semi"
-        )
-        order = (snap.lww_order or [(key[0], True)]) + [("__existing", False)]
-        new = lww_dedup(
-            old.withColumn("__existing", F.lit(1)).unionByName(
-                ch.withColumn("__existing", F.lit(0)), allowMissingColumns=True
-            ),
-            key=key,
-            order=order,
-        ).drop("__existing")
-        # the preimages and new winners each feed two consumers below (a
-        # band-row side and the absence anti-join) — persist the tiny
-        # changed-key frames instead of re-running the fold
-        old = old.persist()
-        new = new.persist()
-
-        new_b = self._banded(new, key)
-        old_b = self._banded(old, key)
-        ocols = [c for c, _ in (snap.lww_order or [])]
-        winner_order = new.select(*key, *ocols)
-        ups = new_b.join(winner_order, on=key).withColumn("_deleted", F.lit(False))
-        # delete-by-absence: band rows the new version no longer produces
-        # get tombstones carrying the NEW winner's order values (they must
-        # beat the stale row under the index's LWW — the purge-marker move)
-        dels = (
-            old_b.join(new_b, on=["band", "bh", *key], how="left_anti")
-            .join(winner_order, on=key)
-            .withColumn("_deleted", F.lit(True))
-        )
-        return ups.unionByName(dels.select(*ups.columns)), old, new
-
-    # ---------------------------------------------------------------- run
-    def run_once(self) -> DedupIndexResult | None:
-        """Index everything committed since the cursor, or None if caught
-        up. Signature merge and cursor commit in ONE snapshot; a lost
-        commit race re-reads the cursor before retrying."""
-        last_err: CommitConflict | None = None
-        for attempt in range(self.max_retries):
-            tip = self.source.current_version()
-            from_v = max(self.position(), 1)
-            if tip <= from_v:
-                return None if attempt == 0 else DedupIndexResult(from_v, tip, 0, 0, attempt)
-            d = self._delta(from_v, tip)
-            if d is None:  # compaction-only range: advance the cursor
-                try:
-                    isnap = self.index.snapshot()
-                    self.index.commit(
-                        add_files=[],
-                        properties_update={self._ckpt_key: str(tip)},
-                        expected_version=isnap.version,
-                    )
-                    return DedupIndexResult(from_v, tip, 0, 0, attempt)
-                except CommitConflict as e:
-                    last_err = e
-                    time.sleep(0.05 * (attempt + 1))
-                    continue
-            batch, old, new = d
-
-            def _props() -> dict[str, str]:
-                # post-write, PRE-COMMIT (same atomic snapshot as the
-                # merge): re-read the cursor — a concurrent same-name
-                # maintainer that already landed this range shows up as an
-                # advanced cursor with NO CommitConflict (the merge pinned
-                # to the post-racer tip); skip instead of re-landing
-                p = self.index.snapshot().properties
-                if max(int(p.get(self._ckpt_key, 0)), 1) >= tip:
-                    raise _RangeAlreadyApplied()
-                return {self._ckpt_key: str(tip)}
-
-            try:
-                stats = merge_upsert(
-                    self.index,
-                    batch,
-                    tombstones="drop",
-                    prefer="batch",  # a re-derived signature is authoritative
-                    properties_fn=_props,
-                    max_retries=1,  # losses re-check the cursor out here
-                )
-                if self.position() < tip:
-                    # empty batch (e.g. the range only touched shingle-less
-                    # docs): the merge's empty path skips properties_fn —
-                    # commit the cursor pinned here
-                    isnap = self.index.snapshot()
-                    self.index.commit(
-                        add_files=[],
-                        properties_update=_props(),
-                        expected_version=isnap.version,
-                    )
-                return DedupIndexResult(
-                    from_v, tip, stats.rows_in_batch,
-                    stats.rows_deleted_tombstones, attempt,
-                )
-            except _RangeAlreadyApplied:
-                return DedupIndexResult(from_v, tip, 0, 0, attempt)
-            except CommitConflict as e:
-                last_err = e
-                time.sleep(0.05 * (attempt + 1))
-            finally:
-                old.unpersist()
-                new.unpersist()
-        raise last_err  # type: ignore[misc]
-
-    def run(self, max_cycles: int | None = None) -> list[DedupIndexResult]:
-        out: list[DedupIndexResult] = []
-        while max_cycles is None or len(out) < max_cycles:
-            r = self.run_once()
-            if r is None:
-                break
-            out.append(r)
-        return out
-
-    def reseed(self) -> DedupIndexResult:
-        """Atomic full rebuild from the source's current state — recovery
-        for uncrossable changelogs (producer rollback, lapsed cursor)."""
-        tip = self.source.current_version()
-        snap = self.source.snapshot(tip)
-        key = list(snap.key_cols)
-        cur = self.source.read_current(version=tip)
-        ocols = [c for c, _ in (snap.lww_order or [])]
-        full = (
-            self._banded(cur, key)
-            .join(cur.select(*key, *ocols), on=key)
-            .withColumn("_deleted", F.lit(False))
-        )
-        isnap = self.index.snapshot()
-        stale = [
-            k for k in isnap.properties
-            if k.startswith("consumer.") and k.endswith(".version")
-        ]
-        self.index.overwrite(
-            full.select(*isnap.schema.fieldNames()),
-            properties_update={
-                **{k: None for k in stale},
-                self._ckpt_key: str(tip),
-            },
-        )
-        return DedupIndexResult(0, tip, 0, 0)
 
     # --------------------------------------------------------------- setup
     @classmethod
