@@ -2573,8 +2573,10 @@ def oracle_sql() -> dict[str, str]:
         # surviving the delete-by-absence tombstones, a lost row, or a
         # drifted jaccard hash-mismatches
         "dedup_index_pairs": (
+            # `||` not concat(): DuckDB concat skips NULL inputs while
+            # Spark F.concat propagates them — `||` is the faithful twin
             "WITH final AS (SELECT doc_id, "
-            "  CASE WHEN doc_id % 3 = 0 THEN concat(text, ' shifted tail token') "
+            "  CASE WHEN doc_id % 3 = 0 THEN text || ' shifted tail token' "
             "       ELSE text END AS text "
             "  FROM documents WHERE doc_id % 13 <> 0), "
             f"docs AS (SELECT doc_id, str_split({_NORM}, ' ') AS w FROM final), "

@@ -218,6 +218,35 @@ def _multiprobe_sigs(qsig: int, margins: list[float], probe_bits: int) -> list[i
     return sigs
 
 
+def probe_plan(index_table, planes, query_vec, probe_bits: int):
+    """Driver-side multiprobe plan shared by the static index query
+    (:func:`ann_index_topk`) and the CDC-maintained index query
+    (streaming/ann_index.py ann_index_search): the query's margin-aware
+    probe signatures plus the bucket ids they hash into. Bucket ids come
+    from one tiny job over the literal sig list — it must use the SAME
+    xxhash64 the writer used, no driver reimplementation."""
+    from cht_sync_spark.tables.format import bucket_expr
+
+    qsig = 0
+    margins = []
+    for j, p in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        margins.append(d)
+        if d >= 0:
+            qsig |= 1 << j
+    sigs = _multiprobe_sigs(qsig, margins, probe_bits)
+    snap = index_table.snapshot()
+    buckets = sorted(
+        {
+            r["__b"]
+            for r in index_table.spark.createDataFrame([(s,) for s in sigs], "__sig long")
+            .select(bucket_expr(["__sig"], snap.num_buckets).alias("__b"))
+            .collect()
+        }
+    )
+    return sigs, buckets
+
+
 def ann_index_topk(index_table, query_vec, k: int = 10, probe_bits: int = 4,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Query the persisted LSH index: compute the probe signatures driver-
@@ -228,29 +257,9 @@ def ann_index_topk(index_table, query_vec, k: int = 10, probe_bits: int = 4,
     signatures."""
     import json
 
-    from cht_sync_spark.tables.format import bucket_expr
-
     snap = index_table.snapshot()
     planes = json.loads(snap.properties["ann.planes"])
-    qsig = 0
-    margins = []
-    for j, p in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, p))
-        margins.append(d)
-        if d >= 0:
-            qsig |= 1 << j
-    sigs = _multiprobe_sigs(qsig, margins, probe_bits)
-    # bucket ids of the probe signatures: one tiny job over the literal sig
-    # list (must use the SAME xxhash64 the writer used — no driver reimpl)
-    spark = index_table.spark
-    buckets = sorted(
-        {
-            r["__b"]
-            for r in spark.createDataFrame([(s,) for s in sigs], "__sig long")
-            .select(bucket_expr(["__sig"], snap.num_buckets).alias("__b"))
-            .collect()
-        }
-    )
+    sigs, buckets = probe_plan(index_table, planes, query_vec, probe_bits)
     cand = index_table.read(buckets=buckets).where(F.col("__sig").isin(sigs))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 

@@ -41,13 +41,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from cht_sync_spark.functions.similarity import (
-    _multiprobe_sigs,
     cosine_topk,
     lsh_signature,
     make_planes,
+    probe_plan,
 )
 from cht_sync_spark.streaming.derived_index import DerivedIndexConsumer, DerivedIndexResult
-from cht_sync_spark.tables.format import SnapshotTable, bucket_expr
+from cht_sync_spark.tables.format import SnapshotTable
 
 __all__ = ["AnnIndexConsumer", "AnnIndexResult", "ann_index_search"]
 
@@ -159,23 +159,7 @@ def ann_index_search(
     over the index's CURRENT state between compactions."""
     snap = index.snapshot()
     planes, _ = _planes_of(snap)
-    qsig = 0
-    margins = []
-    for j, p in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, p))
-        margins.append(d)
-        if d >= 0:
-            qsig |= 1 << j
-    sigs = _multiprobe_sigs(qsig, margins, probe_bits)
-    spark = index.spark
-    buckets = sorted(
-        {
-            r["__b"]
-            for r in spark.createDataFrame([(s,) for s in sigs], "__sig long")
-            .select(bucket_expr(["__sig"], snap.num_buckets).alias("__b"))
-            .collect()
-        }
-    )
+    sigs, buckets = probe_plan(index, planes, query_vec, probe_bits)
     cand = index.read_current(buckets=buckets, drop_tombstones=True).where(
         F.col("__sig").isin(sigs)
     )

@@ -251,7 +251,15 @@ def dedup_index_pairs(
     _, _, n, _ = _index_config(snap)
     key = _single_key(snap)
     id_col = id_col or key
-    rows = index.read_current(drop_tombstones=True).select("band", "bh", key)
+    # persist before the self-join: read_current is a scan + LWW window
+    # fold when deltas exist, and aliasing it as both sides would run the
+    # whole reconciliation twice (the same measured reason
+    # dedup._materialize_sigs persists the batch form's shared base)
+    rows = (
+        index.read_current(drop_tombstones=True)
+        .select("band", "bh", key)
+        .persist()
+    )
     x, y = rows.alias("x"), rows.alias("y")
     cand = (
         x.join(
@@ -300,15 +308,13 @@ def dedup_index_probe(
         .collect()
     )
     if not buckets:
-        return probe.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("probe_id", probe.schema[id_col].dataType, True),
-                    T.StructField("match_id", snap.schema[key].dataType, True),
-                ]
-            ),
-        )
+        fields = [
+            T.StructField("probe_id", probe.schema[id_col].dataType, True),
+            T.StructField("match_id", snap.schema[key].dataType, True),
+        ]
+        if source_docs is not None:  # schema parity with the verified path
+            fields.append(T.StructField("jaccard", T.DoubleType(), True))
+        return probe.sparkSession.createDataFrame([], T.StructType(fields))
     idx = index.read_current(buckets=buckets, drop_tombstones=True).select(
         "band", "bh", F.col(key).alias("match_id")
     )

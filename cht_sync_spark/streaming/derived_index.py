@@ -206,12 +206,23 @@ class DerivedIndexConsumer:
             def _props() -> dict[str, str]:
                 # post-write, PRE-COMMIT (same atomic snapshot as the
                 # merge): re-read the cursor — a concurrent same-name
-                # maintainer that already landed this range shows up as an
+                # maintainer that already landed THIS range shows up as an
                 # advanced cursor with NO CommitConflict (the merge pinned
-                # to the post-racer tip); skip instead of re-landing
+                # to the post-racer tip); skip instead of re-landing. A
+                # cursor at any OTHER version than from_v means a racer
+                # landed a SUB-range: this batch's absence tombstones were
+                # diffed against the from_v preimage, so applying them over
+                # the racer's rows would strand the racer's derived rows
+                # (never tombstoned) — abort and re-derive from the moved
+                # cursor (same guard as term_index._props)
                 p = self.index.snapshot().properties
-                if max(int(p.get(self._ckpt_key, 0)), 1) >= tip:
+                cur = max(int(p.get(self._ckpt_key, 0)), 1)
+                if cur >= tip:
                     raise _RangeAlreadyApplied()
+                if cur != from_v:
+                    raise CommitConflict(
+                        f"cursor moved {from_v} -> {cur} under the merge"
+                    )
                 return {self._ckpt_key: str(tip)}
 
             try:

@@ -188,6 +188,56 @@ def test_replay_from_rolled_back_cursor_converges(spark, tmp_path):
     assert c.position() > pre
 
 
+def test_subrange_racer_never_strands_stale_rows(spark, tmp_path, monkeypatch):
+    """The cursor-moved guard (derived_index._props): a concurrent
+    same-name maintainer that lands a SUB-range between this consumer's
+    cursor read and its merge commit invalidates the batch's preimage
+    basis — the absence tombstones were diffed against from_v, so applying
+    them over the racer's rows would strand the racer's band rows (doc 1's
+    intermediate-text signatures would survive forever). The guard aborts
+    the merge and re-derives from the moved cursor."""
+    src, idx, c = _mk_pair(spark, tmp_path)
+    src.append_delta(_rows(spark, CORPUS))
+    c.run_once()
+    src.append_delta(_rows(spark, [
+        (1, "an intermediate rewrite with entirely fresh words", 6, False),
+    ]))
+    v_mid = src.current_version()
+    src.append_delta(_rows(spark, [
+        (1, "merge upsert pipelines checkpoint their sequence cursors monotonically", 7, False),
+    ]))
+
+    # the racer: a second same-name maintainer whose view of the source is
+    # pinned to v_mid, so it lands exactly the sub-range [cursor, v_mid]
+    src2 = SnapshotTable(spark, str(tmp_path / "src"))
+    idx2 = SnapshotTable(spark, str(tmp_path / "idx"))
+    racer = DedupIndexConsumer(spark, src2, idx2, "ix")
+    monkeypatch.setattr(src2, "current_version", lambda: v_mid)
+
+    fired = {"done": False}
+    orig = c._delta
+
+    def hooked(from_v, tip):
+        d = orig(from_v, tip)
+        if not fired["done"]:
+            # interleave AFTER this consumer derived its batch against the
+            # from_v preimage, BEFORE its merge commits
+            fired["done"] = True
+            r = racer.run_once()
+            assert r is not None and r.rows_upserted > 0
+        return d
+
+    monkeypatch.setattr(c, "_delta", hooked)
+    res = c.run_once()
+    assert res is not None and res.retries >= 1  # the guard fired
+    assert c.position() == src.current_version()
+    # exactly `bands` live rows for doc 1 — the racer's intermediate-text
+    # rows were re-diffed and tombstoned, not stranded
+    live = idx.read_current(drop_tombstones=True)
+    assert live.where(F.col("doc_id") == 1).count() == 8
+    assert _pairs(idx, src) == _batch_pairs(src, "xxhash")
+
+
 def test_reseed_equals_incremental(spark, tmp_path):
     src, idx, c = _mk_pair(spark, tmp_path)
     src.append_delta(_rows(spark, CORPUS))
