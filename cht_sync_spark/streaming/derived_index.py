@@ -29,11 +29,12 @@ pure set-difference:
 
 Subclasses define ``derived_key`` (the value-dependent key columns) and
 ``derived_rows(docs, key)`` (live source rows -> derived rows); see
-:mod:`cht_sync_spark.streaming.dedup_index` (MinHash band signatures) and
-:mod:`cht_sync_spark.streaming.ann_index` (embedding LSH signatures). The
-term index (:mod:`cht_sync_spark.streaming.term_index`) keeps its own loop
-because it additionally maintains additive corpus statistics, which need
-the IVM plane's read-modify-write cursor pinning.
+:mod:`cht_sync_spark.streaming.dedup_index` (MinHash band signatures),
+:mod:`cht_sync_spark.streaming.ann_index` (embedding LSH signatures) and
+:mod:`cht_sync_spark.streaming.term_index` (postings — which additionally
+maintains additive corpus statistics through the ``_cycle_extra`` /
+``_extra_props`` hooks; the cursor guard in the pre-commit callback is
+what makes that read-modify-write sound, IVM's additive-state rule).
 
 Retention contract: each cycle opens the cursor's snapshot (changelog
 diff + preimage read), so with producer ``expire_snapshots(keep_last=k)``
@@ -101,6 +102,32 @@ class DerivedIndexConsumer:
         """LIVE source rows -> derived index rows
         (derived_key..., key..., payload...)."""
         raise NotImplementedError
+
+    def _pre_run(self) -> None:
+        """Hook before each run_once attempt loop (e.g. sole-owner check
+        for consumers that keep non-idempotent additive state)."""
+
+    def _cycle_extra(self, old: DataFrame, new: DataFrame):
+        """Hook computed once per cycle from the preimages and new winners
+        (e.g. additive corpus-stat deltas); passed to :meth:`_extra_props`
+        and :meth:`_mk_result`."""
+        return None
+
+    def _extra_props(self, extra, props: dict[str, str]) -> dict[str, str]:
+        """Hook merged into the atomic cycle commit's property update.
+        Runs inside the pre-commit callback AFTER the cursor guard, so a
+        read-modify-write of additive properties against ``props`` is
+        pinned (the cursor can only be at from_v here)."""
+        return {}
+
+    def _reseed_props(self, cur: DataFrame, tip: int) -> dict[str, str]:
+        """Hook merged into reseed's property update (e.g. recomputed
+        corpus stats)."""
+        return {}
+
+    def _mk_result(self, from_v: int, tip: int, ups: int, dels: int, attempt: int):
+        """Result constructor — subclasses may return a richer type."""
+        return DerivedIndexResult(from_v, tip, ups, dels, attempt)
 
     # ------------------------------------------------------------- cursor
     @property
@@ -174,19 +201,20 @@ class DerivedIndexConsumer:
         )
         for f in self._payload_fields(key, ocols):
             dels = dels.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return ups.unionByName(dels.select(*ups.columns)), old, new
+        return ups.unionByName(dels.select(*ups.columns)), old, new, self._cycle_extra(old, new)
 
     # ---------------------------------------------------------------- run
     def run_once(self) -> DerivedIndexResult | None:
         """Index everything committed since the cursor, or None if caught
         up. Derived-row merge and cursor commit in ONE snapshot; a lost
         commit race re-reads the cursor before retrying."""
+        self._pre_run()
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
             tip = self.source.current_version()
             from_v = max(self.position(), 1)
             if tip <= from_v:
-                return None if attempt == 0 else DerivedIndexResult(from_v, tip, 0, 0, attempt)
+                return None if attempt == 0 else self._mk_result(from_v, tip, 0, 0, attempt)
             d = self._delta(from_v, tip)
             if d is None:  # compaction-only range: advance the cursor
                 try:
@@ -196,12 +224,12 @@ class DerivedIndexConsumer:
                         properties_update={self._ckpt_key: str(tip)},
                         expected_version=isnap.version,
                     )
-                    return DerivedIndexResult(from_v, tip, 0, 0, attempt)
+                    return self._mk_result(from_v, tip, 0, 0, attempt)
                 except CommitConflict as e:
                     last_err = e
                     time.sleep(0.05 * (attempt + 1))
                     continue
-            batch, old, new = d
+            batch, old, new, extra = d
 
             def _props() -> dict[str, str]:
                 # post-write, PRE-COMMIT (same atomic snapshot as the
@@ -223,7 +251,7 @@ class DerivedIndexConsumer:
                     raise CommitConflict(
                         f"cursor moved {from_v} -> {cur} under the merge"
                     )
-                return {self._ckpt_key: str(tip)}
+                return {self._ckpt_key: str(tip), **self._extra_props(extra, p)}
 
             try:
                 stats = merge_upsert(
@@ -244,12 +272,12 @@ class DerivedIndexConsumer:
                         properties_update=_props(),
                         expected_version=isnap.version,
                     )
-                return DerivedIndexResult(
+                return self._mk_result(
                     from_v, tip, stats.rows_in_batch,
                     stats.rows_deleted_tombstones, attempt,
                 )
             except _RangeAlreadyApplied:
-                return DerivedIndexResult(from_v, tip, 0, 0, attempt)
+                return self._mk_result(from_v, tip, 0, 0, attempt)
             except CommitConflict as e:
                 last_err = e
                 time.sleep(0.05 * (attempt + 1))
@@ -290,6 +318,7 @@ class DerivedIndexConsumer:
             properties_update={
                 **{k: None for k in stale},
                 self._ckpt_key: str(tip),
+                **self._reseed_props(cur, tip),
             },
         )
-        return DerivedIndexResult(0, tip, 0, 0)
+        return self._mk_result(0, tip, 0, 0, 0)

@@ -57,27 +57,19 @@ down, like streaming/consumer.py.
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
-from cht_sync_spark.tables.merge import merge_upsert
 from cht_sync_spark.functions.text import words
+from cht_sync_spark.streaming.derived_index import DerivedIndexConsumer
+from cht_sync_spark.tables.format import SnapshotTable, bucket_expr
 
 __all__ = ["TermIndexConsumer", "IndexResult", "bm25_index_topk"]
 
 _N_DOCS = "termindex.n_docs"
 _TOTAL_DL = "termindex.total_dl"
-
-
-class _RangeAlreadyApplied(Exception):
-    """Raised from the pre-commit hook when a concurrent same-name
-    maintainer already landed this changelog range — the additive corpus
-    stats must not be applied twice (IVM's additive-state rule)."""
 
 
 @dataclass
@@ -90,7 +82,20 @@ class IndexResult:
     retries: int = 0
 
 
-class TermIndexConsumer:
+class TermIndexConsumer(DerivedIndexConsumer):
+    """Postings maintenance over the generic derived-index loop
+    (:mod:`cht_sync_spark.streaming.derived_index`): derived rows are the
+    (term, doc key, tf, dl) postings of each live doc, and the base
+    class's preimage diff + delete-by-absence tombstones invalidate stale
+    terms. On top of the generic loop this consumer maintains ADDITIVE
+    corpus statistics (live doc count, total token length) via the
+    ``_cycle_extra``/``_extra_props`` hooks — the base's cursor guard
+    (abort when the cursor moved under the merge) is exactly what makes
+    the read-modify-write of those properties sound, so one index admits
+    one maintainer name (enforced in ``_pre_run``)."""
+
+    derived_key = ["term"]
+
     def __init__(
         self,
         spark: SparkSession,
@@ -103,26 +108,9 @@ class TermIndexConsumer:
         strict: bool = True,
         max_retries: int = 8,
     ):
-        self.spark = spark
-        self.source = source
-        self.index = index
-        self.name = name
+        super().__init__(spark, source, index, name, strict=strict, max_retries=max_retries)
         self.text_col = text_col
         self.stop_terms = set(stop_terms or ())
-        self.strict = strict
-        self.max_retries = max_retries
-
-    # ------------------------------------------------------------- cursor
-    @property
-    def _ckpt_key(self) -> str:
-        return f"consumer.{self.name}.version"
-
-    def position(self) -> int:
-        v = self.index.snapshot().properties.get(self._ckpt_key)
-        return int(v) if v is not None else 0
-
-    def pending_versions(self) -> int:
-        return max(0, self.source.current_version() - max(self.position(), 1))
 
     def stats(self) -> tuple[int, float]:
         """(live docs, average doc length) from index properties — O(1)."""
@@ -132,8 +120,8 @@ class TermIndexConsumer:
         return n, (total / n if n else 0.0)
 
     # ------------------------------------------------------------ postings
-    def _postings_of(self, docs: DataFrame, key: list[str]) -> DataFrame:
-        """(key..., term, tf, dl) for the LIVE rows of ``docs`` — one
+    def derived_rows(self, docs: DataFrame, key: list[str]) -> DataFrame:
+        """(term, key..., tf, dl) for the LIVE rows of ``docs`` — one
         explode + one keyed count; stop/empty terms excluded."""
         live = (
             docs.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
@@ -148,72 +136,24 @@ class TermIndexConsumer:
             t = t.where(~F.col("term").isin(sorted(self.stop_terms)))
         return t.groupBy(*key, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
 
-    def _delta(self, from_v: int, tip: int):
-        """(postings batch, docs_added, docs_removed, dl_delta) for the
-        changelog range, or None when it holds no logical changes."""
-        src = self.source
-        ch = src.changes(from_v, tip, strict=self.strict).drop(
-            "_change_version", "_change_type"
-        )
-        snap = src.snapshot(from_v)
-        key = list(snap.key_cols)
-        touched = [
-            r["__b"]
-            for r in ch.select(
-                bucket_expr(snap.bucket_cols, snap.num_buckets).alias("__b")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return None
-        keys = ch.select(*key).distinct()
-        old = src.read_current(version=from_v, buckets=sorted(touched)).join(
-            F.broadcast(keys), on=key, how="left_semi"
-        )
-        order = (snap.lww_order or [(key[0], True)]) + [("__existing", False)]
-        new = lww_dedup(
-            old.withColumn("__existing", F.lit(1)).unionByName(
-                ch.withColumn("__existing", F.lit(0)), allowMissingColumns=True
-            ),
-            key=key,
-            order=order,
-        ).drop("__existing")
-        # the preimages and new winners feed FOUR consumers below (two
-        # postings sets, the del anti-join, the stats aggregate) — persist
-        # the tiny changed-key frames instead of re-running the fold
-        old = old.persist()
-        new = new.persist()
-
-        new_p = self._postings_of(new, key)
-        old_p = self._postings_of(old, key)
-        ocols = [c for c, _ in (snap.lww_order or [])]
-        winner_order = new.select(*key, *ocols)
-        ups = new_p.join(winner_order, on=key).withColumn("_deleted", F.lit(False))
-        # delete-by-absence: old terms the new version no longer emits get
-        # tombstones carrying the NEW winner's order values (they must beat
-        # the stale posting under the index's LWW — the purge-marker move)
-        dels = (
-            old_p.select(*key, "term")
-            .join(new_p.select(*key, "term"), on=[*key, "term"], how="left_anti")
-            .join(winner_order, on=key)
-            .withColumn("tf", F.lit(None).cast("long"))
-            .withColumn("dl", F.lit(None).cast("long"))
-            .withColumn("_deleted", F.lit(True))
-        )
-        batch = ups.unionByName(dels.select(*ups.columns))
-
+    # -------------------------------------------------------- stat deltas
+    def _live_dl(self, docs: DataFrame, side: int):
         live = (
             ~F.coalesce(F.col("_deleted"), F.lit(False))
-            if "_deleted" in new.columns
+            if "_deleted" in docs.columns
             else F.lit(True)
         )
         dl_of = F.coalesce(F.size(words(F.lower(F.col(self.text_col)))), F.lit(0))
+        return docs.select(
+            F.lit(side).alias("__side"), live.alias("__live"), dl_of.alias("__dl")
+        )
+
+    def _cycle_extra(self, old: DataFrame, new: DataFrame):
+        """(docs_delta, dl_delta) over the changed keys: new winners minus
+        preimages, live rows only — the additive corpus-stat increments."""
         stat = (
-            new.select(F.lit(1).alias("__side"), live.alias("__live"), dl_of.alias("__dl"))
-            .unionByName(
-                old.select(F.lit(0).alias("__side"), live.alias("__live"), dl_of.alias("__dl"))
-            )
+            self._live_dl(new, 1)
+            .unionByName(self._live_dl(old, 0))
             .agg(
                 F.sum(F.when((F.col("__side") == 1) & F.col("__live"), 1).otherwise(0)).alias("n_new"),
                 F.sum(F.when((F.col("__side") == 0) & F.col("__live"), 1).otherwise(0)).alias("n_old"),
@@ -223,15 +163,36 @@ class TermIndexConsumer:
             .first()
         )
         return (
-            batch,
             int(stat["n_new"] or 0) - int(stat["n_old"] or 0),
             int(stat["dl_new"] or 0) - int(stat["dl_old"] or 0),
-            old,
-            new,
         )
 
+    def _extra_props(self, extra, props: dict[str, str]) -> dict[str, str]:
+        # runs AFTER the base cursor guard, so this is a pinned
+        # read-modify-write of the additive stats (IVM's rule)
+        docs_delta, dl_delta = extra
+        return {
+            _N_DOCS: str(int(props.get(_N_DOCS, 0)) + docs_delta),
+            _TOTAL_DL: str(int(props.get(_TOTAL_DL, 0)) + dl_delta),
+        }
+
+    def _reseed_props(self, cur: DataFrame, tip: int) -> dict[str, str]:
+        agg = (
+            self._live_dl(cur, 1)
+            .where(F.col("__live"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("dl"))
+            .first()
+        )
+        return {
+            _N_DOCS: str(int(agg["n"] or 0)),
+            _TOTAL_DL: str(int(agg["dl"] or 0)),
+        }
+
+    def _mk_result(self, from_v: int, tip: int, ups: int, dels: int, attempt: int):
+        return IndexResult(from_v, tip, ups, dels, self.stats()[0], attempt)
+
     # ---------------------------------------------------------------- run
-    def _check_sole_owner(self) -> None:
+    def _pre_run(self) -> None:
         others = [
             k
             for k in self.index.snapshot().properties
@@ -243,135 +204,6 @@ class TermIndexConsumer:
                 "additive corpus stats admit ONE maintainer name — reseed() to "
                 "take over atomically"
             )
-
-    def run_once(self) -> IndexResult | None:
-        """Index everything committed since the cursor, or None if caught
-        up. Postings merge, corpus stats, and cursor commit in ONE
-        snapshot; a lost commit race re-reads the cursor before retrying
-        (additive stats are not idempotent — IVM's rule)."""
-        self._check_sole_owner()
-        last_err: CommitConflict | None = None
-        for attempt in range(self.max_retries):
-            tip = self.source.current_version()
-            from_v = max(self.position(), 1)
-            if tip <= from_v:
-                return None if attempt == 0 else IndexResult(from_v, tip, 0, 0, self.stats()[0], attempt)
-            d = self._delta(from_v, tip)
-            if d is None:  # compaction-only range: advance the cursor
-                try:
-                    isnap = self.index.snapshot()
-                    self.index.commit(
-                        add_files=[],
-                        properties_update={self._ckpt_key: str(tip)},
-                        expected_version=isnap.version,
-                    )
-                    return IndexResult(from_v, tip, 0, 0, self.stats()[0], attempt)
-                except CommitConflict as e:
-                    last_err = e
-                    time.sleep(0.05 * (attempt + 1))
-                    continue
-            batch, docs_delta, dl_delta, old, new = d
-            applied_n = {"n": 0}
-
-            def _props() -> dict[str, str]:
-                # post-write, PRE-COMMIT (same atomic snapshot as the
-                # postings): re-read the cursor so the additive stats are
-                # a pinned read-modify-write. A concurrent same-name
-                # maintainer that already landed this range shows up as an
-                # advanced cursor with NO CommitConflict (the merge pinned
-                # to the post-racer tip) — abort instead of double-adding.
-                p = self.index.snapshot().properties
-                cur = max(int(p.get(self._ckpt_key, 0)), 1)
-                if cur >= tip:
-                    raise _RangeAlreadyApplied()
-                if cur != from_v:
-                    raise CommitConflict(
-                        f"cursor moved {from_v} -> {cur} under the merge"
-                    )
-                applied_n["n"] = int(p.get(_N_DOCS, 0)) + docs_delta
-                return {
-                    self._ckpt_key: str(tip),
-                    _N_DOCS: str(applied_n["n"]),
-                    _TOTAL_DL: str(int(p.get(_TOTAL_DL, 0)) + dl_delta),
-                }
-
-            try:
-                stats = merge_upsert(
-                    self.index,
-                    batch,
-                    tombstones="drop",
-                    prefer="batch",  # a re-derived posting is authoritative
-                    properties_fn=_props,
-                    max_retries=1,  # losses re-check the cursor out here
-                )
-                if self.position() < tip:
-                    # empty postings batch (e.g. changed docs with only
-                    # stop/empty text): the merge's empty path skips
-                    # properties_fn — commit stats + cursor pinned here
-                    isnap = self.index.snapshot()
-                    self.index.commit(
-                        add_files=[],
-                        properties_update=_props(),
-                        expected_version=isnap.version,
-                    )
-                return IndexResult(
-                    from_v, tip, stats.rows_in_batch,
-                    stats.rows_deleted_tombstones, applied_n["n"], attempt,
-                )
-            except _RangeAlreadyApplied:
-                return IndexResult(from_v, tip, 0, 0, self.stats()[0], attempt)
-            except CommitConflict as e:
-                last_err = e
-                time.sleep(0.05 * (attempt + 1))
-            finally:
-                old.unpersist()
-                new.unpersist()
-        raise last_err  # type: ignore[misc]
-
-    def run(self, max_cycles: int | None = None) -> list[IndexResult]:
-        out: list[IndexResult] = []
-        while max_cycles is None or len(out) < max_cycles:
-            r = self.run_once()
-            if r is None:
-                break
-            out.append(r)
-        return out
-
-    def reseed(self) -> IndexResult:
-        """Atomic full rebuild from the source's current state — recovery
-        for uncrossable changelogs (producer rollback, lapsed cursor) and
-        the sanctioned ownership-transfer path."""
-        tip = self.source.current_version()
-        snap = self.source.snapshot(tip)
-        key = list(snap.key_cols)
-        cur = self.source.read_current(version=tip)
-        if "_deleted" not in cur.columns:
-            cur = cur.withColumn("_deleted", F.lit(False))
-        p = self._postings_of(cur, key)
-        ocols = [c for c, _ in (snap.lww_order or [])]
-        full = p.join(cur.select(*key, *ocols), on=key).withColumn(
-            "_deleted", F.lit(False)
-        )
-        live = cur.where(~F.coalesce(F.col("_deleted"), F.lit(False))) if "_deleted" in cur.columns else cur
-        agg = live.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce(F.size(words(F.lower(F.col(self.text_col)))), F.lit(0))).alias("dl"),
-        ).first()
-        isnap = self.index.snapshot()
-        stale = [
-            k for k in isnap.properties
-            if k.startswith("consumer.") and k.endswith(".version")
-        ]
-        self.index.overwrite(
-            full.select(*self.index.snapshot().schema.fieldNames()),
-            properties_update={
-                **{k: None for k in stale},
-                self._ckpt_key: str(tip),
-                _N_DOCS: str(int(agg["n"] or 0)),
-                _TOTAL_DL: str(int(agg["dl"] or 0)),
-            },
-        )
-        return IndexResult(0, tip, int(agg["n"] or 0), 0, int(agg["n"] or 0))
 
     # --------------------------------------------------------------- setup
     @classmethod
