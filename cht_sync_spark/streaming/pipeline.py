@@ -92,6 +92,7 @@ class ReplayPipeline:
         dlq_path: str | None = None,
         table_properties: dict[str, str] | None = None,
         model_runs_path: str | None = None,
+        consumers: list | None = None,
     ):
         self.spark = spark
         self.feed = feed
@@ -116,6 +117,18 @@ class ReplayPipeline:
         # 10^10-event replay — without a cadence both grow O(batches).
         self.maintenance_every = maintenance_every
         self.maintenance_keep_snapshots = maintenance_keep_snapshots
+        # In-loop changelog consumers (ChangelogConsumer, TermIndexConsumer,
+        # DedupIndexConsumer, AnnIndexConsumer, AggregateConsumer — anything
+        # with run()): after each applied batch the drain loop gives every
+        # consumer a catch-up cycle, so one process keeps the downstream
+        # mirrors/indexes/aggregates fresh alongside the ingest. This is
+        # CONVENIENCE wiring, not a correctness dependency: each consumer
+        # owns its cursor, committed atomically with its derived data, so a
+        # crash between the landing commit and a consumer cycle simply
+        # leaves that consumer one range behind — the next call (here or
+        # anywhere else) heals it. Consumers over a COW landing table need
+        # cdc.enabled (strict changelog rules apply unchanged).
+        self.consumers = list(consumers or [])
         # S2 lag probe: when on, each batch's checkpoint also records the
         # per-source events still pending past the batch's high seq (the
         # reference's `_changes?limit=0&since=seq -> pending`,
@@ -567,5 +580,13 @@ class ReplayPipeline:
                 if self.maintenance_every and applied_since_maintain >= self.maintenance_every:
                     self.maintain()
                     applied_since_maintain = 0
+                for c in self.consumers:
+                    c.run()
             lo = hi
+        # a resume with nothing new to ingest still gives lagging consumers
+        # their catch-up cycle (crash window between landing commit and
+        # consumer run; mirrors the lagging-model catch-up rule above)
+        if not results:
+            for c in self.consumers:
+                c.run()
         return results

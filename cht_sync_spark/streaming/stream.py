@@ -69,6 +69,7 @@ class StreamingReplay:
         source_format: Literal["parquet", "cht_changes"] = "parquet",
         events_per_trigger: int = 0,
         model_runs_path: str | None = None,
+        consumers: list | None = None,
     ):
         self.spark = spark
         self.feed_path = feed_path
@@ -92,6 +93,7 @@ class StreamingReplay:
         # exactly-once replay semantics are unaffected.
         self.maintenance_every = maintenance_every
         self.maintenance_keep_snapshots = maintenance_keep_snapshots
+        self.consumers = list(consumers or [])
         self._since_maintain = 0
         # S8: several streaming queries (one per source/watcher, own Spark
         # checkpoint dir) may share one landing table; each keeps its own
@@ -326,6 +328,11 @@ class StreamingReplay:
         if self.maintenance_every and self._since_maintain >= self.maintenance_every:
             self.maintain()
             self._since_maintain = 0
+        # in-loop changelog consumers, same contract as ReplayPipeline:
+        # convenience wiring — each consumer owns its atomically-committed
+        # cursor, so a crash here just leaves it one range behind
+        for c in self.consumers:
+            c.run()
 
     def maintain(self) -> None:
         """One maintenance cycle on the landing AND model tables (the
