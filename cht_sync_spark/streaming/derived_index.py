@@ -179,11 +179,14 @@ class DerivedIndexConsumer:
         ).drop("__existing")
         # the preimages and new winners each feed two consumers below (a
         # derived-row side and the absence anti-join) — persist the tiny
-        # changed-key frames instead of re-running the fold
+        # changed-key frames instead of re-running the fold. The DERIVED
+        # frames are persisted too: new_r feeds both the upsert join and
+        # the absence anti-join, and derivation is the cycle's expensive
+        # stage (md5 minhash permutations, hyperplane signatures) — without
+        # the persist it runs once per consumer
         old = old.persist()
         new = new.persist()
-
-        new_r = self.derived_rows(new, key)
+        new_r = self.derived_rows(new, key).persist()
         old_r = self.derived_rows(old, key)
         ocols = [c for c, _ in (snap.lww_order or [])]
         winner_order = new.select(*key, *ocols)
@@ -201,7 +204,8 @@ class DerivedIndexConsumer:
         )
         for f in self._payload_fields(key, ocols):
             dels = dels.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return ups.unionByName(dels.select(*ups.columns)), old, new, self._cycle_extra(old, new)
+        batch = ups.unionByName(dels.select(*ups.columns))
+        return batch, [old, new, new_r], self._cycle_extra(old, new)
 
     # ---------------------------------------------------------------- run
     def run_once(self) -> DerivedIndexResult | None:
@@ -229,7 +233,7 @@ class DerivedIndexConsumer:
                     last_err = e
                     time.sleep(0.05 * (attempt + 1))
                     continue
-            batch, old, new, extra = d
+            batch, pinned, extra = d
 
             def _props() -> dict[str, str]:
                 # post-write, PRE-COMMIT (same atomic snapshot as the
@@ -282,8 +286,8 @@ class DerivedIndexConsumer:
                 last_err = e
                 time.sleep(0.05 * (attempt + 1))
             finally:
-                old.unpersist()
-                new.unpersist()
+                for df in pinned:
+                    df.unpersist()
         raise last_err  # type: ignore[misc]
 
     def run(self, max_cycles: int | None = None) -> list[DerivedIndexResult]:
