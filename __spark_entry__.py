@@ -2054,6 +2054,52 @@ def q_transcript_integrity(spark, sf):
     return transcript_integrity(turns)
 
 
+def _events_as_revisions(spark, sf):
+    """Each user's event stream read as a revision chain of one document
+    (the SCD2 input shape): ordered by event_id, 'purchase' events marked
+    as delete revisions so tombstone-interval semantics are exercised."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("event_type").alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        (F.col("event_type") == "purchase").alias("_deleted"),
+    )
+
+
+def q_scd2_history(spark, sf):
+    """SCD Type 2 history derivation (streaming/scd2.py — dbt snapshot,
+    ``timestamp`` strategy): every revision becomes a validity interval
+    ``[valid_from, valid_to)`` with ``is_current`` on the live tail; delete
+    revisions close intervals without a current row. One window pass per
+    key (keyed shuffle on conv_id, rank/lead inside), fully Catalyst.
+    The incremental consumer form (O(touched keys) per changelog cycle,
+    out-of-order-safe chain recompute) is pinned in tests/test_scd2.py."""
+    from cht_sync_spark.streaming.scd2 import scd2_intervals
+
+    out = scd2_intervals(_events_as_revisions(spark, sf), ["conv_id"], "seq")
+    return out.select(
+        "conv_id", "seq", "role", "text", "_deleted", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_scd2_check_collapse(spark, sf):
+    """SCD2 ``check`` strategy (dbt check_cols): consecutive revisions equal
+    on the tracked column collapse into one interval — history stores state
+    CHANGES, not every touch. Same single-window shape plus one lag-filter
+    pass; run-length head selection is exact (lag over the full ordered
+    set), matching the ANSI gaps-and-islands oracle."""
+    from cht_sync_spark.streaming.scd2 import scd2_intervals
+
+    out = scd2_intervals(
+        _events_as_revisions(spark, sf), ["conv_id"], "seq", check_cols=["role"]
+    )
+    return out.select(
+        "conv_id", "seq", "role", "text", "_deleted", "valid_from", "valid_to", "is_current"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_changes_batch_pull": q_s1_changes_batch_pull,
@@ -2141,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_assembly": q_conversation_assembly,
         "sft_examples": q_sft_examples,
         "transcript_integrity": q_transcript_integrity,
+        "scd2_history": q_scd2_history,
+        "scd2_check_collapse": q_scd2_check_collapse,
     }
 
 
@@ -3142,6 +3190,31 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(rep) AS BIGINT) AS n_role_repeats, "
             "  first(role ORDER BY turn_idx, role) = 'user' AS starts_with_user "
             "FROM r GROUP BY conv_id"
+        ),
+        "scd2_history": (
+            "WITH revs AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "  CAST(event_id AS BIGINT) AS seq, event_type AS role, "
+            "  coalesce(props, '') AS text, "
+            "  (event_type = 'purchase') AS _deleted FROM events) "
+            "SELECT conv_id, seq, role, text, _deleted, seq AS valid_from, "
+            "  lead(seq) OVER w AS valid_to, "
+            "  (lead(seq) OVER w IS NULL AND NOT _deleted) AS is_current "
+            "FROM revs WINDOW w AS (PARTITION BY conv_id ORDER BY seq)"
+        ),
+        "scd2_check_collapse": (
+            "WITH revs AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "  CAST(event_id AS BIGINT) AS seq, event_type AS role, "
+            "  coalesce(props, '') AS text, "
+            "  (event_type = 'purchase') AS _deleted FROM events), "
+            "surv AS (SELECT * FROM ("
+            "  SELECT *, lag(struct_pack(r := role, d := _deleted)) OVER "
+            "    (PARTITION BY conv_id ORDER BY seq) AS prev FROM revs) "
+            "  WHERE prev IS NULL "
+            "    OR prev IS DISTINCT FROM struct_pack(r := role, d := _deleted)) "
+            "SELECT conv_id, seq, role, text, _deleted, seq AS valid_from, "
+            "  lead(seq) OVER w AS valid_to, "
+            "  (lead(seq) OVER w IS NULL AND NOT _deleted) AS is_current "
+            "FROM surv WINDOW w AS (PARTITION BY conv_id ORDER BY seq)"
         ),
     }
     # the MOR model plane must land on the IDENTICAL state as the COW

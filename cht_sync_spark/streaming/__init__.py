@@ -1,6 +1,7 @@
 from cht_sync_spark.streaming.consumer import ChangelogConsumer
 from cht_sync_spark.streaming.ivm import AggregateConsumer, Measure
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
+from cht_sync_spark.streaming.scd2 import Scd2Consumer, scd2_intervals
 from cht_sync_spark.streaming.stream import StreamingReplay
 
 __all__ = [
@@ -8,5 +9,7 @@ __all__ = [
     "ChangelogConsumer",
     "Measure",
     "ReplayPipeline",
+    "Scd2Consumer",
     "StreamingReplay",
+    "scd2_intervals",
 ]
