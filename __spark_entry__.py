@@ -471,7 +471,7 @@ def q_consistent_read(spark, sf):
     ).join(counts, "conv_id")
 
 
-def _ivm_replay(spark, sf, work, group_cols, measures):
+def _ivm_replay(spark, sf, work, group_cols, measures, distinct=None):
     """Shared IVM driver harness: three-wave replay (two insert batches,
     then a tombstone wave deleting every 'error' turn at revision 2) with
     the AggregateConsumer draining BETWEEN batches — retractions recovered
@@ -507,10 +507,18 @@ def _ivm_replay(spark, sf, work, group_cols, measures):
         spark, ChangesFeedSource(spark, dirs, sources=["db0", "db1"]), f"{work}/t",
         num_buckets=8, mode="mor",
     )
-    tgt = AggregateConsumer.create_target(
-        spark, pipe.table, f"{work}/agg", group_cols, measures, num_buckets=8
-    )
-    cons = AggregateConsumer(spark, pipe.table, tgt, "agg", group_cols, measures)
+    if distinct is not None:
+        from cht_sync_spark.streaming.ivm import DistinctCountConsumer
+
+        tgt = DistinctCountConsumer.create_distinct_target(
+            spark, pipe.table, f"{work}/agg", group_cols, distinct, num_buckets=8
+        )
+        cons = DistinctCountConsumer(spark, pipe.table, tgt, "agg", group_cols, distinct)
+    else:
+        tgt = AggregateConsumer.create_target(
+            spark, pipe.table, f"{work}/agg", group_cols, measures, num_buckets=8
+        )
+        cons = AggregateConsumer(spark, pipe.table, tgt, "agg", group_cols, measures)
     cut = hi // 2
     pipe.run_batch(0, -(2**62), cut)
     cons.run()
@@ -549,6 +557,26 @@ def q_ivm_daily_rollup(spark, sf):
     measures = {"chars": F.length("text")}
     tgt = _ivm_replay(spark, sf, tempfile.mkdtemp(prefix="ivmroll_q_"), group, measures)
     return tgt.read_current().select("day", "source", "n_rows", "chars")
+
+
+def q_ivm_distinct(spark, sf):
+    """Exact COUNT(DISTINCT) IVM (streaming/ivm.py DistinctCountConsumer):
+    distinct event kinds per conversation maintained through the same
+    three-wave replay — two-level (refcount + summary) state folded in ONE
+    atomic commit; the delete wave must VANISH the 'error' kind from every
+    group (a refcount crossing +→0), which no additive aggregate can
+    express. Oracle = plain COUNT(DISTINCT) over the surviving events."""
+    import tempfile
+
+    tgt = _ivm_replay(
+        spark, sf, tempfile.mkdtemp(prefix="ivmdc_q_"), ["conv_id"], None,
+        distinct="text",  # landing text = event kind
+    )
+    return (
+        tgt.read_current()
+        .where(F.col("__v").isNull())
+        .select("conv_id", F.col("n_rows").alias("n_distinct"))
+    )
 
 
 def q_checkpoint_liveness(spark, sf):
@@ -2133,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_liveness": q_checkpoint_liveness,
         "ivm_aggregate": q_ivm_aggregate,
         "ivm_daily_rollup": q_ivm_daily_rollup,
+        "ivm_distinct": q_ivm_distinct,
         "consistent_read": q_consistent_read,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
@@ -2375,6 +2404,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows, "
             "CAST(sum(length(event_type)) AS BIGINT) AS chars "
             "FROM events WHERE event_type <> 'error' GROUP BY 1, 2"
+        ),
+        "ivm_distinct": (
+            "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
+            "FROM events WHERE event_type <> 'error' GROUP BY user_id"
         ),
         "checkpoint_liveness": (
             "WITH cut AS (SELECT max(event_id) // 2 AS c FROM events) "

@@ -1,5 +1,5 @@
 from cht_sync_spark.streaming.consumer import ChangelogConsumer
-from cht_sync_spark.streaming.ivm import AggregateConsumer, Measure
+from cht_sync_spark.streaming.ivm import AggregateConsumer, DistinctCountConsumer, Measure
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.streaming.scd2 import Scd2Consumer, scd2_intervals
 from cht_sync_spark.streaming.stream import StreamingReplay
@@ -7,6 +7,7 @@ from cht_sync_spark.streaming.stream import StreamingReplay
 __all__ = [
     "AggregateConsumer",
     "ChangelogConsumer",
+    "DistinctCountConsumer",
     "Measure",
     "ReplayPipeline",
     "Scd2Consumer",

@@ -629,3 +629,221 @@ class AggregateConsumer:
             num_buckets=num_buckets,
             **table_kw,
         )
+
+
+class DistinctCountConsumer(AggregateConsumer):
+    """Exact, incrementally-maintained ``COUNT(DISTINCT value) GROUP BY
+    group_cols`` — the one dashboard aggregate the additive plane cannot
+    express (distinct count is not algebraic: an arriving duplicate must
+    know whether the group already holds the value).
+
+    Classic two-level IVM, collapsed into ONE table and ONE atomic commit:
+
+    - **refcount rows** (``__v`` NOT null): one row per (group, value) with
+      ``n_rows`` = live source rows contributing that value — maintained by
+      the SAME changelog-delta machinery as :class:`AggregateConsumer`,
+      with the value as one more derived group key (so updates that
+      migrate a row between values retract one refcount and add another,
+      and time-travel preimages make the retraction exact).
+    - **one summary row per group** (``__v`` null): ``n_rows`` = the
+      distinct count. Folded in the SAME pass from the refcount
+      transitions — a value APPEARS when its refcount crosses 0→+ and
+      VANISHES on +→0, and the summary delta is (appeared − vanished).
+      Because both levels commit in one snapshot pinned to one cursor,
+      there is no window where the refcounts and the count disagree.
+
+    Null values never count (SQL ``COUNT(DISTINCT)`` semantics). Groups
+    retract to absence when their last value vanishes. Reads:
+    :meth:`counts` is a bucket-prunable scan of the summary rows — no
+    aggregation over the refcounts at query time.
+
+    Scale: state is O(sum of per-group distinct cardinalities) — the same
+    state lower bound ANY exact distinct count needs; per cycle the work is
+    the AggregateConsumer delta (O(batch) + touched-bucket rewrite). For
+    cardinalities where exact state is unaffordable, keep the measure
+    approximate at read time instead (HLL over the refcount rows); the
+    refcount table IS the exact sketch.
+
+    Reference basis: the reference's sql-exporter dashboards count distinct
+    entities per source with full re-scans (sql-exporter-config.yaml); dbt
+    re-selects. This is the Spark-first incremental form.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapshotTable | str,
+        target: SnapshotTable,
+        name: str,
+        group_cols: list,
+        value: F.Column | str,
+        strict: bool = True,
+        max_retries: int = 8,
+    ):
+        vcol = F.col(value) if isinstance(value, str) else value
+        super().__init__(
+            spark,
+            source,
+            target,
+            name,
+            group_cols=list(group_cols) + [("__v", vcol)],
+            measures={},
+            strict=strict,
+            max_retries=max_retries,
+        )
+        self.outer = self.group_cols[:-1]  # group cols without __v
+
+    # ------------------------------------------------------------- reads
+    def counts(self, buckets: list[int] | None = None) -> DataFrame:
+        """The maintained view: one row per group, ``n_distinct``."""
+        t = self.target.read(buckets=buckets)
+        return t.where(F.col("__v").isNull()).select(
+            *self.outer, F.col(SUPPORT_COL).alias("n_distinct")
+        )
+
+    def refcounts(self, buckets: list[int] | None = None) -> DataFrame:
+        """The per-(group, value) support rows (the exact 'sketch')."""
+        t = self.target.read(buckets=buckets)
+        return t.where(F.col("__v").isNotNull())
+
+    # ------------------------------------------------------------- apply
+    def _apply(self, delta: DataFrame, from_v: int, tip: int, attempt: int) -> IvmResult:
+        tsnap = self.target.snapshot()
+        # SQL COUNT(DISTINCT) ignores nulls; a null-valued refcount row
+        # would also collide with the summary row's __v-null key
+        delta = delta.where(F.col("__v").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bstats = (
+                delta.withColumn("__b", bucket_expr(tsnap.bucket_cols, tsnap.num_buckets))
+                .groupBy("__b")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            if not bstats:
+                self._advance_cursor(tip)
+                return IvmResult(from_v, tip, 0, 0, 0, attempt)
+            affected = sorted(r["__b"] for r in bstats)
+            n_vals = int(sum(r["n"] for r in bstats))
+
+            state = self.target.read(buckets=affected)
+            vals = state.where(F.col("__v").isNotNull()).alias("s")
+            sums = state.where(F.col("__v").isNull())
+            d = delta.alias("d")
+
+            keycols = [*self.outer, "__v"]
+            cond = None
+            for c in keycols:  # null-safe: null OUTER group keys are real groups
+                t = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+                cond = t if cond is None else (cond & t)
+            j = vals.join(d, on=cond, how="full_outer")
+            old_n = F.col(f"s.{SUPPORT_COL}")
+            new_n = F.coalesce(old_n, F.lit(0)) + F.coalesce(F.col(f"d.{SUPPORT_COL}"), F.lit(0))
+            folded = j.select(
+                *[F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c) for c in keycols],
+                new_n.alias(SUPPORT_COL),
+                # stored refcounts are always > 0, so presence of the state
+                # row IS the old set-membership bit
+                (old_n.isNull() & (new_n > 0)).cast("long").alias("__app"),
+                (old_n.isNotNull() & (new_n <= 0)).cast("long").alias("__van"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                dd = (
+                    folded.groupBy(*self.outer)
+                    .agg((F.sum("__app") - F.sum("__van")).alias("__dd"))
+                    .where(F.col("__dd") != 0)
+                ).alias("d2")
+                s2 = sums.alias("s2")
+                cond2 = None
+                for c in self.outer:
+                    t = F.col(f"s2.{c}").eqNullSafe(F.col(f"d2.{c}"))
+                    cond2 = t if cond2 is None else (cond2 & t)
+                new_cnt = F.coalesce(F.col(f"s2.{SUPPORT_COL}"), F.lit(0)) + F.coalesce(
+                    F.col("d2.__dd"), F.lit(0)
+                )
+                new_sums = s2.join(dd, on=cond2, how="full_outer").select(
+                    *[
+                        F.coalesce(F.col(f"s2.{c}"), F.col(f"d2.{c}")).alias(c)
+                        for c in self.outer
+                    ],
+                    F.lit(None).alias("__v"),
+                    new_cnt.alias(SUPPORT_COL),
+                ).where(F.col(SUPPORT_COL) > 0)
+                new_vals = folded.where(F.col(SUPPORT_COL) > 0).drop("__app", "__van")
+                merged = new_vals.unionByName(new_sums, allowMissingColumns=False)
+                self._commit_merged(merged, tsnap, affected, tip)
+            finally:
+                folded.unpersist()
+            return IvmResult(from_v, tip, n_vals, len(affected), 0, attempt)
+        finally:
+            delta.unpersist()
+
+    # ------------------------------------------------------------- reseed
+    def reseed(self) -> IvmResult:
+        """Exact rebuild from the source's current reconciled state: the
+        refcount rows are the view definition grouped by (group, value);
+        the summary rows count them. Atomic overwrite + cursor, stale
+        foreign cursors cleared (ownership takeover), as the base class."""
+        tip = self.source.current_version()
+        from_v = self.position()
+        rows = self._grouped(self.source.read_current(version=tip))
+        live = _live(rows)
+        vals = (
+            rows.where(live & F.col("__v").isNotNull())
+            .groupBy(*self.outer, "__v")
+            .agg(F.count(F.lit(1)).cast("long").alias(SUPPORT_COL))
+        )
+        sums = (
+            vals.groupBy(*self.outer)
+            .agg(F.count(F.lit(1)).cast("long").alias(SUPPORT_COL))
+            .withColumn("__v", F.lit(None))
+            .select(*self.outer, "__v", SUPPORT_COL)
+        )
+        props: dict[str, str | None] = {self._ckpt_key: str(tip)}
+        for k in self.target.snapshot().properties:
+            if k.startswith("consumer.") and k.endswith(".version") and k != self._ckpt_key:
+                props[k] = None
+        self.target.overwrite(vals.unionByName(sums), properties_update=props)
+        return IvmResult(from_v, tip, -1, -1)
+
+    # ---------------------------------------------------------------- DDL
+    @classmethod
+    def create_distinct_target(
+        cls,
+        spark: SparkSession,
+        source: SnapshotTable | str,
+        target_path: str,
+        group_cols: list,
+        value: F.Column | str,
+        num_buckets: int = 16,
+        **table_kw,
+    ) -> SnapshotTable:
+        """Bootstrap the two-level table: key = group cols + ``__v``
+        (null ⇔ the group's summary row), bucketed by the OUTER group
+        prefix so a group's refcounts and its summary co-locate in one
+        bucket (one-bucket point reads, one-bucket rewrites)."""
+        src = source if isinstance(source, SnapshotTable) else SnapshotTable(spark, source)
+        vcol = F.col(value) if isinstance(value, str) else value
+        names, exprs = _norm_groups(list(group_cols) + [("__v", vcol)])
+        base = spark.createDataFrame([], src.snapshot().schema)
+        for n, e in exprs.items():
+            base = base.withColumn(n, e)
+        raw = base.groupBy(*names).agg(
+            F.sum(F.lit(1)).cast("long").alias(SUPPORT_COL)
+        ).schema
+        from pyspark.sql import types as T
+
+        probe = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True if f.name == "__v" else f.nullable)
+                for f in raw.fields
+            ]
+        )
+        return SnapshotTable.create(
+            spark,
+            target_path,
+            probe,
+            key_cols=names,
+            bucket_cols=names[:-1],  # outer prefix: summary + refcounts co-locate
+            num_buckets=num_buckets,
+            **table_kw,
+        )
