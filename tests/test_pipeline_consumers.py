@@ -64,3 +64,47 @@ def test_pipeline_schedules_consumers_and_heals_lag(spark, tmp_path):
     assert mirror.read_current(drop_tombstones=True).where(
         F.col("text") == "healing probe row"
     ).count() == 1
+
+
+def test_pipeline_schedules_scd2_and_distinct(spark, tmp_path):
+    """The new consumer kinds compose with the same duck-typed wiring:
+    one ingest process keeps the SCD2 history table and an exact
+    distinct-count aggregate fresh alongside the landing upserts, and
+    both end exactly equal to their full-recompute forms."""
+    from cht_sync_spark.streaming import DistinctCountConsumer, Scd2Consumer, scd2_intervals
+
+    feed_dir = str(tmp_path / "feed")
+    write_feed(synth_changes(spark, n_convs=24), feed_dir, n_files=3)
+    feed = ChangesFeedSource(spark, feed_dir, sources=feed_sources())
+    pipe = ReplayPipeline(
+        spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8, mode="mor",
+    )
+    t = pipe.table
+    hist = Scd2Consumer.create_target(spark, t, str(tmp_path / "hist"))
+    sc = Scd2Consumer(spark, t, hist, "hist")
+    dct = DistinctCountConsumer.create_distinct_target(
+        spark, t, str(tmp_path / "dc"), ["conv_id"], "role", num_buckets=8
+    )
+    dc = DistinctCountConsumer(spark, t, dct, "dc", ["conv_id"], "role")
+    pipe.consumers = [sc, dc]
+    assert pipe.run()
+    assert sc.pending_versions() == 0 and dc.pending_versions() == 0
+
+    # SCD2: the incrementally-maintained history == batch derivation over
+    # ALL revisions (base ∪ delta files are exactly the revision set in mor)
+    revs = t.read(levels=("base", "delta"))
+    want = scd2_intervals(revs, list(t.snapshot().key_cols), sc.order_col,
+                          tiebreak=t.snapshot().lww_order)
+    got = hist.read_current()
+    cols = got.columns
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+    # distinct: summary rows == COUNT(DISTINCT role) over live landing rows
+    live = t.read_current(drop_tombstones=True).where(F.col("role").isNotNull())
+    want_dc = {
+        r.conv_id: r.n
+        for r in live.groupBy("conv_id").agg(F.countDistinct("role").alias("n")).collect()
+    }
+    got_dc = {r.conv_id: r.n_distinct for r in dc.counts().collect()}
+    assert got_dc == want_dc
