@@ -211,6 +211,7 @@ def main() -> None:
         "ann_index_cdc",
         "conversation_assembly",
         "sft_examples",
+        "scd2_history",
         "changelog_read",
         "changelog_consume",
         "gdpr_purge",
