@@ -238,6 +238,77 @@ class ReplayPipeline:
             )
         return self.spark.createDataFrame(rows, CHECKPOINT)
 
+    @classmethod
+    def bootstrap(
+        cls,
+        spark: SparkSession,
+        feed,
+        table_path: str,
+        snapshot_df: DataFrame,
+        frontier_seq: int,
+        checkpoint_rows: list[tuple[str, int, int]] | None = None,
+        marker: str = "global",
+        **pipe_kw,
+    ) -> "ReplayPipeline":
+        """Initial load at a changelog position — the canonical CDC
+        bootstrap (Debezium's snapshot-then-stream, DMS full-load+CDC,
+        CouchDB's one-shot replication then ``since=seq``): land an
+        existing reconciled snapshot of the corpus and start tailing the
+        feed from ``frontier_seq`` instead of replaying history that may
+        no longer exist upstream (compacted feed, purged changes).
+
+        ``snapshot_df`` is landing-shaped rows (the transcript schema —
+        e.g. another table's ``read_current()``, or a one-off batch
+        transform of a CouchDB dump); it is LWW-deduped and landed in ONE
+        atomic overwrite that also sets the ``marker``'s watermark to
+        ``frontier_seq`` — so either the snapshot AND the resume position
+        land together or neither does, the same crash contract as a batch
+        commit. ``run()`` then skips every planned cut at or below the
+        frontier via the watermark guard (no epoch alignment needed: the
+        cut plan may use any batch size, and a cut straddling the frontier
+        over-delivers only rows the idempotent fold discards).
+
+        ``checkpoint_rows`` — optional ``(source, partition, seq)`` triples
+        (e.g. from the donor pipeline's :meth:`checkpoints`) — seed the
+        per-(source, partition) cursor surface so lag/liveness metrics are
+        meaningful from the first cycle; they are bookkeeping only (resume
+        is the watermark's job).
+
+        Downstream planes are NOT bootstrapped here: grouped models and
+        changelog consumers derive from the landing table and should
+        ``reseed()`` (consumers) or full-refresh (models change their
+        transform hash) after adoption — their incremental paths need a
+        cursor into THIS table's history, which starts at the snapshot.
+
+        Refuses a landing table that already has progress under this
+        marker (a bootstrap over live state would silently mask applied
+        batches); use a fresh path or a new marker namespace.
+        """
+        pipe = cls(spark, feed, table_path, marker=marker, **pipe_kw)
+        wm, last_epoch = pipe.state()
+        if wm >= 0 or last_epoch >= 0:
+            raise ValueError(
+                f"landing table at {table_path} already has progress under "
+                f"marker {marker!r} (watermark={wm}, epoch={last_epoch}); "
+                "bootstrap requires a fresh table or a fresh marker"
+            )
+        rows = lww_dedup(snapshot_df)
+        now_ms = int(time.time() * 1000)
+        props: dict[str, str] = {pipe._wm_prop: str(frontier_seq)}
+        agg: dict[str, tuple[int, int]] = {}
+        for s, p, seq in checkpoint_rows or []:
+            props[f"ckpt_part.{p}.{s}"] = json.dumps(
+                {"seq": int(seq), "rows": 0, "epoch": -1, "updated_at": now_ms}
+            )
+            hi0, tot = agg.get(s, (-(2**62), 0))
+            agg[s] = (max(hi0, int(seq)), tot)
+        for s, (hi0, _) in agg.items():
+            props[f"checkpoint.{s}"] = json.dumps(
+                {"seq": hi0, "rows": 0, "updated_at": now_ms}
+            )
+        pipe.table.overwrite(rows, properties_update=props)
+        return pipe
+
     def model_runs(self) -> DataFrame:
         """The reconciled model run-stats table (dbt_results parity —
         reference sql-exporter-config.yaml:75-90): one record per
@@ -365,7 +436,14 @@ class ReplayPipeline:
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
         wm, last_epoch = self.state()
-        landing_done = epoch <= last_epoch
+        # two skip guards: the epoch marker (exact replay of the same cut
+        # plan) and the seq watermark — the latter also covers ranges a
+        # snapshot BOOTSTRAP (initial load at a changelog position,
+        # :meth:`bootstrap`) or a re-planned cut schedule (changed
+        # batch_size across a resume) has already landed. A cut straddling
+        # the watermark re-delivers its below-watermark half; the idempotent
+        # LWW fold makes that a state no-op on both merge and MOR paths.
+        landing_done = epoch <= last_epoch or hi <= wm
         models_done = all(m.last_epoch() >= epoch for m in self.models)
         dlq_done = self.dlq is None or self._dlq_epoch() >= epoch
         if landing_done and models_done and dlq_done:
