@@ -633,6 +633,15 @@ class ReplayPipeline:
         if self.dlq is not None:
             # one snapshot per batch (mostly marker-only) — expire with the rest
             tables.append(self.dlq)
+        # attached consumers' targets commit once per catch-up cycle (one
+        # per applied batch in this loop): expire them on the same cadence,
+        # and fold any MOR-style deltas (compact() is an incremental no-op
+        # on pure-COW targets). Safe because the drain loop runs consumers
+        # before maintenance, so every cursor is at the tip and the
+        # keep_last retention can never expire a cursor's diff parent here.
+        ctabs = [c.target for c in self.consumers if getattr(c, "target", None) is not None]
+        tables += ctabs
+        compact += ctabs
         maintain_tables(tables, self.maintenance_keep_snapshots, compact=compact)
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:

@@ -342,13 +342,18 @@ class StreamingReplay:
         from cht_sync_spark.tables.format import maintain_tables
 
         runs = [self.model_runs_table] if self.model_runs_table is not None else []
+        # consumer targets: same cadence as the micro-batch loop's (see
+        # ReplayPipeline.maintain) — consumers run inside _apply_batch, so
+        # their cursors are at the tip when maintenance fires
+        ctabs = [c.target for c in self.consumers if getattr(c, "target", None) is not None]
         maintain_tables(
             [self.table] + [m.table for m in self.models]
-            + ([self.dlq] if self.dlq is not None else []) + runs,
+            + ([self.dlq] if self.dlq is not None else []) + runs + ctabs,
             self.maintenance_keep_snapshots,
             compact=([self.table] if self.mode == "mor" else [])
             + ([m.table for m in self.models] if self.model_mode == "mor" else [])
-            + runs,  # one micro-append per batch: fold on the same cadence
+            + runs  # one micro-append per batch: fold on the same cadence
+            + ctabs,
         )
 
     def model_runs(self) -> DataFrame:

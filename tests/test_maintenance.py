@@ -241,3 +241,33 @@ def test_tags_pin_snapshots_through_expire_and_vacuum(spark, tmp_path):
 
     with pytest.raises(Exception):
         t.read(version=pinned)
+
+
+def test_in_loop_maintenance_covers_consumer_targets(spark, feed_path, tmp_path):
+    """Attached consumers' target tables commit once per catch-up cycle —
+    unmaintained they grow O(batches) in snapshots. The maintenance cadence
+    must expire/fold them too, without changing their derived state."""
+    from cht_sync_spark.sources.feedgen import feed_sources as _fs
+    from cht_sync_spark.streaming import ChangelogConsumer, Scd2Consumer
+
+    pipe = ReplayPipeline(
+        spark, ChangesFeedSource(spark, feed_path, sources=_fs()),
+        str(tmp_path / "t"), batch_size=150, num_buckets=8, mode="mor",
+        maintenance_every=2, maintenance_keep_snapshots=3,
+    )
+    t = pipe.table
+    mirror = ChangelogConsumer.create_target(spark, t, str(tmp_path / "mirror"), "m")
+    mc = ChangelogConsumer(spark, t, mirror, "m")
+    hist = Scd2Consumer.create_target(spark, t, str(tmp_path / "hist"))
+    sc = Scd2Consumer(spark, t, hist, "h")
+    pipe.consumers = [mc, sc]
+    results = pipe.run()
+    assert len(results) >= 3
+    # both consumer targets are expiry-bounded like the landing table
+    assert len(mirror.history()) <= 3 + 1
+    assert len(hist.history()) <= 3 + 1
+    # and their derived state is exactly what a fresh full pass derives
+    a = t.read_current(drop_tombstones=True)
+    b = mirror.read_current(drop_tombstones=True)
+    assert a.count() == b.count() and a.exceptAll(b).count() == 0
+    assert hist.read_current().where("is_current").count() == a.count()
