@@ -110,16 +110,28 @@ def scd2_intervals(
     into the predecessor's interval (dbt ``check`` strategy).
     """
     df = df.where(F.col(order_col).isNotNull())
-    if tiebreak:
-        from cht_sync_spark.operators.lww import lww_dedup
-
-        df = lww_dedup(df, key=[*key, order_col], order=tiebreak)
-    else:
-        df = df.dropDuplicates([*key, order_col])
     deleted = (
         F.coalesce(F.col(deleted_col), F.lit(False))
         if deleted_col in df.columns
         else F.lit(False)
+    )
+    # ONE exchange for the whole derivation: every step below windows over
+    # the same key partitioning with an order whose PREFIX is order_col, so
+    # Catalyst plans a single hash exchange + sort and the dedup / collapse
+    # / chain passes all reuse it (vs dropDuplicates, whose (key, order)
+    # aggregate forces a second shuffle before the chain window).
+    from cht_sync_spark.operators.lww import lww_order_cols
+
+    ord_cols = [F.col(order_col).asc()]
+    if tiebreak:
+        # within an equal-order run the LWW tiebreak sorts the winner first
+        ord_cols += lww_order_cols(tiebreak)
+    w0 = Window.partitionBy(*key).orderBy(*ord_cols)
+    # duplicate fold = keep each order-run's head (the tiebreak winner)
+    df = (
+        df.withColumn("__dup", F.lag(F.col(order_col)).over(w0).eqNullSafe(F.col(order_col)))
+        .where(~F.col("__dup"))
+        .drop("__dup")
     )
     w = Window.partitionBy(*key).orderBy(F.col(order_col).asc())
     if check_cols:
@@ -129,8 +141,6 @@ def scd2_intervals(
             .where(F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(tracked))
             .drop("__prev")
         )
-        # survivors changed -> fresh window pass for the chain below
-        w = Window.partitionBy(*key).orderBy(F.col(order_col).asc())
     nxt = F.lead(F.col(order_col)).over(w)
     return (
         df.withColumn("valid_from", F.col(order_col))

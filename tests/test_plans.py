@@ -92,3 +92,21 @@ def test_bucket_pruned_read_lists_only_requested_buckets(spark, tmp_path):
     assert total >= 8
     t.read(buckets=[0, 1])
     assert t.last_scan_files <= total // 3
+
+
+def test_scd2_derivation_is_single_exchange(spark):
+    """scd2_intervals plans ONE hash exchange: the duplicate fold, the
+    check-collapse lag, and the interval-chain lead all window over the
+    same key partitioning with an order prefixed by order_col, so the
+    dedup can never force a second shuffle (the dropDuplicates form did)."""
+    from cht_sync_spark.streaming.scd2 import scd2_intervals
+
+    df = spark.range(100).selectExpr(
+        "cast(id % 10 as string) conv_id", "id seq",
+        "cast(id % 3 as string) role", "cast(false as boolean) _deleted",
+    )
+    for kw in ({}, {"check_cols": ["role"]},
+               {"tiebreak": [("seq", False), ("role", False)]}):
+        # executedPlan tree (each node printed once, unlike formatted mode)
+        plan = scd2_intervals(df, ["conv_id"], "seq", **kw)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, (kw, plan)
