@@ -37,7 +37,6 @@ gives incremental readers.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -45,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cht_sync_spark.streaming.cursor import CursorConsumer
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import MergeStats, merge_upsert
 
@@ -59,7 +59,7 @@ class ConsumeResult:
     merge: MergeStats | None = None  # None for a reseed (overwrite, not merge)
 
 
-class ChangelogConsumer:
+class ChangelogConsumer(CursorConsumer):
     """Incrementally derive ``target`` from ``source``'s changelog.
 
     ``transform(df) -> DataFrame`` receives the changelog slice (source
@@ -94,21 +94,7 @@ class ChangelogConsumer:
         self.tombstones = tombstones
         self.strict = strict
 
-    # ------------------------------------------------------------- cursor
-    @property
-    def _ckpt_key(self) -> str:
-        return f"consumer.{self.name}.version"
-
-    def position(self) -> int:
-        """Last source snapshot version fully applied to the target
-        (0 = nothing consumed; version 1 is the source's empty CREATE)."""
-        v = self.target.snapshot().properties.get(self._ckpt_key)
-        return int(v) if v is not None else 0
-
-    def pending_versions(self) -> int:
-        """Source snapshots not yet consumed — the consumer-side lag probe
-        (reference S2 pending), O(1) driver metadata."""
-        return max(0, self.source.current_version() - max(self.position(), 1))
+    # cursor read/probe and the drain loop come from CursorConsumer
 
     # ---------------------------------------------------------------- run
     def run_once(self) -> ConsumeResult | None:
@@ -178,23 +164,6 @@ class ChangelogConsumer:
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         self.target.overwrite(out, properties_update={self._ckpt_key: str(tip)})
         return ConsumeResult(from_v, tip, int(obs.get["n"]), None)
-
-    def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[ConsumeResult]:
-        """Drain loop (the downstream S9 analogue): consume until caught up;
-        with ``poll_seconds`` keep tailing until ``max_cycles``."""
-        results: list[ConsumeResult] = []
-        cycles = 0
-        while True:
-            r = self.run_once()
-            if r is not None:
-                results.append(r)
-            cycles += 1
-            if max_cycles is not None and cycles >= max_cycles:
-                return results
-            if r is None:
-                if poll_seconds <= 0:
-                    return results
-                time.sleep(poll_seconds)
 
     # ---------------------------------------------------------------- DDL
     @classmethod

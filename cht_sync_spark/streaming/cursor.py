@@ -1,0 +1,93 @@
+"""Shared cursor contract for changelog consumers.
+
+Every table-to-table consumer in the engine (mirror, SCD2 history,
+additive/extremum IVM, distinct-count IVM, term/dedup/ANN indexes) owns a
+cursor — ``consumer.<name>.version``, the last SOURCE snapshot version
+fully applied — stored in the TARGET table's snapshot properties and
+committed atomically with the derived data it describes (the
+``couchdb_progress``-in-the-same-transaction rule, reference
+importer.js:171-172). This mixin is the single home of that contract, so
+a fix to the cursor rules lands once instead of once per consumer class.
+
+Subclasses provide ``spark``/``source``/``target``/``name`` attributes
+and a ``run_once()`` returning a result object or None when caught up.
+"""
+
+from __future__ import annotations
+
+import time
+
+from cht_sync_spark.tables.format import SnapshotTable
+
+
+class CursorConsumer:
+    """Mixin: cursor read/probe, the pinned cursor-only advance, the drain
+    loop, and reseed's foreign-cursor clearing. See module docstring."""
+
+    spark: object
+    source: SnapshotTable
+    target: SnapshotTable
+    name: str
+
+    # ------------------------------------------------------------- cursor
+    @property
+    def _ckpt_key(self) -> str:
+        return f"consumer.{self.name}.version"
+
+    def position(self) -> int:
+        """Last source snapshot version fully applied to the target
+        (0 = nothing consumed; version 1 is the source's empty CREATE)."""
+        v = self.target.snapshot().properties.get(self._ckpt_key)
+        return int(v) if v is not None else 0
+
+    def pending_versions(self) -> int:
+        """Source snapshots not yet consumed — the consumer-side lag probe
+        (reference S2 pending), O(1) driver metadata."""
+        return max(0, self.source.current_version() - max(self.position(), 1))
+
+    def _advance_cursor(self, tip: int) -> None:
+        """Cursor-only commit, PINNED to the target version it read — an
+        unpinned advance could rebase on top of a concurrent same-name
+        consumer's commit and move the cursor BACKWARD (its range would
+        then be re-applied: for additive state a double count).
+        Monotonicity is re-checked against the pinned snapshot; a conflict
+        retries through the caller's loop, which re-reads the cursor."""
+        tsnap = self.target.snapshot()
+        cur = int(tsnap.properties.get(self._ckpt_key, 0))
+        if tip <= cur:
+            return
+        self.target.commit(
+            add_files=[],
+            properties_update={self._ckpt_key: str(tip)},
+            expected_version=tsnap.version,
+        )
+
+    def _foreign_cursor_deletions(self) -> dict[str, None]:
+        """Property deletions for every OTHER consumer's cursor on this
+        target — reseed's ownership-takeover rule: any foreign cursor is
+        definitionally stale after a full rebuild, and properties inherit
+        through every commit (including the overwrite), so a renamed
+        consumer would otherwise be bricked by sole-owner fences forever."""
+        return {
+            k: None
+            for k in self.target.snapshot().properties
+            if k.startswith("consumer.") and k.endswith(".version") and k != self._ckpt_key
+        }
+
+    # ---------------------------------------------------------------- run
+    def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list:
+        """Drain loop (the downstream S9 analogue): consume until caught
+        up; with ``poll_seconds`` keep tailing until ``max_cycles``."""
+        results: list = []
+        cycles = 0
+        while True:
+            r = self.run_once()  # type: ignore[attr-defined]
+            if r is not None:
+                results.append(r)
+            cycles += 1
+            if max_cycles is not None and cycles >= max_cycles:
+                return results
+            if r is None:
+                if poll_seconds <= 0:
+                    return results
+                time.sleep(poll_seconds)

@@ -92,6 +92,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from cht_sync_spark.operators.lww import lww_dedup
+from cht_sync_spark.streaming.cursor import CursorConsumer
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
 
 # the mandatory support measure: live rows contributing to the group.
@@ -175,7 +176,7 @@ def _norm_groups(group_cols) -> tuple[list[str], dict[str, F.Column]]:
     return names, exprs
 
 
-class AggregateConsumer:
+class AggregateConsumer(CursorConsumer):
     """Maintain ``target`` = ``SELECT group_cols, count(*) AS n_rows,
     SUM/MAX/MIN(measure)... FROM source-live-rows GROUP BY group_cols``
     incrementally from ``source``'s changelog.
@@ -225,17 +226,7 @@ class AggregateConsumer:
                 df = df.withColumn(n, e)
         return df
 
-    # ------------------------------------------------------------- cursor
-    @property
-    def _ckpt_key(self) -> str:
-        return f"consumer.{self.name}.version"
-
-    def position(self) -> int:
-        v = self.target.snapshot().properties.get(self._ckpt_key)
-        return int(v) if v is not None else 0
-
-    def pending_versions(self) -> int:
-        return max(0, self.source.current_version() - max(self.position(), 1))
+    # cursor read/probe, pinned advance, drain loop: CursorConsumer
 
     # ---------------------------------------------------------- internals
     def _exact_agg(self, df: DataFrame) -> DataFrame:
@@ -385,23 +376,6 @@ class AggregateConsumer:
                 "state and clears the stale cursor atomically."
             )
 
-    def _advance_cursor(self, tip: int) -> None:
-        """Cursor-only commit, PINNED to the target version it read — an
-        unpinned advance could rebase on top of a concurrent same-name
-        consumer's commit and move the cursor BACKWARD (its range would
-        then be re-applied additively: a double count). Monotonicity is
-        re-checked against the pinned snapshot; a conflict retries through
-        run_once's loop, which re-reads the cursor first."""
-        tsnap = self.target.snapshot()
-        cur = int(tsnap.properties.get(self._ckpt_key, 0))
-        if tip <= cur:
-            return
-        self.target.commit(
-            add_files=[],
-            properties_update={self._ckpt_key: str(tip)},
-            expected_version=tsnap.version,
-        )
-
     def _apply(self, delta: DataFrame, from_v: int, tip: int, attempt: int) -> IvmResult:
         tsnap = self.target.snapshot()
         bstats = (
@@ -532,21 +506,6 @@ class AggregateConsumer:
             expected_version=tsnap.version,
         )
 
-    def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[IvmResult]:
-        results: list[IvmResult] = []
-        cycles = 0
-        while True:
-            r = self.run_once()
-            if r is not None:
-                results.append(r)
-            cycles += 1
-            if max_cycles is not None and cycles >= max_cycles:
-                return results
-            if r is None:
-                if poll_seconds <= 0:
-                    return results
-                time.sleep(poll_seconds)
-
     # ------------------------------------------------------------- reseed
     def reseed(self) -> IvmResult:
         """Full recompute from the source's CURRENT reconciled state in one
@@ -570,9 +529,7 @@ class AggregateConsumer:
         from_v = self.position()
         agg = self._exact_agg(self.source.read_current(version=tip))
         props: dict[str, str | None] = {self._ckpt_key: str(tip)}
-        for k in self.target.snapshot().properties:
-            if k.startswith("consumer.") and k.endswith(".version") and k != self._ckpt_key:
-                props[k] = None  # None deletes the key
+        props.update(self._foreign_cursor_deletions())  # ownership takeover
         self.target.overwrite(agg, properties_update=props)
         return IvmResult(from_v, tip, -1, -1)
 
@@ -799,9 +756,7 @@ class DistinctCountConsumer(AggregateConsumer):
             .select(*self.outer, "__v", SUPPORT_COL)
         )
         props: dict[str, str | None] = {self._ckpt_key: str(tip)}
-        for k in self.target.snapshot().properties:
-            if k.startswith("consumer.") and k.endswith(".version") and k != self._ckpt_key:
-                props[k] = None
+        props.update(self._foreign_cursor_deletions())  # ownership takeover
         self.target.overwrite(vals.unionByName(sums), properties_update=props)
         return IvmResult(from_v, tip, -1, -1)
 

@@ -280,17 +280,25 @@ class ReplayPipeline:
         transform hash) after adoption — their incremental paths need a
         cursor into THIS table's history, which starts at the snapshot.
 
-        Refuses a landing table that already has progress under this
-        marker (a bootstrap over live state would silently mask applied
-        batches); use a fresh path or a new marker namespace.
+        Refuses a landing table that already holds data or ANY marker's
+        progress: the snapshot lands as a full overwrite, which would
+        destroy rows other markers (S8 fan-out) already ingested while
+        their watermarks kept them from re-landing. Bootstrap is a
+        fresh-table operation by construction.
         """
         pipe = cls(spark, feed, table_path, marker=marker, **pipe_kw)
-        wm, last_epoch = pipe.state()
-        if wm >= 0 or last_epoch >= 0:
+        snap = pipe.table.snapshot()
+        markers = sorted(
+            k for k in snap.properties
+            if k.startswith("watermark.") or k.startswith("epoch.")
+        )
+        if markers or snap.files:
             raise ValueError(
-                f"landing table at {table_path} already has progress under "
-                f"marker {marker!r} (watermark={wm}, epoch={last_epoch}); "
-                "bootstrap requires a fresh table or a fresh marker"
+                f"landing table at {table_path} already holds "
+                f"{len(snap.files)} data file(s) and progress {markers}; "
+                "bootstrap overwrites the WHOLE table, so it requires a "
+                "fresh path (other markers' ingested rows would be "
+                "destroyed while their watermarks block re-landing)"
             )
         rows = lww_dedup(snapshot_df)
         now_ms = int(time.time() * 1000)
@@ -436,13 +444,14 @@ class ReplayPipeline:
     def run_batch(self, epoch: int, lo: int, hi: int) -> BatchResult:
         t0 = time.monotonic()
         wm, last_epoch = self.state()
-        # two skip guards: the epoch marker (exact replay of the same cut
-        # plan) and the seq watermark — the latter also covers ranges a
-        # snapshot BOOTSTRAP (initial load at a changelog position,
-        # :meth:`bootstrap`) or a re-planned cut schedule (changed
-        # batch_size across a resume) has already landed. A cut straddling
-        # the watermark re-delivers its below-watermark half; the idempotent
-        # LWW fold makes that a state no-op on both merge and MOR paths.
+        # two skip guards: the epoch marker (replay of the SAME cut plan —
+        # run() enforces plan stability per marker, because epoch numbers
+        # from a different plan would alias unrelated seq ranges for both
+        # the landing skip and the per-model epoch markers) and the seq
+        # watermark, which covers ranges a snapshot BOOTSTRAP
+        # (:meth:`bootstrap`, no epoch progress) already landed. A cut
+        # straddling the watermark re-delivers its below-watermark half;
+        # the idempotent LWW fold makes that a state no-op on both paths.
         landing_done = epoch <= last_epoch or hi <= wm
         models_done = all(m.last_epoch() >= epoch for m in self.models)
         dlq_done = self.dlq is None or self._dlq_epoch() >= epoch
@@ -564,7 +573,13 @@ class ReplayPipeline:
                     )
             return out
 
-        props = {self._wm_prop: str(hi), self._epoch_prop: str(epoch)}
+        props = {
+            self._wm_prop: str(hi),
+            self._epoch_prop: str(epoch),
+            # the cut plan this epoch numbering belongs to (run()'s
+            # plan-stability fence reads it on resume)
+            f"batchplan.{self.marker}": str(self.batch_size),
+        }
         if self.mode == "mor":
             schema = self.table.evolve_schema(rows.schema)
             self.table.append_delta(
@@ -636,9 +651,13 @@ class ReplayPipeline:
         # attached consumers' targets commit once per catch-up cycle (one
         # per applied batch in this loop): expire them on the same cadence,
         # and fold any MOR-style deltas (compact() is an incremental no-op
-        # on pure-COW targets). Safe because the drain loop runs consumers
-        # before maintenance, so every cursor is at the tip and the
-        # keep_last retention can never expire a cursor's diff parent here.
+        # on pure-COW targets). The drain loop runs consumers BEFORE
+        # maintenance, so at expire time every attached cursor sits at the
+        # landing tip as of its catch-up; the only commits a cursor can lag
+        # are this cycle's own compaction snapshots (replace-class, which
+        # changes() skips), so keep_last >= 2 always retains the diff
+        # parent. Detached consumers (tailing from another process) keep
+        # the documented keep_last-1 lag contract.
         ctabs = [c.target for c in self.consumers if getattr(c, "target", None) is not None]
         tables += ctabs
         compact += ctabs
@@ -650,6 +669,24 @@ class ReplayPipeline:
         With ``maintenance_every=k`` a maintenance cycle runs after every k
         applied batches — the sustained-ingest shape for the 10^10 target
         (append O(batch) deltas, fold on a cadence)."""
+        # Plan-stability fence: epoch markers (landing skip + per-model
+        # epochs) are positions in the cut plan, so a resume under a
+        # DIFFERENT batch_size would re-number ranges and silently skip
+        # unlanded data (epoch <= last_epoch aliases a new, wider range).
+        # The first applied batch records the plan's batch_size; a
+        # mismatched resume is refused instead of corrupted. Bootstrapped
+        # pipelines (watermark only, no epochs) are free to choose any
+        # size — the seq watermark, not epoch numbering, carries them.
+        props = self.table.snapshot().properties
+        rec = props.get(f"batchplan.{self.marker}")
+        if rec is not None and int(rec) != self.batch_size and self.state()[1] >= 0:
+            raise ValueError(
+                f"marker {self.marker!r} has epoch progress under "
+                f"batch_size={rec}; resuming with batch_size="
+                f"{self.batch_size} would re-number the cut plan and skip "
+                "unlanded ranges — resume with the recorded size (or "
+                "bootstrap a fresh table at the current watermark)"
+            )
         cuts = self.feed.plan_batches(self.batch_size)
         results: list[BatchResult] = []
         lo = -(2**62)
@@ -664,11 +701,15 @@ class ReplayPipeline:
             if not r.skipped:
                 results.append(r)
                 applied_since_maintain += 1
+                # consumers catch up BEFORE maintenance: expire_snapshots
+                # must never run while a cursor still needs the pre-batch
+                # snapshot as its changelog diff parent (the cadence
+                # comment in maintain() depends on this order)
+                for c in self.consumers:
+                    c.run()
                 if self.maintenance_every and applied_since_maintain >= self.maintenance_every:
                     self.maintain()
                     applied_since_maintain = 0
-                for c in self.consumers:
-                    c.run()
             lo = hi
         # a resume with nothing new to ingest still gives lagging consumers
         # their catch-up cycle (crash window between landing commit and

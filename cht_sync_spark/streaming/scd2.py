@@ -77,6 +77,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cht_sync_spark.streaming.cursor import CursorConsumer
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
 from cht_sync_spark.tables.merge import MergeStats, merge_upsert
 
@@ -160,7 +161,7 @@ class Scd2Result:
     retries: int = 0
 
 
-class Scd2Consumer:
+class Scd2Consumer(CursorConsumer):
     """Maintain ``target`` = ``scd2_intervals(all revisions of source)``
     incrementally from ``source``'s changelog. See module docstring."""
 
@@ -195,24 +196,17 @@ class Scd2Consumer:
             raise ValueError(
                 f"target key must be source key + ['valid_from']; got {tsnap.key_cols}"
             )
-        if list(tsnap.bucket_cols) != list(ssnap.bucket_cols):
+        if (
+            list(tsnap.bucket_cols) != list(ssnap.bucket_cols)
+            or tsnap.num_buckets != ssnap.num_buckets
+        ):
             raise ValueError(
                 "target must share the source's bucket layout "
-                f"({ssnap.bucket_cols}) so touched-bucket pruning lines up; "
-                f"got {tsnap.bucket_cols}"
+                f"({ssnap.bucket_cols} x {ssnap.num_buckets}) so touched-bucket "
+                f"pruning lines up; got {tsnap.bucket_cols} x {tsnap.num_buckets}"
             )
 
-    # ------------------------------------------------------------- cursor
-    @property
-    def _ckpt_key(self) -> str:
-        return f"consumer.{self.name}.version"
-
-    def position(self) -> int:
-        v = self.target.snapshot().properties.get(self._ckpt_key)
-        return int(v) if v is not None else 0
-
-    def pending_versions(self) -> int:
-        return max(0, self.source.current_version() - max(self.position(), 1))
+    # cursor read/probe, pinned advance, drain loop: CursorConsumer
 
     # ---------------------------------------------------------------- run
     def run_once(self) -> Scd2Result | None:
@@ -234,93 +228,89 @@ class Scd2Consumer:
         raise last_err  # type: ignore[misc]
 
     def _apply(self, from_v: int, tip: int, attempt: int) -> Scd2Result:
+        from pyspark.storagelevel import StorageLevel
+
         ssnap = self.source.snapshot(tip)
         key = list(ssnap.key_cols)
+        # pin the target version the recompute reads: the merge below
+        # refuses to apply (CommitConflict -> run_once re-derives) if a
+        # concurrent same-name consumer committed in between — the stale
+        # chain (missing that consumer's newer revisions) must never land
+        tsnap0 = self.target.snapshot()
         ch = self.source.changes(from_v, tip, strict=self.strict).drop(
             "_change_version", "_change_type"
         )
-        ch = ch.where(F.col(self.order_col).isNotNull())
-        # touched buckets: pure function of bucket_cols ⊆ key, shared layout
-        touched = sorted(
-            r["__b"]
-            for r in ch.select(
-                bucket_expr(ssnap.bucket_cols, ssnap.num_buckets).alias("__b")
-            )
-            .distinct()
-            .collect()
+        # the slice feeds three jobs (bucket collect, key broadcast, chain
+        # union) — one scan of the changed files, not three
+        ch = ch.where(F.col(self.order_col).isNotNull()).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        if not touched:  # compaction-only / empty range: cursor-only commit
-            self._advance_cursor(tip)
-            return Scd2Result(from_v, tip, 0, None, attempt)
-        keys = ch.select(*key).distinct()
-        stored = self.target.read_current(buckets=touched).join(
-            F.broadcast(keys), on=key, how="left_semi"
-        )
-        # stored interval rows ARE the revisions (valid_from == order value);
-        # strip the derived columns and re-derive the chain over the union
-        old_revs = stored.drop(*_META)
-        revs = old_revs.unionByName(ch, allowMissingColumns=True)
-        # fold equal-order duplicates with the SOURCE's LWW rule, so an
-        # equal-height rev conflict resolves to the same winner the landing
-        # table keeps — and the fold is deterministic across replays
-        out = scd2_intervals(
-            revs,
-            key,
-            self.order_col,
-            check_cols=self.check_cols,
-            tiebreak=ssnap.lww_order or None,
-        )
-        if self.check_cols:
-            # check strategy discards collapsed revisions, which is only
-            # sound when revisions arrive per-key monotone (commit-ordered
-            # WAL). A stored interval row the recompute no longer produces
-            # means a late revision re-collapsed history that is already
-            # written — fail fast instead of leaving a stale row.
-            stale = stored.select(*key, "valid_from").join(
-                out.select(*key, "valid_from"), on=[*key, "valid_from"], how="left_anti"
-            )
-            if not stale.limit(1).isEmpty():
-                raise ValueError(
-                    "check_cols collapse received out-of-order revisions that "
-                    "invalidate stored history rows; reseed() the consumer, or "
-                    "use the default (timestamp) strategy for out-of-order feeds"
+        try:
+            # touched buckets: pure function of bucket_cols ⊆ key; layout
+            # equality (cols AND modulus) is validated at construction
+            touched = sorted(
+                r["__b"]
+                for r in ch.select(
+                    bucket_expr(ssnap.bucket_cols, ssnap.num_buckets).alias("__b")
                 )
-        stats = merge_upsert(
-            self.target,
-            out,
-            tombstones="keep",  # delete revisions are real history rows
-            dedup_batch=False,  # scd2_intervals is unique per (key, valid_from)
-            prefer="batch",  # re-closed intervals overwrite their stored form
-            properties_update={self._ckpt_key: str(tip)},
-            max_retries=1,  # a lost race must re-derive, not re-apply
-        )
-        return Scd2Result(from_v, tip, stats.rows_in_batch, stats, attempt)
-
-    def _advance_cursor(self, tip: int) -> None:
-        tsnap = self.target.snapshot()
-        cur = int(tsnap.properties.get(self._ckpt_key, 0))
-        if tip <= cur:
-            return
-        self.target.commit(
-            add_files=[],
-            properties_update={self._ckpt_key: str(tip)},
-            expected_version=tsnap.version,
-        )
-
-    def run(self, poll_seconds: float = 0.0, max_cycles: int | None = None) -> list[Scd2Result]:
-        results: list[Scd2Result] = []
-        cycles = 0
-        while True:
-            r = self.run_once()
-            if r is not None:
-                results.append(r)
-            cycles += 1
-            if max_cycles is not None and cycles >= max_cycles:
-                return results
-            if r is None:
-                if poll_seconds <= 0:
-                    return results
-                time.sleep(poll_seconds)
+                .distinct()
+                .collect()
+            )
+            if not touched:  # compaction-only / empty range: cursor-only commit
+                self._advance_cursor(tip)
+                return Scd2Result(from_v, tip, 0, None, attempt)
+            keys = ch.select(*key).distinct()
+            stored = self.target.read_current(
+                version=tsnap0.version, buckets=touched
+            ).join(F.broadcast(keys), on=key, how="left_semi")
+            # stored interval rows ARE the revisions (valid_from == order
+            # value); strip the derived columns and re-derive the chain
+            old_revs = stored.drop(*_META)
+            revs = old_revs.unionByName(ch, allowMissingColumns=True)
+            # fold equal-order duplicates with the SOURCE's LWW rule, so an
+            # equal-height rev conflict resolves to the same winner the
+            # landing table keeps — deterministic across replays
+            out = scd2_intervals(
+                revs,
+                key,
+                self.order_col,
+                check_cols=self.check_cols,
+                tiebreak=ssnap.lww_order or None,
+            )
+            if self.check_cols:
+                # check strategy discards collapsed revisions, which is only
+                # sound when revisions arrive per-key monotone (commit-ordered
+                # WAL). A stored interval row the recompute no longer produces
+                # means a late revision re-collapsed history that is already
+                # written — fail fast instead of leaving a stale row. The
+                # derivation feeds both this probe and the merge: persist it.
+                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                stale = stored.select(*key, "valid_from").join(
+                    out.select(*key, "valid_from"), on=[*key, "valid_from"], how="left_anti"
+                )
+                if not stale.limit(1).isEmpty():
+                    raise ValueError(
+                        "check_cols collapse received out-of-order revisions that "
+                        "invalidate stored history rows; reseed() the consumer, or "
+                        "use the default (timestamp) strategy for out-of-order feeds"
+                    )
+            try:
+                stats = merge_upsert(
+                    self.target,
+                    out,
+                    tombstones="keep",  # delete revisions are real history rows
+                    dedup_batch=False,  # scd2_intervals is unique per (key, valid_from)
+                    prefer="batch",  # re-closed intervals overwrite their stored form
+                    properties_update={self._ckpt_key: str(tip)},
+                    max_retries=1,  # a lost race must re-derive, not re-apply
+                    expected_version=tsnap0.version,  # ...and never apply stale
+                )
+            finally:
+                if self.check_cols:
+                    out.unpersist()
+            return Scd2Result(from_v, tip, stats.rows_in_batch, stats, attempt)
+        finally:
+            ch.unpersist()
 
     # ------------------------------------------------------------- reseed
     def reseed(self) -> Scd2Result:
@@ -335,9 +325,7 @@ class Scd2Consumer:
         cur = self.source.read_current(version=tip)
         out = scd2_intervals(cur, list(self.source.snapshot(tip).key_cols), self.order_col)
         props: dict[str, str | None] = {self._ckpt_key: str(tip)}
-        for k in self.target.snapshot().properties:
-            if k.startswith("consumer.") and k.endswith(".version") and k != self._ckpt_key:
-                props[k] = None
+        props.update(self._foreign_cursor_deletions())  # ownership takeover
         self.target.overwrite(out, properties_update=props)
         return Scd2Result(from_v, tip, -1, None)
 

@@ -325,14 +325,16 @@ class StreamingReplay:
                 )
         self._applied += 1
         self._since_maintain += 1
+        # in-loop changelog consumers, same contract as ReplayPipeline:
+        # convenience wiring — each consumer owns its atomically-committed
+        # cursor, so a crash here just leaves it one range behind. They run
+        # BEFORE maintenance so expire_snapshots never removes a cursor's
+        # changelog diff parent.
+        for c in self.consumers:
+            c.run()
         if self.maintenance_every and self._since_maintain >= self.maintenance_every:
             self.maintain()
             self._since_maintain = 0
-        # in-loop changelog consumers, same contract as ReplayPipeline:
-        # convenience wiring — each consumer owns its atomically-committed
-        # cursor, so a crash here just leaves it one range behind
-        for c in self.consumers:
-            c.run()
 
     def maintain(self) -> None:
         """One maintenance cycle on the landing AND model tables (the
@@ -343,8 +345,10 @@ class StreamingReplay:
 
         runs = [self.model_runs_table] if self.model_runs_table is not None else []
         # consumer targets: same cadence as the micro-batch loop's (see
-        # ReplayPipeline.maintain) — consumers run inside _apply_batch, so
-        # their cursors are at the tip when maintenance fires
+        # ReplayPipeline.maintain) — _apply_batch runs consumers before
+        # maintenance, so cursors sit at the landing tip when this fires
+        # (only this cycle's replace-class compaction commits come later,
+        # and changes() skips those)
         ctabs = [c.target for c in self.consumers if getattr(c, "target", None) is not None]
         maintain_tables(
             [self.table] + [m.table for m in self.models]

@@ -76,9 +76,18 @@ def merge_upsert(
     properties_fn=None,
     max_retries: int = 8,
     prefer: Literal["existing", "batch"] = "existing",
+    expected_version: int | None = None,
 ) -> MergeStats:
     """See module docstring. ``prefer`` breaks FULL order-column ties
     between a stored row and a batch row:
+
+    ``expected_version`` pins the merge to a snapshot the CALLER already
+    read: when the table has moved past it the merge raises
+    ``CommitConflict`` without writing, so a caller whose batch was
+    derived FROM the target's state (e.g. an SCD2 chain recompute) never
+    applies that derivation against state it did not read. Callers whose
+    batch is independent of the target (the landing upsert) leave it
+    unset and let the internal retry re-read freely.
 
     - ``'existing'`` (landing default): replaying an already-applied batch
       is a byte-level no-op (exactly-once = at-least-once + idempotent
@@ -104,6 +113,7 @@ def merge_upsert(
                 table, batch, tombstones=tombstones, dedup_batch=dedup_batch,
                 properties_update=properties_update, evolve=evolve,
                 properties_fn=properties_fn, prefer=prefer,
+                expected_version=expected_version,
             )
             stats.retries = attempt
             return stats
@@ -131,8 +141,14 @@ def _merge_once(
     evolve: bool,
     properties_fn,
     prefer: Literal["existing", "batch"] = "existing",
+    expected_version: int | None = None,
 ) -> MergeStats:
     snap = table.snapshot()
+    if expected_version is not None and snap.version != expected_version:
+        raise CommitConflict(
+            f"table moved to v{snap.version} past the caller's pinned "
+            f"v{expected_version} before the merge read"
+        )
     key = snap.key_cols
 
     schema = table.evolve_schema(batch.schema) if evolve else snap.schema

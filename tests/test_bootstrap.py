@@ -69,13 +69,33 @@ def test_bootstrap_refuses_live_table(spark, feed, tmp_path):
     live = ReplayPipeline(spark, feed, str(tmp_path / "live"), batch_size=300, num_buckets=8)
     live.run(max_batches=1)
     snap = live.table.read_current()
-    with pytest.raises(ValueError, match="already has progress"):
+    # refused under the SAME marker...
+    with pytest.raises(ValueError, match="requires a fresh path"):
         ReplayPipeline.bootstrap(
             spark, feed, str(tmp_path / "live"), snap, 10, batch_size=300, num_buckets=8
         )
-    # a fresh MARKER namespace on the same table is allowed (S8 fan-out)
-    boot = ReplayPipeline.bootstrap(
-        spark, feed, str(tmp_path / "live"), snap, 10,
-        marker="adopt", batch_size=300, num_buckets=8,
-    )
-    assert boot.state()[0] == 10
+    # ...and under a DIFFERENT marker too: the overwrite would destroy the
+    # first marker's ingested rows while its watermark blocks re-landing
+    with pytest.raises(ValueError, match="requires a fresh path"):
+        ReplayPipeline.bootstrap(
+            spark, feed, str(tmp_path / "live"), snap, 10,
+            marker="adopt", batch_size=300, num_buckets=8,
+        )
+
+
+def test_resume_with_changed_batch_size_is_refused(spark, feed, tmp_path):
+    """Epoch markers are positions in the cut plan; a resume under a
+    different batch_size would re-number ranges and silently skip unlanded
+    data (the epoch guard aliases a new, wider range). The plan-stability
+    fence refuses it instead."""
+    p1 = ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=60, num_buckets=8)
+    p1.run(max_batches=2)
+    with pytest.raises(ValueError, match="batch_size"):
+        ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=300, num_buckets=8).run()
+    # same size resumes fine and drains the rest
+    rest = ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=60, num_buckets=8).run()
+    assert rest
+    full = ReplayPipeline(spark, feed, str(tmp_path / "full"), batch_size=60, num_buckets=8)
+    full.run()
+    assert _state(ReplayPipeline(spark, feed, str(tmp_path / "t"), batch_size=60,
+                                 num_buckets=8).table) == _state(full.table)
