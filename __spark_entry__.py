@@ -579,6 +579,69 @@ def q_ivm_distinct(spark, sf):
     )
 
 
+def q_ivm_join(spark, sf):
+    """Incrementally-maintained N:1 equi-join (streaming/join.py
+    JoinConsumer): a fact table (events keyed by event_id) enriched with
+    dimension columns (customers keyed by the join value) is kept fresh
+    from BOTH tables' changelogs across three waves — facts added and
+    'error' facts tombstoned (left-driven delta), then late dimensions
+    added and every fifth dimension deleted (right-driven delta, which
+    must retract its dependents via delete-by-absence tombstones). The
+    oracle recomputes the surviving inner join directly, so a stale
+    enrichment, an unretracted dependent, or a lost resurrection (a fact
+    whose dimension arrived late) all hash-mismatch."""
+    import tempfile
+
+    from cht_sync_spark.streaming.join import JoinConsumer
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="ivmjoin_q_")
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.lit(False).alias("_deleted"), F.lit(1).cast("long").alias("ver"),
+    )
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment",
+        F.lit(False).alias("_deleted"), F.lit(1).cast("long").alias("ver"),
+    )
+    facts = SnapshotTable.create(
+        spark, f"{work}/f", ev.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("ver", False)],
+    )
+    dims = SnapshotTable.create(
+        spark, f"{work}/d", cust.schema, key_cols=["user_id"],
+        num_buckets=8, sort_cols=["user_id"], lww_order=[("ver", False)],
+    )
+    rmap = {"c_name": "cust_name", "c_mktsegment": "segment"}
+    tgt = JoinConsumer.create_target(spark, facts, dims, f"{work}/j", ["user_id"], rmap)
+    cons = JoinConsumer(
+        spark, facts, dims, tgt, "enrich", ["user_id"],
+        how="inner", right_cols=rmap, tombstones="drop",
+    )
+    # wave 1: partial seed on both sides
+    facts.append_delta(ev.where(F.col("event_id") % 3 != 0))
+    dims.append_delta(cust.where(F.col("user_id") % 2 == 0))
+    cons.run_once()
+    # wave 2 (left-driven): late facts + tombstone every 'error' fact
+    facts.append_delta(ev.where(F.col("event_id") % 3 == 0))
+    facts.append_delta(
+        ev.where(F.col("event_type") == "error")
+        .withColumn("_deleted", F.lit(True)).withColumn("ver", F.lit(2).cast("long"))
+    )
+    cons.run_once()
+    # wave 3 (right-driven): late dimensions resurrect their facts; every
+    # fifth dimension deleted retracts its dependents
+    dims.append_delta(cust.where(F.col("user_id") % 2 == 1))
+    dims.append_delta(
+        cust.where(F.col("user_id") % 5 == 0)
+        .withColumn("_deleted", F.lit(True)).withColumn("ver", F.lit(2).cast("long"))
+    )
+    cons.run_once()
+    return tgt.read_current(drop_tombstones=True).select(
+        "event_id", "user_id", "event_type", "cust_name", "segment"
+    )
+
+
 def q_checkpoint_liveness(spark, sf):
     """Engine-derived per-source lag + liveness from the pipeline's OWN
     checkpoint state (reference: couchdb_progress.updated_at +
@@ -2162,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_aggregate": q_ivm_aggregate,
         "ivm_daily_rollup": q_ivm_daily_rollup,
         "ivm_distinct": q_ivm_distinct,
+        "ivm_join": q_ivm_join,
         "consistent_read": q_consistent_read,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
@@ -2409,6 +2473,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
             "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
             "FROM events WHERE event_type <> 'error' GROUP BY user_id"
+        ),
+        "ivm_join": (
+            "SELECT e.event_id, e.user_id, e.event_type, "
+            "c.c_name AS cust_name, c.c_mktsegment AS segment "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+            "WHERE e.event_type <> 'error' AND c.c_custkey % 5 <> 0"
         ),
         "checkpoint_liveness": (
             "WITH cut AS (SELECT max(event_id) // 2 AS c FROM events) "

@@ -214,6 +214,7 @@ def main() -> None:
         "scd2_history",
         "changelog_read",
         "changelog_consume",
+        "ivm_join",
         "gdpr_purge",
         "table_diff",
         "metadata_count",

@@ -1,5 +1,6 @@
 from cht_sync_spark.streaming.consumer import ChangelogConsumer
 from cht_sync_spark.streaming.ivm import AggregateConsumer, DistinctCountConsumer, Measure
+from cht_sync_spark.streaming.join import JoinConsumer
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
 from cht_sync_spark.streaming.scd2 import Scd2Consumer, scd2_intervals
 from cht_sync_spark.streaming.stream import StreamingReplay
@@ -8,6 +9,7 @@ __all__ = [
     "AggregateConsumer",
     "ChangelogConsumer",
     "DistinctCountConsumer",
+    "JoinConsumer",
     "Measure",
     "ReplayPipeline",
     "Scd2Consumer",

@@ -1,0 +1,309 @@
+"""Incrementally-maintained N:1 equi-join (streaming/join.py): equality
+with full recompute under interleaved deltas on both inputs, dim-delete
+retraction (inner) / null-out (left), replay idempotence, co-located
+reverse-delta bucket pruning, purge ghost-delete cascade, and reseed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cht_sync_spark.streaming.join import JoinConsumer
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("_deleted", T.BooleanType(), False),
+        T.StructField("rev_height", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("author", T.StringType(), False),
+        T.StructField("team", T.StringType(), True),
+        T.StructField("rank", T.IntegerType(), True),
+        T.StructField("_deleted", T.BooleanType(), False),
+        T.StructField("rev_height", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+RMAP = {"team": "team", "rank": "author_rank"}
+
+
+def _lrow(conv, turn, author, text, h, deleted=False):
+    return (conv, turn, author, text, deleted, h, h * 10_000 + turn)
+
+
+def _drow(author, team, rank, h, deleted=False):
+    return (author, team, rank, deleted, h, h * 100)
+
+
+def _mk(spark, tmp_path, how="inner", on=("author",), tombstones="drop"):
+    left = SnapshotTable.create(
+        spark, str(tmp_path / "L"), LEFT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4, bucket_cols=["conv_id"],
+        properties={"cdc.enabled": "true"},
+    )
+    right = SnapshotTable.create(
+        spark, str(tmp_path / "R"), DIM_SCHEMA,
+        key_cols=list(on), num_buckets=4,
+        properties={"cdc.enabled": "true"},
+    )
+    tgt = JoinConsumer.create_target(
+        spark, left, right, str(tmp_path / "J"), list(on), RMAP
+    )
+    cons = JoinConsumer(
+        spark, left, right, tgt, "join", list(on),
+        how=how, right_cols=RMAP, tombstones=tombstones,
+    )
+    return left, right, cons
+
+
+def _recompute(left, right, on, how):
+    a = left.read_current(drop_tombstones=True)
+    b = right.read_current(drop_tombstones=True).select(
+        *on, *[F.col(c).alias(t) for c, t in RMAP.items()]
+    )
+    return a.join(b, on=list(on), how=how)
+
+
+def _assert_matches(cons, on=("author",)):
+    got = cons.target.read_current(drop_tombstones=True)
+    want = _recompute(cons.left, cons.right, list(on), cons.how)
+    cols = sorted(want.columns)
+    got, want = got.select(*cols), want.select(*cols)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, (
+        f"got={sorted(map(tuple, got.collect()))}\nwant={sorted(map(tuple, want.collect()))}"
+    )
+
+
+def test_inner_join_tracks_both_sides(spark, tmp_path):
+    left, right, cons = _mk(spark, tmp_path, how="inner")
+
+    # seed both sides; alice/bob dims exist, carol's author is missing
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "hi", 1), _lrow("a", 1, "bob", "yo", 1),
+         _lrow("b", 0, "carol", "hm", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1), _drow("bob", "blue", 2, 1)], DIM_SCHEMA))
+    r = cons.run_once()
+    assert r is not None and r.rows > 0
+    _assert_matches(cons)  # carol's row absent (no match)
+
+    # ΔA only: new fact + author flip (bob -> alice) + fact delete
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("c", 0, "bob", "new", 1), _lrow("a", 1, "alice", "yo2", 2),
+         _lrow("a", 0, "alice", None, 2, deleted=True)], LEFT_SCHEMA))
+    cons.run_once()
+    _assert_matches(cons)
+
+    # ΔB only: dim update (team flip) + dim delete + NEW dim (carol appears:
+    # her previously-unmatched fact row must now materialise)
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "green", 1, 2), _drow("bob", None, None, 2, deleted=True),
+         _drow("carol", "gold", 9, 1)], DIM_SCHEMA))
+    cons.run_once()
+    _assert_matches(cons)
+
+    # mixed wave on both sides in one cycle
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("b", 1, "carol", "x", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("carol", "gold2", 10, 2)], DIM_SCHEMA))
+    cons.run_once()
+    _assert_matches(cons)
+    # caught up
+    assert cons.run_once() is None
+    assert cons.pending_versions() == 0
+
+
+def test_left_join_nulls_on_dim_delete(spark, tmp_path):
+    left, right, cons = _mk(spark, tmp_path, how="left")
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "hi", 1), _lrow("a", 1, "dave", "yo", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1)], DIM_SCHEMA))
+    cons.run_once()
+    _assert_matches(cons)  # dave present with null dim cols
+
+    # dim delete: alice's fact rows must be REWRITTEN with nulls, not dropped
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", None, None, 2, deleted=True)], DIM_SCHEMA))
+    cons.run_once()
+    _assert_matches(cons)
+    live = cons.target.read_current(drop_tombstones=True)
+    assert live.count() == 2
+    assert live.where(F.col("team").isNotNull()).count() == 0
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    left, right, cons = _mk(spark, tmp_path, how="inner")
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "hi", 1), _lrow("b", 0, "bob", "yo", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1), _drow("bob", "blue", 2, 1)], DIM_SCHEMA))
+    cons.run_once()
+    before = sorted(map(tuple, cons.target.read_current().collect()))
+    a_pos, b_pos = cons.position(), cons.right_position()
+
+    # crash-window replay: force both cursors back and re-consume
+    cons.target.commit(add_files=[], properties_update={
+        cons._ckpt_key: "1", cons._rkey: "1",
+    })
+    r = cons.run_once()
+    assert r is not None
+    after = sorted(map(tuple, cons.target.read_current().collect()))
+    assert after == before
+    assert cons.position() == a_pos and cons.right_position() == b_pos
+
+
+def test_colocated_reverse_delta_prunes(spark, tmp_path):
+    """Join on conv_id with the left bucketed by conv_id: a dim-only delta
+    must open only the changed conv's left buckets, not the live set."""
+    left = SnapshotTable.create(
+        spark, str(tmp_path / "L"), LEFT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8, bucket_cols=["conv_id"],
+        properties={"cdc.enabled": "true"},
+    )
+    dim_schema = T.StructType(
+        [T.StructField("conv_id", T.StringType(), False)]
+        + [f for f in DIM_SCHEMA.fields if f.name not in ("author",)]
+    )
+    right = SnapshotTable.create(
+        spark, str(tmp_path / "R"), dim_schema, key_cols=["conv_id"], num_buckets=4,
+        properties={"cdc.enabled": "true"},
+    )
+    tgt = JoinConsumer.create_target(
+        spark, left, right, str(tmp_path / "J"), ["conv_id"], RMAP
+    )
+    cons = JoinConsumer(
+        spark, left, right, tgt, "join", ["conv_id"], how="inner", right_cols=RMAP,
+        tombstones="drop",
+    )
+    assert cons._colocated
+    rows = [_lrow(f"c{i}", t, "x", "txt", 1) for i in range(24) for t in range(3)]
+    merge_upsert(left, spark.createDataFrame(rows, LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [(f"c{i}", "t", i, False, 1, 100 + i) for i in range(24)], dim_schema))
+    cons.run_once()
+    _assert_matches_conv(cons)
+    total_files = len(left.snapshot().files)
+
+    # dim-only delta touching ONE conv
+    merge_upsert(right, spark.createDataFrame(
+        [("c3", "t2", 99, False, 2, 200)], dim_schema))
+    cons.run_once()
+    assert left.last_scan_files < total_files
+    assert left.last_scan_files <= -(-total_files // 8) * 2  # ~1 bucket's worth
+    _assert_matches_conv(cons)
+
+
+def _assert_matches_conv(cons):
+    got = cons.target.read_current(drop_tombstones=True)
+    a = cons.left.read_current(drop_tombstones=True)
+    b = cons.right.read_current(drop_tombstones=True).select(
+        "conv_id", *[F.col(c).alias(t) for c, t in RMAP.items()]
+    )
+    want = a.join(b, on=["conv_id"], how=cons.how)
+    cols = sorted(want.columns)
+    got, want = got.select(*cols), want.select(*cols)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_purge_cascades_as_ghost_delete(spark, tmp_path):
+    left, right, cons = _mk(spark, tmp_path, how="inner")
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "private", 1), _lrow("b", 0, "bob", "keep", 1)],
+        LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1), _drow("bob", "blue", 2, 1)], DIM_SCHEMA))
+    cons.run_once()
+    assert cons.target.read_current(drop_tombstones=True).count() == 2
+
+    # GDPR purge of conversation 'a' on the left: content-free cdc delete
+    # markers must cascade the removal into the joined table
+    left.purge(spark.createDataFrame([("a",)], "conv_id string"))
+    cons.run_once()
+    live = cons.target.read_current(drop_tombstones=True)
+    assert live.count() == 1
+    assert live.select("conv_id").first()[0] == "b"
+    # purged content is gone even from retained rows (tombstones dropped)
+    assert cons.target.read_current().where(F.col("text") == "private").count() == 0
+
+
+def test_compaction_only_range_advances_cursors(spark, tmp_path):
+    left, right, cons = _mk(spark, tmp_path, how="inner")
+    merge_upsert(left, spark.createDataFrame([_lrow("a", 0, "alice", "hi", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame([_drow("alice", "red", 1, 1)], DIM_SCHEMA))
+    cons.run_once()
+    a_pos = cons.position()
+    left.compact()
+    right.compact()
+    r = cons.run_once()
+    assert r is not None and r.rows == 0 and r.merge is None
+    assert cons.position() > a_pos
+    assert cons.run_once() is None
+
+
+def test_reseed_equals_incremental(spark, tmp_path):
+    left, right, cons = _mk(spark, tmp_path, how="inner")
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "hi", 1), _lrow("b", 0, "bob", "yo", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1)], DIM_SCHEMA))
+    cons.run_once()
+    merge_upsert(right, spark.createDataFrame([_drow("bob", "blue", 2, 1)], DIM_SCHEMA))
+    cons.run_once()
+    # __join_ver is consumer bookkeeping (cycle tips differ between the two
+    # paths by construction); the CONTENT must be identical
+    from cht_sync_spark.streaming.join import VER_COL
+
+    inc = sorted(map(tuple, cons.target.read_current(drop_tombstones=True)
+                     .drop(VER_COL).collect()))
+
+    tgt2 = JoinConsumer.create_target(
+        spark, left, right, str(tmp_path / "J2"), ["author"], RMAP
+    )
+    cons2 = JoinConsumer(
+        spark, left, right, tgt2, "join", ["author"], how="inner", right_cols=RMAP,
+        tombstones="drop",
+    )
+    cons2.reseed()
+    seeded = sorted(map(tuple, tgt2.read_current(drop_tombstones=True)
+                        .drop(VER_COL).collect()))
+    assert inc == seeded
+    assert cons2.run_once() is None  # reseed leaves both cursors at tips
+
+
+def test_validations(spark, tmp_path):
+    left = SnapshotTable.create(
+        spark, str(tmp_path / "L"), LEFT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4, bucket_cols=["conv_id"],
+    )
+    right = SnapshotTable.create(
+        spark, str(tmp_path / "R"), DIM_SCHEMA, key_cols=["author"], num_buckets=4,
+    )
+    tgt = JoinConsumer.create_target(spark, left, right, str(tmp_path / "J"), ["author"])
+    with pytest.raises(ValueError, match="N:1"):
+        JoinConsumer(spark, left, right, tgt, "j", ["team"])  # not right's key
+    with pytest.raises(ValueError, match="collide"):
+        JoinConsumer(
+            spark, left, right, tgt, "j", ["author"], right_cols={"team": "text"}
+        )
+    with pytest.raises(ValueError, match="'inner' or 'left'"):
+        JoinConsumer(spark, left, right, tgt, "j", ["author"], how="full")
+    bad_tgt = SnapshotTable.create(  # wrong bucket layout
+        spark, str(tmp_path / "B"), tgt.snapshot().schema,
+        key_cols=["conv_id", "turn_idx"], num_buckets=2, bucket_cols=["conv_id"],
+    )
+    with pytest.raises(ValueError, match="bucket layout"):
+        JoinConsumer(spark, left, right, bad_tgt, "j", ["author"])
