@@ -108,3 +108,70 @@ def test_pipeline_schedules_scd2_and_distinct(spark, tmp_path):
     }
     got_dc = {r.conv_id: r.n_distinct for r in dc.counts().collect()}
     assert got_dc == want_dc
+
+
+def test_pipeline_schedules_join_consumer(spark, tmp_path):
+    """JoinConsumer composes with the in-loop wiring too: the ingest keeps
+    a dimension-enriched join table fresh per applied batch, and a dim
+    change between resumes heals through the drained-feed catch-up pass."""
+    from pyspark.sql import types as T
+
+    from cht_sync_spark.streaming import JoinConsumer
+
+    feed_dir = str(tmp_path / "feed")
+    write_feed(synth_changes(spark, n_convs=24), feed_dir, n_files=3)
+    feed = ChangesFeedSource(spark, feed_dir, sources=feed_sources())
+    pipe = ReplayPipeline(
+        spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8, mode="mor",
+    )
+    t = pipe.table
+    dim_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("owner", T.StringType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+            T.StructField("ver", T.LongType(), True),
+        ]
+    )
+    dims = SnapshotTable.create(
+        spark, str(tmp_path / "dim"), dim_schema, key_cols=["conv_id"],
+        num_buckets=4, lww_order=[("ver", False)],
+    )
+    dims.append_delta(spark.createDataFrame(
+        [(f"c{i:07d}", f"team-{i % 3}", False, 1) for i in range(24)], dim_schema
+    ))
+    tgt = JoinConsumer.create_target(spark, t, dims, str(tmp_path / "j"), ["conv_id"])
+    jc = JoinConsumer(spark, t, dims, tgt, "enrich", ["conv_id"], how="left",
+                      right_cols=["owner"])
+    pipe.consumers = [jc]
+    assert pipe.run()
+    assert jc.pending_versions() == 0
+
+    def recompute():
+        return t.read_current(drop_tombstones=True).join(
+            dims.read_current(drop_tombstones=True).select("conv_id", "owner"),
+            on="conv_id", how="left",
+        )
+
+    got = tgt.read_current(drop_tombstones=True).drop("__join_ver")
+    want = recompute()
+    cols = sorted(want.columns)
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+    # dim-side change while the feed is drained: the resume's catch-up
+    # pass alone (no batches) must propagate the new enrichment
+    dims.append_delta(spark.createDataFrame(
+        [("c0000003", "team-X", False, 2)], dim_schema))
+    assert jc.pending_versions() > 0
+    pipe2 = ReplayPipeline(
+        spark, feed, str(tmp_path / "t"), batch_size=400, num_buckets=8,
+        mode="mor", consumers=[jc],
+    )
+    assert pipe2.run() == []
+    assert jc.pending_versions() == 0
+    assert (
+        tgt.read_current(drop_tombstones=True)
+        .where(F.col("conv_id") == "c0000003")
+        .select("owner").distinct().collect()[0][0] == "team-X"
+    )
