@@ -307,3 +307,63 @@ def test_validations(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket layout"):
         JoinConsumer(spark, left, right, bad_tgt, "j", ["author"])
+
+
+def test_chained_join_then_aggregate(spark, tmp_path):
+    """Two-hop derived cascade: JoinConsumer maintains the enriched join
+    (cdc.enabled so its COW merges emit exact change files), and an
+    AggregateConsumer tails THAT table's changelog to keep a per-team
+    rollup fresh — the medallion chain landing -> enriched -> aggregate,
+    each hop with its own atomic cursor."""
+    from cht_sync_spark.streaming.ivm import AggregateConsumer
+
+    left, right, cons = _mk(spark, tmp_path, how="inner")
+    # recreate the join target with a change feed for the downstream hop
+    jtgt = JoinConsumer.create_target(
+        spark, left, right, str(tmp_path / "J2"), ["author"], RMAP,
+        properties={"cdc.enabled": "true"},
+    )
+    cons = JoinConsumer(
+        spark, left, right, jtgt, "join", ["author"], how="inner",
+        right_cols=RMAP, tombstones="drop",
+    )
+    measures = {"rank_sum": F.col("author_rank")}
+    atgt = AggregateConsumer.create_target(
+        spark, jtgt, str(tmp_path / "A"), ["team"], measures, num_buckets=4
+    )
+    agg = AggregateConsumer(spark, jtgt, atgt, "rollup", ["team"], measures)
+
+    def assert_rollup():
+        want = (
+            _recompute(left, right, ["author"], "inner")
+            .groupBy("team")
+            .agg(F.count("*").alias("n_rows"), F.sum("author_rank").alias("rank_sum"))
+        )
+        got = atgt.read_current().select("team", "n_rows", "rank_sum")
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0, (
+            f"got={sorted(map(tuple, got.collect()))} "
+            f"want={sorted(map(tuple, want.collect()))}"
+        )
+
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "hi", 1), _lrow("a", 1, "bob", "yo", 1),
+         _lrow("b", 0, "carol", "hm", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1), _drow("bob", "red", 2, 1)], DIM_SCHEMA))
+    cons.run()
+    agg.run()
+    assert_rollup()
+
+    # dim flip moves bob's facts red -> blue; carol appears (new team)
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("bob", "blue", 2, 2), _drow("carol", "gold", 9, 1)], DIM_SCHEMA))
+    cons.run()
+    agg.run()
+    assert_rollup()
+
+    # fact delete retracts out of the rollup through BOTH hops
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", None, 2, deleted=True)], LEFT_SCHEMA))
+    cons.run()
+    agg.run()
+    assert_rollup()
