@@ -52,13 +52,23 @@ class CursorConsumer:
         then be re-applied: for additive state a double count).
         Monotonicity is re-checked against the pinned snapshot; a conflict
         retries through the caller's loop, which re-reads the cursor."""
+        self._advance_cursors({self._ckpt_key: tip})
+
+    def _advance_cursors(self, tips: dict[str, int]) -> None:
+        """Multi-cursor form of :meth:`_advance_cursor` (one pinned commit
+        advancing every named cursor that is behind) — for consumers with
+        more than one input, e.g. the two-sided join."""
         tsnap = self.target.snapshot()
-        cur = int(tsnap.properties.get(self._ckpt_key, 0))
-        if tip <= cur:
+        props = {
+            k: str(v)
+            for k, v in tips.items()
+            if v > int(tsnap.properties.get(k, 0))
+        }
+        if not props:
             return
         self.target.commit(
             add_files=[],
-            properties_update={self._ckpt_key: str(tip)},
+            properties_update=props,
             expected_version=tsnap.version,
         )
 

@@ -75,6 +75,13 @@ from cht_sync_spark.tables.merge import MergeStats, merge_upsert
 
 __all__ = ["JoinConsumer", "JoinResult"]
 
+
+class _RangeAlreadyApplied(Exception):
+    """A concurrent same-name maintainer already landed this whole range
+    (both cursors at/past our tips under the merge) — skip, don't re-land
+    (re-landing would be harmless under the monotone cycle version, just
+    wasteful). Same discipline as derived_index.py."""
+
 _CHANGE_META = ["_change_version", "_change_type"]
 
 #: consumer-owned LWW order column on the target: the pinned (left_tip,
@@ -163,6 +170,18 @@ class JoinConsumer(CursorConsumer):
                 f"bucket pruning lines up; got {tsnap.bucket_cols} x "
                 f"{tsnap.num_buckets}"
             )
+        mistyped = [
+            (c, lsnap.schema[c].dataType.simpleString(), rsnap.schema[c].dataType.simpleString())
+            for c in self.on
+            if lsnap.schema[c].dataType != rsnap.schema[c].dataType
+        ]
+        if mistyped:
+            # xxhash64 hashes an int and a long of the same value to
+            # DIFFERENT buckets, so a dtype mismatch would silently break
+            # bucket pruning on both sides even though the join coerces
+            raise ValueError(
+                f"join column dtypes differ between left and right: {mistyped}"
+            )
         if VER_COL not in tsnap.schema.names or list(tsnap.lww_order[:1]) != [
             (VER_COL, False)
         ]:
@@ -171,6 +190,16 @@ class JoinConsumer(CursorConsumer):
                 "order column — create it with JoinConsumer.create_target"
             )
         self._right_cols = self._norm_right_cols(lsnap, rsnap, right_cols)
+        undeclared = [
+            t for t in self._right_cols.values() if t not in tsnap.schema.names
+        ]
+        if undeclared:
+            # the merge would otherwise silently schema-evolve the target
+            # on the first cycle, leaving every pre-existing row null
+            raise ValueError(
+                f"right_cols target names {undeclared} are not in the target "
+                "schema — create the target with the same right_cols"
+            )
         # co-bucketed fast path: the left bucket id is a pure function of
         # the join columns, so right-driven deltas prune the left scan
         self._colocated = set(lsnap.bucket_cols) <= set(self.on)
@@ -214,22 +243,6 @@ class JoinConsumer(CursorConsumer):
         )
         return left_pending + right_pending
 
-    def _advance_cursors(self, a_tip: int, b_tip: int) -> None:
-        """Cursor-only commit for a no-logical-change range, pinned like
-        CursorConsumer._advance_cursor (monotone against the snapshot it
-        read; a lost race retries through run_once)."""
-        tsnap = self.target.snapshot()
-        props: dict[str, str] = {}
-        if a_tip > int(tsnap.properties.get(self._ckpt_key, 0)):
-            props[self._ckpt_key] = str(a_tip)
-        if b_tip > int(tsnap.properties.get(self._rkey, 0)):
-            props[self._rkey] = str(b_tip)
-        if not props:
-            return
-        self.target.commit(
-            add_files=[], properties_update=props, expected_version=tsnap.version
-        )
-
     # ---------------------------------------------------------------- run
     def run_once(self) -> JoinResult | None:
         """Consume everything committed on either side since the cursors,
@@ -246,6 +259,10 @@ class JoinConsumer(CursorConsumer):
                 )
             try:
                 return self._apply(a_from, a_tip, b_from, b_tip, attempt)
+            except _RangeAlreadyApplied:
+                # a concurrent same-name maintainer covered this whole
+                # range: the state is at least as fresh as our derivation
+                return JoinResult(a_from, a_tip, b_from, b_tip, 0, None, attempt)
             except CommitConflict as e:
                 last_err = e
                 time.sleep(0.05 * (attempt + 1))
@@ -254,12 +271,26 @@ class JoinConsumer(CursorConsumer):
     def _apply(self, a_from: int, a_tip: int, b_from: int, b_tip: int, attempt: int) -> JoinResult:
         lsnap = self.left.snapshot(a_tip)
         akey = list(lsnap.key_cols)
+        pinned: list[DataFrame] = []  # each changelog slice feeds 2-4 jobs
+        try:
+            return self._apply_pinned(
+                a_from, a_tip, b_from, b_tip, attempt, lsnap, akey, pinned
+            )
+        finally:
+            for df in pinned:
+                df.unpersist()
 
+    def _apply_pinned(
+        self, a_from, a_tip, b_from, b_tip, attempt, lsnap, akey, pinned
+    ) -> JoinResult:
         ka: DataFrame | None = None
         cha: DataFrame | None = None
         a_buckets: set[int] = set()
         if a_tip > a_from:
-            cha = self.left.changes(a_from, a_tip, strict=self.strict)
+            cha = self.left.changes(a_from, a_tip, strict=self.strict).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            pinned.append(cha)
             ka = cha.select(*akey).distinct()
             a_buckets = {
                 r["__b"]
@@ -275,7 +306,10 @@ class JoinConsumer(CursorConsumer):
         jb: DataFrame | None = None
         b_buckets: set[int] | None = None  # left-layout buckets of ΔB, if derivable
         if b_tip > b_from:
-            chb = self.right.changes(b_from, b_tip, strict=self.strict)
+            chb = self.right.changes(b_from, b_tip, strict=self.strict).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            pinned.append(chb)
             jb = chb.select(*self.on).distinct()
             if self._colocated:
                 b_buckets = {
@@ -292,7 +326,7 @@ class JoinConsumer(CursorConsumer):
                 jb = None
 
         if ka is None and jb is None:  # no logical changes on either side
-            self._advance_cursors(a_tip, b_tip)
+            self._advance_cursors({self._ckpt_key: a_tip, self._rkey: b_tip})
             return JoinResult(a_from, a_tip, b_from, b_tip, 0, None, attempt)
 
         # ---- affected left rows: ONE scan, pruned to the union of both
@@ -319,82 +353,105 @@ class JoinConsumer(CursorConsumer):
             .drop("__ha", "__hb")
             .persist(StorageLevel.MEMORY_AND_DISK)  # feeds 3 jobs below
         )
-        try:
-            # ---- right-side pruned read: the affected rows' join values
-            # map to right buckets (bucket_cols ⊆ key = on); the collect is
-            # bounded by the right table's modulus
-            rsnap = self.right.snapshot(b_tip)
-            rb = sorted(
-                r["__b"]
-                for r in affected.select(
-                    bucket_expr(rsnap.bucket_cols, rsnap.num_buckets).alias("__b")
-                )
-                .distinct()
-                .collect()
+        pinned.append(affected)
+        # ---- right-side pruned read: the affected rows' join values map
+        # to right buckets (bucket_cols ⊆ key = on); the collect is bounded
+        # by the right table's modulus
+        rsnap = self.right.snapshot(b_tip)
+        rb = sorted(
+            r["__b"]
+            for r in affected.select(
+                bucket_expr(rsnap.bucket_cols, rsnap.num_buckets).alias("__b")
             )
-            rproj = [F.col(c).alias(t) for c, t in self._right_cols.items()]
-            if rb:
-                blive = self.right.read_current(
-                    version=b_tip, drop_tombstones=True, buckets=rb
-                ).select(*self.on, *rproj)
-            else:
-                # affected set is empty (all changed keys purged, or ΔB
-                # values with no dependents): nothing to re-derive — only
-                # ghost deletes below may remain, so skip the right scan
-                # but still flow through the merge, whose empty-batch path
-                # commits the cursors.
-                bschema = T.StructType(
-                    [rsnap.schema[c] for c in self.on]
-                    + [
-                        T.StructField(t, rsnap.schema[c].dataType, True)
-                        for c, t in self._right_cols.items()
-                    ]
+            .distinct()
+            .collect()
+        )
+        rproj = [F.col(c).alias(t) for c, t in self._right_cols.items()]
+        if rb:
+            blive = self.right.read_current(
+                version=b_tip, drop_tombstones=True, buckets=rb
+            ).select(*self.on, *rproj)
+        else:
+            # affected set is empty (all changed keys purged, or ΔB values
+            # with no dependents): nothing to re-derive — only ghost
+            # deletes below may remain, so skip the right scan entirely.
+            bschema = T.StructType(
+                [rsnap.schema[c] for c in self.on]
+                + [
+                    T.StructField(t, rsnap.schema[c].dataType, True)
+                    for c, t in self._right_cols.items()
+                ]
+            )
+            blive = self.spark.createDataFrame([], bschema)
+        alive = affected.where(~_deleted_col(affected))
+        joined = alive.join(blive, on=self.on, how=self.how)
+        # rows the recompute no longer produces -> absence tombstones (left
+        # deletes; inner-join match loss). The monotone VER_COL stamped
+        # below is what makes them supersede the stored rows; the left
+        # order columns they carry are payload, not the tiebreak.
+        dead = (
+            affected.join(joined.select(*akey), on=akey, how="left_anti")
+            .withColumn("_deleted", F.lit(True))
+        )
+        batch = joined.unionByName(dead, allowMissingColumns=True)
+        if ka is not None:
+            # ghost deletes: changed keys with NO row in the current read —
+            # a left-side PURGE (content-free cdc delete markers,
+            # format.py purge()). The marker rows carry the key + a bumped
+            # LWW order, so they cascade as tombstones here.
+            assert cha is not None
+            ghosts = (
+                lww_dedup(
+                    cha.where(F.col("_change_type") == "delete").drop(*_CHANGE_META),
+                    key=akey,
+                    order=lsnap.lww_order or [(akey[0], True)],
                 )
-                blive = self.spark.createDataFrame([], bschema)
-            alive = affected.where(~_deleted_col(affected))
-            joined = alive.join(blive, on=self.on, how=self.how)
-            # rows the recompute no longer produces -> absence tombstones
-            # (left deletes; inner-join match loss). They carry the left
-            # row's LWW order columns; prefer='batch' below breaks ties.
-            dead = (
-                affected.join(joined.select(*akey), on=akey, how="left_anti")
+                .join(affected.select(*akey), on=akey, how="left_anti")
                 .withColumn("_deleted", F.lit(True))
             )
-            batch = joined.unionByName(dead, allowMissingColumns=True)
-            if ka is not None:
-                # ghost deletes: changed keys with NO row in the current
-                # read — a left-side PURGE (content-free cdc delete markers,
-                # format.py purge()). The marker rows carry the key + a
-                # bumped LWW order, so they cascade as tombstones here.
-                assert cha is not None
-                ghosts = (
-                    lww_dedup(
-                        cha.where(F.col("_change_type") == "delete").drop(*_CHANGE_META),
-                        key=akey,
-                        order=lsnap.lww_order or [(akey[0], True)],
-                    )
-                    .join(affected.select(*akey), on=akey, how="left_anti")
-                    .withColumn("_deleted", F.lit(True))
+            batch = batch.unionByName(ghosts, allowMissingColumns=True)
+        batch = batch.withColumn(
+            VER_COL, F.lit(_cycle_ver(a_tip, b_tip)).cast("long")
+        ).persist(StorageLevel.MEMORY_AND_DISK)  # merge runs 2+ jobs over it
+        pinned.append(batch)
+
+        def _props() -> dict[str, str]:
+            # post-write, PRE-COMMIT (same atomic snapshot as the merge):
+            # re-read both cursors. A concurrent same-name maintainer that
+            # covered this whole range shows as advanced cursors with no
+            # CommitConflict — skip rather than re-land. Cursors at any
+            # OTHER position mean a racer landed a different range: this
+            # batch was derived against tips the cursor no longer reflects
+            # (its stale enrichments could otherwise pin — the racer's
+            # newer rows carry a ver our next cycle would never revisit,
+            # since the ranges are consumed) — abort and re-derive.
+            p = self.target.snapshot().properties
+            cur_a = max(int(p.get(self._ckpt_key, 0)), 1)
+            cur_b = max(int(p.get(self._rkey, 0)), 1)
+            if cur_a >= a_tip and cur_b >= b_tip:
+                raise _RangeAlreadyApplied()
+            if cur_a != a_from or cur_b != b_from:
+                raise CommitConflict(
+                    f"cursors moved ({a_from},{b_from}) -> ({cur_a},{cur_b}) "
+                    "under the merge"
                 )
-                batch = batch.unionByName(ghosts, allowMissingColumns=True)
-            batch = batch.withColumn(
-                VER_COL, F.lit(_cycle_ver(a_tip, b_tip)).cast("long")
-            )
-            stats = merge_upsert(
-                self.target,
-                batch,
-                tombstones=self.tombstones,  # type: ignore[arg-type]
-                dedup_batch=False,  # unique per key: reconciled N:1 recompute
-                properties_update={
-                    self._ckpt_key: str(a_tip),
-                    self._rkey: str(b_tip),
-                },
-            )
-            return JoinResult(
-                a_from, a_tip, b_from, b_tip, stats.rows_in_batch, stats, attempt
-            )
-        finally:
-            affected.unpersist()
+            return {self._ckpt_key: str(a_tip), self._rkey: str(b_tip)}
+
+        stats = merge_upsert(
+            self.target,
+            batch,
+            tombstones=self.tombstones,  # type: ignore[arg-type]
+            dedup_batch=False,  # unique per key: reconciled N:1 recompute
+            properties_fn=_props,
+            max_retries=1,  # a lost race re-checks the cursors out in run_once
+        )
+        if self.position() < a_tip or self.right_position() < b_tip:
+            # empty batch (merge's empty path skips properties_fn): commit
+            # the cursors pinned
+            self._advance_cursors({self._ckpt_key: a_tip, self._rkey: b_tip})
+        return JoinResult(
+            a_from, a_tip, b_from, b_tip, stats.rows_in_batch, stats, attempt
+        )
 
     # ------------------------------------------------------------- reseed
     def reseed(self) -> JoinResult:

@@ -307,6 +307,33 @@ def test_validations(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket layout"):
         JoinConsumer(spark, left, right, bad_tgt, "j", ["author"])
+    # a consumer selecting a right column the target never declared would
+    # silently schema-evolve the target on its first cycle
+    with pytest.raises(ValueError, match="not in the target schema"):
+        JoinConsumer(spark, left, right, tgt, "j", ["author"],
+                     right_cols={"rank": "undeclared_rank"})
+    # join-column dtype mismatch: xxhash64(int) != xxhash64(long), so
+    # bucket pruning on both sides would silently go wrong
+    int_dim = T.StructType(
+        [T.StructField("author", T.IntegerType(), False)]
+        + [f for f in DIM_SCHEMA.fields if f.name != "author"]
+    )
+    right_int = SnapshotTable.create(
+        spark, str(tmp_path / "Ri"), int_dim, key_cols=["author"], num_buckets=4,
+    )
+    int_left = T.StructType(
+        [f if f.name != "author" else T.StructField("author", T.LongType(), True)
+         for f in LEFT_SCHEMA.fields]
+    )
+    left_long = SnapshotTable.create(
+        spark, str(tmp_path / "Ll"), int_left,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4, bucket_cols=["conv_id"],
+    )
+    tgt_i = JoinConsumer.create_target(
+        spark, left_long, right_int, str(tmp_path / "Ji"), ["author"]
+    )
+    with pytest.raises(ValueError, match="dtypes differ"):
+        JoinConsumer(spark, left_long, right_int, tgt_i, "j", ["author"])
 
 
 def test_chained_join_then_aggregate(spark, tmp_path):
