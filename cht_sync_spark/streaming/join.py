@@ -27,10 +27,15 @@ N:1 restriction collapses ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB into one recompute s
   select their dependent left rows (a broadcast semi-join over the left
   live set — bucket-pruned too when the left table is co-bucketed by the
   join columns, the transcripts layout: landing bucketed by conv_id,
-  dim keyed by conv_id; otherwise a live-file scan, the honest reverse-
-  delta cost — at true 100 TB with a non-co-located layout, maintain a
-  join-value → left-bucket inverted index via
-  :mod:`cht_sync_spark.streaming.derived_index`);
+  dim keyed by conv_id). On a NON-co-located layout the honest cost is a
+  live-file scan — unless a ``value_index``
+  (:class:`~cht_sync_spark.streaming.key_index.JoinKeyIndexConsumer`'s
+  join-value → referencing-keys inverted index) is attached, in which
+  case the dependents' left buckets come from two bounded index probes;
+  the index is used only when its cursor is >= this consumer's left
+  cursor (values acquired later belong to the left-driven delta anyway,
+  and stale extra index rows only widen the scan — superset, never a
+  miss), falling back to the live scan when it lags;
 - the affected rows are re-derived FROM SOURCE STATE at the two pinned
   tips; rows the recompute no longer produces (left deletes, inner-join
   match loss) become **delete-by-absence tombstones**, the derived-index
@@ -131,6 +136,7 @@ class JoinConsumer(CursorConsumer):
         tombstones: str = "keep",
         strict: bool = True,
         max_retries: int = 8,
+        value_index: SnapshotTable | None = None,
     ):
         if how not in ("inner", "left"):
             raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -203,6 +209,14 @@ class JoinConsumer(CursorConsumer):
         # co-bucketed fast path: the left bucket id is a pure function of
         # the join columns, so right-driven deltas prune the left scan
         self._colocated = set(lsnap.bucket_cols) <= set(self.on)
+        self.value_index = value_index
+        if value_index is not None:
+            iks = list(value_index.snapshot().key_cols)
+            if iks != [*self.on, *lsnap.key_cols]:
+                raise ValueError(
+                    f"value_index key must be {[*self.on, *lsnap.key_cols]} "
+                    f"(join values + left key); got {iks}"
+                )
 
     def _norm_right_cols(self, lsnap, rsnap, right_cols) -> dict[str, str]:
         """right column -> target column name for the enrichment payload.
@@ -234,6 +248,18 @@ class JoinConsumer(CursorConsumer):
     def right_position(self) -> int:
         v = self.target.snapshot().properties.get(self._rkey)
         return int(v) if v is not None else 0
+
+    def _index_covers(self, a_from: int) -> bool:
+        """Is the attached value index fresh enough to answer the reverse
+        delta soundly? Its (sole maintaining) cursor must be at or past
+        OUR left cursor — see the module docstring's freshness contract."""
+        props = self.value_index.snapshot().properties
+        curs = [
+            int(v)
+            for k, v in props.items()
+            if k.startswith("consumer.") and k.endswith(".version")
+        ]
+        return bool(curs) and max(curs) >= a_from
 
     def pending_versions(self) -> int:
         """Lag probe across BOTH inputs (driver metadata only)."""
@@ -322,6 +348,15 @@ class JoinConsumer(CursorConsumer):
                 }
                 if not b_buckets:
                     jb = None  # compaction-only right range
+            elif self.value_index is not None and self._index_covers(a_from):
+                from cht_sync_spark.streaming.key_index import value_ref_buckets
+
+                b_buckets = set(value_ref_buckets(self.value_index, jb, lsnap))
+                if not b_buckets:
+                    # empty right range, or changed values with no live
+                    # dependents (any dependent acquired inside ΔA is the
+                    # left-driven half's job)
+                    jb = None
             elif jb.limit(1).isEmpty():  # one O(changed files) probe
                 jb = None
 

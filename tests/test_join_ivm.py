@@ -394,3 +394,105 @@ def test_chained_join_then_aggregate(spark, tmp_path):
     cons.run()
     agg.run()
     assert_rollup()
+
+
+def test_value_index_reverse_delta_prunes(spark, tmp_path):
+    """NON-co-located layout (left bucketed by conv_id, join on author)
+    with the join-value inverted index attached: a dim-only delta probes
+    the index instead of scanning the left live set, and opens only the
+    dependents' buckets."""
+    from cht_sync_spark.streaming.key_index import JoinKeyIndexConsumer
+
+    left = SnapshotTable.create(
+        spark, str(tmp_path / "L"), LEFT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8, bucket_cols=["conv_id"],
+        properties={"cdc.enabled": "true"},
+    )
+    right = SnapshotTable.create(
+        spark, str(tmp_path / "R"), DIM_SCHEMA, key_cols=["author"], num_buckets=4,
+        properties={"cdc.enabled": "true"},
+    )
+    idx = JoinKeyIndexConsumer.create_index(
+        spark, left, str(tmp_path / "I"), ["author"], num_buckets=4
+    )
+    ic = JoinKeyIndexConsumer(spark, left, idx, "vix")
+    tgt = JoinConsumer.create_target(spark, left, right, str(tmp_path / "J"), ["author"], RMAP)
+    cons = JoinConsumer(
+        spark, left, right, tgt, "join", ["author"], how="inner",
+        right_cols=RMAP, tombstones="drop", value_index=idx,
+    )
+    assert not cons._colocated
+
+    # 'solo' authors only one conversation; the spread authors cover many
+    rows = [
+        _lrow(f"c{i}", t, "solo" if i == 3 else f"t{i % 5}", "txt", 1)
+        for i in range(24) for t in range(3)
+    ]
+    merge_upsert(left, spark.createDataFrame(rows, LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow(a, "base", 1, 1) for a in ["solo"] + [f"t{j}" for j in range(5)]],
+        DIM_SCHEMA))
+    ic.run()
+    cons.run_once()
+    _assert_matches(cons)
+    total_files = len(left.snapshot().files)
+
+    # dim-only delta touching the one-conversation author
+    merge_upsert(right, spark.createDataFrame([_drow("solo", "gold", 9, 2)], DIM_SCHEMA))
+    assert cons._index_covers(max(cons.position(), 1))
+    cons.run_once()
+    assert left.last_scan_files < total_files
+    assert left.last_scan_files <= -(-total_files // 8) * 2  # ~1 bucket's worth
+    _assert_matches(cons)
+
+    # author flip moves index rows; the NEW value's dim change must find
+    # the flipped row through the index (delete-by-absence on the old row)
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("c7", 0, "solo", "moved", 2)], LEFT_SCHEMA))
+    ic.run()
+    cons.run_once()
+    _assert_matches(cons)
+    merge_upsert(right, spark.createDataFrame([_drow("solo", "mix", 10, 3)], DIM_SCHEMA))
+    cons.run_once()
+    _assert_matches(cons)
+    got = cons.target.read_current(drop_tombstones=True)
+    assert got.where((F.col("conv_id") == "c7") & (F.col("team") == "mix")).count() == 1
+
+
+def test_value_index_stale_falls_back(spark, tmp_path):
+    """An index whose cursor lags the join's left cursor is unsound for
+    the reverse delta (it may miss dependents acquired before a_from):
+    the consumer must fall back to the live scan and stay exact."""
+    from cht_sync_spark.streaming.key_index import JoinKeyIndexConsumer
+
+    left = SnapshotTable.create(
+        spark, str(tmp_path / "L"), LEFT_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=8, bucket_cols=["conv_id"],
+        properties={"cdc.enabled": "true"},
+    )
+    right = SnapshotTable.create(
+        spark, str(tmp_path / "R"), DIM_SCHEMA, key_cols=["author"], num_buckets=4,
+        properties={"cdc.enabled": "true"},
+    )
+    idx = JoinKeyIndexConsumer.create_index(
+        spark, left, str(tmp_path / "I"), ["author"], num_buckets=4
+    )
+    tgt = JoinConsumer.create_target(spark, left, right, str(tmp_path / "J"), ["author"], RMAP)
+    cons = JoinConsumer(
+        spark, left, right, tgt, "join", ["author"], how="inner",
+        right_cols=RMAP, tombstones="drop", value_index=idx,
+    )
+    merge_upsert(left, spark.createDataFrame(
+        [_lrow("a", 0, "alice", "hi", 1), _lrow("b", 0, "bob", "yo", 1)], LEFT_SCHEMA))
+    merge_upsert(right, spark.createDataFrame(
+        [_drow("alice", "red", 1, 1), _drow("bob", "blue", 2, 1)], DIM_SCHEMA))
+    cons.run_once()  # index never ran: no cursor at all
+    _assert_matches(cons)
+    # dim-only delta with the index still empty/lagging -> full-scan path,
+    # exactness preserved (alice's dependent must be refreshed)
+    merge_upsert(right, spark.createDataFrame([_drow("alice", "green", 1, 2)], DIM_SCHEMA))
+    assert not cons._index_covers(max(cons.position(), 1))
+    cons.run_once()
+    _assert_matches(cons)
+    live = cons.target.read_current(drop_tombstones=True)
+    assert live.where(F.col("team") == "green").count() == 1
