@@ -579,23 +579,16 @@ def q_ivm_distinct(spark, sf):
     )
 
 
-def q_ivm_join(spark, sf):
-    """Incrementally-maintained N:1 equi-join (streaming/join.py
-    JoinConsumer): a fact table (events keyed by event_id) enriched with
-    dimension columns (customers keyed by the join value) is kept fresh
-    from BOTH tables' changelogs across three waves — facts added and
-    'error' facts tombstoned (left-driven delta), then late dimensions
-    added and every fifth dimension deleted (right-driven delta, which
-    must retract its dependents via delete-by-absence tombstones). The
-    oracle recomputes the surviving inner join directly, so a stale
-    enrichment, an unretracted dependent, or a lost resurrection (a fact
-    whose dimension arrived late) all hash-mismatch."""
-    import tempfile
-
+def _ivm_join_replay(spark, sf, work, value_index=False):
+    """Shared harness for the join-IVM driver entries: three waves over a
+    fact table (events keyed by event_id) and a dimension table (customers
+    keyed by the join value), maintained by JoinConsumer. With
+    ``value_index`` the facts are NOT co-bucketed by the join column (they
+    bucket by event_id), so the right-driven wave exercises the
+    JoinKeyIndexConsumer probe path instead of the live scan."""
     from cht_sync_spark.streaming.join import JoinConsumer
     from cht_sync_spark.tables.format import SnapshotTable
 
-    work = tempfile.mkdtemp(prefix="ivmjoin_q_")
     ev = _t(spark, sf, "events").select(
         "event_id", "user_id", "event_type",
         F.lit(False).alias("_deleted"), F.lit(1).cast("long").alias("ver"),
@@ -614,21 +607,36 @@ def q_ivm_join(spark, sf):
     )
     rmap = {"c_name": "cust_name", "c_mktsegment": "segment"}
     tgt = JoinConsumer.create_target(spark, facts, dims, f"{work}/j", ["user_id"], rmap)
+    idx_cons = None
+    idx = None
+    if value_index:
+        from cht_sync_spark.streaming.key_index import JoinKeyIndexConsumer
+
+        idx = JoinKeyIndexConsumer.create_index(
+            spark, facts, f"{work}/vix", ["user_id"], num_buckets=8
+        )
+        idx_cons = JoinKeyIndexConsumer(spark, facts, idx, "vix")
     cons = JoinConsumer(
         spark, facts, dims, tgt, "enrich", ["user_id"],
-        how="inner", right_cols=rmap, tombstones="drop",
+        how="inner", right_cols=rmap, tombstones="drop", value_index=idx,
     )
+
+    def cycle():
+        if idx_cons is not None:
+            idx_cons.run()
+        cons.run()
+
     # wave 1: partial seed on both sides
     facts.append_delta(ev.where(F.col("event_id") % 3 != 0))
     dims.append_delta(cust.where(F.col("user_id") % 2 == 0))
-    cons.run_once()
+    cycle()
     # wave 2 (left-driven): late facts + tombstone every 'error' fact
     facts.append_delta(ev.where(F.col("event_id") % 3 == 0))
     facts.append_delta(
         ev.where(F.col("event_type") == "error")
         .withColumn("_deleted", F.lit(True)).withColumn("ver", F.lit(2).cast("long"))
     )
-    cons.run_once()
+    cycle()
     # wave 3 (right-driven): late dimensions resurrect their facts; every
     # fifth dimension deleted retracts its dependents
     dims.append_delta(cust.where(F.col("user_id") % 2 == 1))
@@ -636,10 +644,39 @@ def q_ivm_join(spark, sf):
         cust.where(F.col("user_id") % 5 == 0)
         .withColumn("_deleted", F.lit(True)).withColumn("ver", F.lit(2).cast("long"))
     )
-    cons.run_once()
+    cycle()
     return tgt.read_current(drop_tombstones=True).select(
         "event_id", "user_id", "event_type", "cust_name", "segment"
     )
+
+
+def q_ivm_join_indexed(spark, sf):
+    """The at-scale form of ``ivm_join``: the fact table is NOT bucketed by
+    the join column, so the right-driven wave resolves its dependents
+    through the join-value inverted index (streaming/key_index.py
+    JoinKeyIndexConsumer, maintained in the same loop) instead of a left
+    live scan — the driver exercises the index path end to end against the
+    identical inner-join oracle."""
+    import tempfile
+
+    return _ivm_join_replay(spark, sf, tempfile.mkdtemp(prefix="ivmjoinx_q_"),
+                            value_index=True)
+
+
+def q_ivm_join(spark, sf):
+    """Incrementally-maintained N:1 equi-join (streaming/join.py
+    JoinConsumer): a fact table (events keyed by event_id) enriched with
+    dimension columns (customers keyed by the join value) is kept fresh
+    from BOTH tables' changelogs across three waves — facts added and
+    'error' facts tombstoned (left-driven delta), then late dimensions
+    added and every fifth dimension deleted (right-driven delta, which
+    must retract its dependents via delete-by-absence tombstones). The
+    oracle recomputes the surviving inner join directly, so a stale
+    enrichment, an unretracted dependent, or a lost resurrection (a fact
+    whose dimension arrived late) all hash-mismatch."""
+    import tempfile
+
+    return _ivm_join_replay(spark, sf, tempfile.mkdtemp(prefix="ivmjoin_q_"))
 
 
 def q_checkpoint_liveness(spark, sf):
@@ -2226,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_daily_rollup": q_ivm_daily_rollup,
         "ivm_distinct": q_ivm_distinct,
         "ivm_join": q_ivm_join,
+        "ivm_join_indexed": q_ivm_join_indexed,
         "consistent_read": q_consistent_read,
         "t10_contract_check": q_t10_contract_check,
         "p6_source_naming": q_p6_source_naming,
@@ -2475,6 +2513,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type <> 'error' GROUP BY user_id"
         ),
         "ivm_join": (
+            "SELECT e.event_id, e.user_id, e.event_type, "
+            "c.c_name AS cust_name, c.c_mktsegment AS segment "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+            "WHERE e.event_type <> 'error' AND c.c_custkey % 5 <> 0"
+        ),
+        "ivm_join_indexed": (
             "SELECT e.event_id, e.user_id, e.event_type, "
             "c.c_name AS cust_name, c.c_mktsegment AS segment "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
