@@ -496,3 +496,54 @@ def test_value_index_stale_falls_back(spark, tmp_path):
     _assert_matches(cons)
     live = cons.target.read_current(drop_tombstones=True)
     assert live.where(F.col("team") == "green").count() == 1
+
+
+@pytest.mark.parametrize("seed,how", [(11, "inner"), (47, "left")])
+def test_torture_random_interleavings(spark, tmp_path, seed, how):
+    """Seeded random schedule over BOTH inputs (upserts, author flips,
+    deletes, resurrections, equal-height conflicts, occasional compactions
+    and consumer skips so a cycle crosses multi-snapshot ranges), checked
+    against the full recompute after every consumer cycle. Small key pools
+    force constant collisions; seeds are fixed so failures replay."""
+    import random
+
+    rng = random.Random(seed)
+    left, right, cons = _mk(spark, tmp_path, how=how)
+    convs = [f"c{i}" for i in range(6)]
+    authors = [f"a{i}" for i in range(4)]
+    lrev: dict[tuple, int] = {}
+    drev: dict[str, int] = {}
+
+    for step in range(10):
+        # left wave: 0-4 upserts/deletes over colliding keys
+        lrows = []
+        for _ in range(rng.randint(0, 4)):
+            k = (rng.choice(convs), rng.randint(0, 2))
+            h = lrev.get(k, 0) + rng.choice([1, 1, 2])  # occasional height skip
+            lrev[k] = h
+            lrows.append(_lrow(
+                k[0], k[1], rng.choice(authors + [None]),
+                f"s{step}", h, deleted=rng.random() < 0.2,
+            ))
+        if lrows:
+            merge_upsert(left, spark.createDataFrame(lrows, LEFT_SCHEMA))
+        # right wave: 0-2 dim upserts/deletes (incl. resurrections)
+        drows = []
+        for _ in range(rng.randint(0, 2)):
+            a = rng.choice(authors)
+            h = drev.get(a, 0) + 1
+            drev[a] = h
+            drows.append(_drow(a, f"team{rng.randint(0, 2)}", rng.randint(0, 9),
+                               h, deleted=rng.random() < 0.25))
+        if drows:
+            merge_upsert(right, spark.createDataFrame(drows, DIM_SCHEMA))
+        if rng.random() < 0.2:
+            (left if rng.random() < 0.5 else right).compact()
+        if rng.random() < 0.3:
+            continue  # skip the cycle: next one crosses a multi-snapshot range
+        cons.run()
+        _assert_matches(cons)
+
+    cons.run()  # drain whatever the skips left behind
+    _assert_matches(cons)
+    assert cons.pending_versions() == 0
