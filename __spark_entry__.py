@@ -1200,6 +1200,46 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_length_quantiles(spark, sf):
+    """Per-language length-distribution report (functions/corpus.py
+    length_quantiles): count/mean/min/max + EXACT interpolated p50/p90/p99
+    of n_chars per lang in ONE hash aggregate — the curation dashboard
+    whose thresholds feed curation_funnel. Spark's exact `percentile` and
+    DuckDB's `quantile_cont` share the linear-interpolation definition, so
+    every order statistic is oracle-checked; percentile_approx is the
+    documented high-cardinality switch (sketch, no oracle twin)."""
+    from cht_sync_spark.functions.corpus import length_quantiles
+
+    return length_quantiles(_t(spark, sf, "documents"), "lang", "n_chars")
+
+
+def q_composition_rollup(spark, sf):
+    """Corpus composition at every rollup level (functions/corpus.py
+    composition_rollup): docs + char volume by (lang, source), by lang,
+    and the grand total — ONE Expand + ONE partially-combined hash
+    aggregate instead of three corpus rescans. grouping_id disambiguates
+    rolled-up subtotals from genuine NULL dimension values; the oracle is
+    the identical ANSI ROLLUP."""
+    from cht_sync_spark.functions.corpus import composition_rollup
+
+    return composition_rollup(_t(spark, sf, "documents"), ("lang", "source"), "n_chars")
+
+
+def q_topk_docs_per_group(spark, sf):
+    """Deterministic per-group top-k (longest 3 docs per language):
+    row_number over a (n_chars DESC, doc_id ASC) order — the tie-break
+    makes the cut exact at any SF. Catalyst turns the rank filter into
+    WindowGroupLimit (map-side per-group pruning before the shuffle), the
+    same pushdown the LWW plane leans on (operators/lww.py)."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )
+
+
 def q_curation_funnel(spark, sf):
     """Staged quality-filter funnel (functions/corpus.py curation_funnel +
     funnel_report): the C4/RefinedWeb cleaning-cascade accounting — each
@@ -2292,6 +2332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
+        "length_quantiles": q_length_quantiles,
+        "composition_rollup": q_composition_rollup,
+        "topk_docs_per_group": q_topk_docs_per_group,
         "curation_funnel": q_curation_funnel,
         "doc_chunking": q_doc_chunking,
         "bm25_search": q_bm25_search,
@@ -2986,6 +3029,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM t "
             "WINDOW w AS (PARTITION BY source ORDER BY doc_id "
             "  ROWS UNBOUNDED PRECEDING)"
+        ),
+        # length distribution: exact interpolated quantiles (quantile_cont
+        # == Spark's exact percentile, both linear interpolation)
+        "length_quantiles": (
+            "SELECT lang, count(n_chars) AS n, "
+            "round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean, "
+            "min(CAST(n_chars AS DOUBLE)) AS vmin, "
+            "max(CAST(n_chars AS DOUBLE)) AS vmax, "
+            "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50, "
+            "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90, "
+            "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99 "
+            "FROM documents GROUP BY lang"
+        ),
+        # corpus composition: identical ANSI ROLLUP + GROUPING bitmask
+        "composition_rollup": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "sum(CAST(n_chars AS BIGINT)) AS volume, "
+            "CAST(GROUPING(lang, source) AS INTEGER) AS gid "
+            "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        # per-group top-k with a total tie-break order
+        "topk_docs_per_group": (
+            "SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk "
+            "FROM documents) WHERE rk <= 3"
         ),
         # curation funnel: first-failure CASE + telescoping window
         "curation_funnel": (

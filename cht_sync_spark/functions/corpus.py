@@ -42,7 +42,9 @@ from .text import normalize_text, spread
 
 __all__ = [
     "chunk_documents",
+    "composition_rollup",
     "export_shards",
+    "length_quantiles",
     "shard_assign",
     "contamination",
     "curation_funnel",
@@ -554,4 +556,77 @@ def pack_sequences(
         .withColumn("bin_id", F.expr(f"__before div CAST({int(budget)} AS BIGINT)"))
         .withColumn("bin_offset", F.col("__before") % F.lit(budget))
         .drop("__before")
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group length/token distribution report — the curation dashboard
+    every pretraining pipeline keeps (length histograms per language /
+    source feed the funnel thresholds in :func:`curation_funnel`).
+
+    One hash aggregate keyed by ``group_col``: count, mean, min/max and the
+    requested quantiles. ``approx=False`` uses Spark's EXACT interpolated
+    ``percentile`` — linear interpolation between order statistics, the
+    same definition as DuckDB's ``quantile_cont``, so the report replays
+    bit-comparably in the oracle. Exact percentile buffers each group's
+    values in the aggregation state; that is the right trade for report
+    cardinalities (languages, sources — thousands of groups), while at
+    100 TB with high-cardinality groups ``approx=True`` switches to
+    ``percentile_approx`` (t-digest-style sketch, mergeable map-side
+    partials, bounded state — no oracle twin, sketch internals are
+    engine-specific).
+    """
+    v = F.col(value_col).cast("double")
+    if approx:
+        qs = F.percentile_approx(v, list(probs))
+    else:
+        qs = F.percentile(v, F.array(*[F.lit(p) for p in probs]))
+    pcols = [
+        F.round(F.element_at(F.col("__qs"), i + 1), 6).alias(
+            f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        )
+        for i, p in enumerate(probs)
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(v).alias("n"),
+            F.round(F.avg(v), 6).alias("mean"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            qs.alias("__qs"),
+        )
+        .select(group_col, "n", "mean", "vmin", "vmax", *pcols)
+    )
+
+
+def composition_rollup(
+    df: DataFrame,
+    dims: tuple[str, str] = ("lang", "source"),
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Corpus composition at every rollup level — the "what is this corpus
+    made of" report (docs and volume by language, by language x source,
+    and the grand total) produced as ONE job.
+
+    ``ROLLUP(d1, d2)`` evaluates the three grouping sets via Catalyst's
+    ``Expand`` (each input row is replicated once per set, map-side, then
+    ONE hash aggregate with partial combine) — at 100 TB this is one
+    shuffle of pre-combined partials, versus three separate jobs each
+    rescanning the corpus. ``grouping_id`` disambiguates a genuine NULL
+    dimension value from a rolled-up subtotal (the classic GROUPING()
+    disambiguation), so the report is loss-free even on dirty metadata.
+    """
+    d1, d2 = dims
+    # grouping_id() is only resolvable INSIDE the grouping-sets aggregate
+    return df.rollup(d1, d2).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(value_col).cast("long")).alias("volume"),
+        F.grouping_id().cast("int").alias("gid"),
     )

@@ -207,3 +207,56 @@ def test_pack_sequences_null_text_is_zero_tokens(spark):
            for r in pack_sequences(df, budget=4).collect()}
     # the null doc occupies zero tokens and stays PLACED (not null bins)
     assert out == {1: (2, 0, 0), 2: (0, 0, 2), 3: (1, 0, 2)}
+
+
+# ------------------------------------------------- distribution reports
+def test_length_quantiles_exact_interpolation(spark):
+    from cht_sync_spark.functions.corpus import length_quantiles
+
+    # 4 values in one group: p50 of [10, 20, 30, 40] interpolates to 25.0
+    rows = [(1, "a", "en", 10), (2, "b", "en", 20), (3, "c", "en", 30),
+            (4, "d", "en", 40), (5, "e", "de", 7)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    out = {r.lang: r for r in length_quantiles(d, "lang", "n_chars").collect()}
+    en = out["en"]
+    assert (en.n, en.mean, en.vmin, en.vmax) == (4, 25.0, 10.0, 40.0)
+    assert en.p50 == 25.0                       # linear interpolation
+    assert en.p90 == pytest.approx(37.0)        # 10 + 0.9*3 order stats
+    assert out["de"].p50 == 7.0 and out["de"].n == 1
+
+    # approx form: same shape, sketch values (not oracle-checked)
+    ap = {r.lang: r for r in
+          length_quantiles(d, "lang", "n_chars", approx=True).collect()}
+    assert set(ap) == {"en", "de"} and ap["en"].n == 4
+
+
+def test_length_quantiles_single_aggregate_plan(spark):
+    from cht_sync_spark.functions.corpus import length_quantiles
+
+    d = spark.createDataFrame(
+        [(i, "t", "en", i) for i in range(100)],
+        "doc_id long, text string, lang string, n_chars long")
+    plan = length_quantiles(d)._jdf.queryExecution().executedPlan().toString()
+    # one keyed aggregate pair, no window / join / extra exchange
+    assert plan.count("Exchange") == 1 and "Window" not in plan
+
+
+def test_composition_rollup_levels_and_grouping_id(spark):
+    from cht_sync_spark.functions.corpus import composition_rollup
+
+    rows = [(1, "a", "en", "web", 10), (2, "b", "en", "web", 20),
+            (3, "c", "en", "book", 5), (4, "d", None, "web", 2)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = composition_rollup(d, ("lang", "source"), "n_chars").collect()
+    assert len(out) == 3 + 2 + 1  # leaf sets + per-lang + grand total
+    by = {(r.lang, r.source, r.gid): (r.n_docs, r.volume) for r in out}
+    assert by[("en", "web", 0)] == (2, 30)
+    assert by[("en", None, 1)] == (3, 35)       # subtotal: gid says rolled-up
+    assert by[(None, "web", 0)] == (1, 2)       # genuine NULL lang: gid 0
+    assert by[(None, None, 1)] == (1, 2)
+    assert by[(None, None, 3)] == (4, 37)       # grand total
+
+    # ONE Expand + ONE aggregate pair: a single shuffle for all levels
+    plan = composition_rollup(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and plan.count("Exchange") == 1
