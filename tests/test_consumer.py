@@ -215,3 +215,33 @@ def test_reseed_applies_transform_and_tombstone_policy(spark, tmp_path):
     # transform ran over the synthetic full-state slice; tombstones dropped
     assert _state(tgt) == {("a", 0, "X", 1)}
     assert r.rows == 1 and r.to_version == src.current_version()
+
+
+def test_consumer_follows_additive_source_evolution(spark, tmp_path):
+    """T11 across the consumer boundary: when the producer evolves
+    additively mid-stream (new column), the next consumed cycle evolves
+    the target through the merge's evolve path — pre-evolution target
+    rows read NULL for the new column, exactly like the landing table's
+    own additive evolution."""
+    src = _mk_source(spark, tmp_path / "src")
+    tgt = ChangelogConsumer.create_target(spark, src, str(tmp_path / "tgt"), "m")
+    c = ChangelogConsumer(spark, src, tgt, "m")
+
+    src.append_delta(_rows(spark, [("a", 0, "t0", 1, False)]))
+    c.run_once()
+    assert "tool" not in tgt.snapshot().schema.names
+
+    evolved = _rows(spark, [("b", 0, "u0", 2, False)]).withColumn(
+        "tool", F.lit("search")
+    )
+    # producer evolves additively on the MOR append path (the landing
+    # table's in-flight evolution shape, test_evolution.py)
+    src.append_delta(evolved, new_schema=src.evolve_schema(evolved.schema))
+    r = c.run_once()
+    assert r is not None and r.rows == 1
+    assert "tool" in tgt.snapshot().schema.names
+    got = {(x.conv_id, x.turn_idx, x.tool) for x in tgt.read_current().collect()}
+    assert got == {("a", 0, None), ("b", 0, "search")}
+    # steady state after evolution: replay/no-op and parity hold
+    assert c.run_once() is None
+    assert _state(tgt) == _state(src)

@@ -547,3 +547,40 @@ def test_torture_random_interleavings(spark, tmp_path, seed, how):
     cons.run()  # drain whatever the skips left behind
     _assert_matches(cons)
     assert cons.pending_versions() == 0
+
+
+def test_left_additive_evolution_flows_into_target(spark, tmp_path):
+    """T11 across the join boundary: the LEFT table evolves additively
+    mid-stream; the next maintenance cycle's recompute carries the new
+    column and the merge evolves the joined target — pre-evolution rows
+    read NULL, parity with a full re-derivation holds."""
+    left, right, cons = _mk(spark, tmp_path, how="left")
+    right.append_delta(spark.createDataFrame([_drow("ann", "t1", 1, 1)], DIM_SCHEMA))
+    left.append_delta(
+        spark.createDataFrame([_lrow("a", 0, "ann", "x", 1)], LEFT_SCHEMA)
+    )
+    cons.run()
+    assert "lang" not in cons.target.snapshot().schema.names
+
+    evolved = (
+        spark.createDataFrame([_lrow("b", 0, "ann", "y", 2)], LEFT_SCHEMA)
+        .withColumn("lang", F.lit("en"))
+    )
+    left.append_delta(evolved, new_schema=left.evolve_schema(evolved.schema))
+    cons.run()
+    assert "lang" in cons.target.snapshot().schema.names
+    got = {
+        (r.conv_id, r.lang, r.team)
+        for r in cons.target.read_current(drop_tombstones=True).collect()
+    }
+    assert got == {("a", None, "t1"), ("b", "en", "t1")}
+    # steady state: caught up, and a dim-side delta still maintains the
+    # evolved target correctly
+    assert cons.run_once() is None
+    right.append_delta(spark.createDataFrame([_drow("ann", "t2", 1, 2)], DIM_SCHEMA))
+    cons.run_once()
+    got = {
+        (r.conv_id, r.lang, r.team)
+        for r in cons.target.read_current(drop_tombstones=True).collect()
+    }
+    assert got == {("a", None, "t2"), ("b", "en", "t2")}
