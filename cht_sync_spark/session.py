@@ -52,8 +52,7 @@ def get_spark(
     # key sets) was measured slower-or-equal in Spark 4 and removed
     # (operators/lww.py docstring has the numbers).
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -72,6 +71,13 @@ def get_spark(
         # interop all work.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
+    # Under spark-submit the JVM gateway already exists (PYSPARK_GATEWAY_PORT
+    # is exported to this process) and carries the submit-provided master /
+    # deploy config — setting .master() here would silently OVERRIDE the
+    # cluster master and run the whole job local on the driver. Standalone
+    # `python` runs have no gateway yet and get the tuned local master.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
