@@ -128,24 +128,33 @@ def worker(nparts: int, part: int, feed_root: str, mode: str, run_id: str) -> No
     t0 = time.monotonic()
     n = 0
     batch_s = 0.0
+    compact_s = 0.0
     nbatches = 0
     for pipe in pipes:
         res = pipe.run()
         if mode == "mor":
+            c0 = time.monotonic()
             pipe.table.compact()
             for m in pipe.models:
                 m.table.compact()
+            compact_s += time.monotonic() - c0
         n += sum(r.rows for r in res)
         batch_s += sum(r.duration_ms for r in res) / 1000
         nbatches += len(res)
     sec = time.monotonic() - t0
+    # fixed_s = the per-batch DRIVER overhead the r2 verdict flagged
+    # (plan + manifest/commit bookkeeping + inter-job gaps), isolated from
+    # the amortizable end-of-slice compaction
     print(
         "WORKER_DONE "
         + json.dumps({
             "part": part, "rows": n, "sec": round(sec, 2),
             "slices": len(pipes), "batches": nbatches,
             "batch_s": round(batch_s, 2),        # time inside run_batch
-            "other_s": round(sec - batch_s, 2),  # plan + compact + gaps
+            "compact_s": round(compact_s, 2),    # end-of-slice compaction
+            "fixed_s": round(sec - batch_s - compact_s, 2),
+            "fixed_per_batch_s": round((sec - batch_s - compact_s) / max(nbatches, 1), 3),
+            "other_s": round(sec - batch_s, 2),  # compact + fixed (legacy)
         }),
         flush=True,
     )
