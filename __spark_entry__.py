@@ -2268,6 +2268,84 @@ def q_scd2_check_collapse(spark, sf):
     )
 
 
+def q_mixture_sample(spark, sf):
+    """Weighted corpus mixing with deterministic upsampling epochs
+    (functions/corpus.py mixture_sample): per-language multipliers emit
+    floor(m) guaranteed copies plus an md5-coin fractional copy — the
+    training-mixture knob (repeat wikipedia-like sources, downsample web,
+    drop a language). Pure map stage + explode, zero shuffle; floor/frac
+    are Python-computed literals so the arithmetic replays verbatim in
+    the DuckDB oracle."""
+    from cht_sync_spark.functions.corpus import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    return mixture_sample(
+        d, {"en": 2.25, "zh": 0.5, "de": 0.0}, stratum_col="lang"
+    ).select("doc_id", "lang", "epoch")
+
+
+def q_pseudonymize(spark, sf):
+    """Keyed deterministic pseudonymization (functions/text.py
+    pseudonymize): user ids become keyed-md5 tokens — same value, same
+    token in every table sharing the secret, so joins survive the masking;
+    deleting the secret is crypto-shredding (the GDPR companion to
+    scrub_pii and SnapshotTable.purge). One codegen'd map stage."""
+    from cht_sync_spark.functions.text import pseudonymize
+
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        pseudonymize(F.col("user_id"), "demo-secret").alias("user_tok"),
+        "event_type",
+    )
+
+
+def _expectation_rules():
+    """Shared rule set for the two expectations entries: one drop rule a
+    known slice fails (errors are operator noise), one conditional drop
+    rule (purchases need a minimum value), one warn rule (large values
+    counted, kept)."""
+    from cht_sync_spark.functions.quality import Expectation, accepted_values
+
+    return [
+        Expectation("non_error", F.col("event_type") != "error", "drop"),
+        Expectation(
+            "purchase_min_value",
+            (F.col("event_type") != "purchase") | (F.col("value") >= 50.0),
+            "drop",
+        ),
+        Expectation("value_cap", F.col("value") <= 400.0, "warn"),
+    ]
+
+
+def q_expectations_report(spark, sf):
+    """Row-level data-quality expectations, report form
+    (functions/quality.py — dbt's accepted_values/custom tests, DLT's
+    expectations): ONE aggregation pass computes every rule's violation
+    count plus the retained-row count (dbt runs N test queries = N scans).
+    NULL predicates fail, per dbt/DLT semantics."""
+    from cht_sync_spark.functions.quality import expectations_report
+
+    return expectations_report(_t(spark, sf, "events"), _expectation_rules())
+
+
+def q_expectations_quarantine(spark, sf):
+    """Expectations, apply form (functions/quality.py apply_expectations):
+    the quarantine side of the clean/quarantined split, each row carrying
+    the gating rules it violated in rule order (the semantic-rule DLQ —
+    functions/dlq.py quarantines malformed envelopes, this quarantines
+    rule-failing rows). Map-stage split, zero shuffle."""
+    from cht_sync_spark.functions.quality import apply_expectations
+
+    _, quar = apply_expectations(_t(spark, sf, "events"), _expectation_rules())
+    return quar.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.array_join("_violated", ",").alias("violated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_changes_batch_pull": q_s1_changes_batch_pull,
@@ -2330,6 +2408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination,
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
+        "mixture_sample": q_mixture_sample,
+        "pseudonymize_ids": q_pseudonymize,
+        "expectations_report": q_expectations_report,
+        "expectations_quarantine": q_expectations_quarantine,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "length_quantiles": q_length_quantiles,
@@ -2991,6 +3073,50 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < "
             "CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000' "
             "ELSE 'c0000000' END"
+        ),
+        # mixture: en 2.25 -> floor 2 + frac .25 = '40000000'; zh 0.5 ->
+        # floor 0 + '80000000'; de 0.0 -> drop; default 1.0 -> floor 1
+        "mixture_sample": (
+            "WITH m AS (SELECT doc_id, lang, "
+            "  CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 WHEN 'de' THEN 0 "
+            "    ELSE 1 END AS fl, "
+            "  CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN '80000000' "
+            "    WHEN 'de' THEN '00000000' ELSE '00000000' END AS thr "
+            "  FROM documents) "
+            "SELECT doc_id, lang, CAST(UNNEST(generate_series(0, fl - 1)) AS INT) AS epoch "
+            "FROM m WHERE fl > 0 "
+            "UNION ALL "
+            "SELECT doc_id, lang, CAST(fl AS INT) AS epoch FROM m "
+            "WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < thr"
+        ),
+        "pseudonymize_ids": (
+            "SELECT event_id, CASE WHEN user_id IS NULL THEN NULL ELSE "
+            "'id_' || substr(md5('demo-secret:' || CAST(user_id AS VARCHAR)), 1, 16) "
+            "END AS user_tok, event_type FROM events"
+        ),
+        # expectations: NULL predicate = fail (coalesce to false); retained =
+        # rows passing every drop-action rule; warn rules count only
+        "expectations_report": (
+            "SELECT count(*) AS n_rows, "
+            "count(CASE WHEN NOT coalesce(event_type <> 'error', FALSE) THEN 1 END) "
+            "  AS fail_non_error, "
+            "count(CASE WHEN NOT coalesce(event_type <> 'purchase' OR value >= 50.0, FALSE) "
+            "  THEN 1 END) AS fail_purchase_min_value, "
+            "count(CASE WHEN NOT coalesce(value <= 400.0, FALSE) THEN 1 END) AS fail_value_cap, "
+            "count(CASE WHEN coalesce(event_type <> 'error', FALSE) "
+            "  AND coalesce(event_type <> 'purchase' OR value >= 50.0, FALSE) THEN 1 END) "
+            "  AS n_retained "
+            "FROM events"
+        ),
+        "expectations_quarantine": (
+            "SELECT event_id, event_type, value, array_to_string(list_filter(["
+            "  CASE WHEN NOT coalesce(event_type <> 'error', FALSE) THEN 'non_error' END, "
+            "  CASE WHEN NOT coalesce(event_type <> 'purchase' OR value >= 50.0, FALSE) "
+            "    THEN 'purchase_min_value' END"
+            "], x -> x IS NOT NULL), ',') AS violated "
+            "FROM events "
+            "WHERE NOT coalesce(event_type <> 'error', FALSE) "
+            "   OR NOT coalesce(event_type <> 'purchase' OR value >= 50.0, FALSE)"
         ),
         # repetition: Spark's sorted-array fold == unnest+group counts
         "repetition_stats": (

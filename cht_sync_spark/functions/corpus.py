@@ -50,6 +50,7 @@ __all__ = [
     "curation_funnel",
     "funnel_report",
     "hash_split",
+    "mixture_sample",
     "pack_sequences",
     "sample_stratified",
     "repetition_stats",
@@ -134,6 +135,68 @@ def sample_stratified(
         else F.lit(split_threshold_hex(default_rate))
     )
     return df.where(h < thr_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    multipliers: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_mult: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing with deterministic UPSAMPLING — the
+    training-mixture knob (per-source sampling weights with repetition,
+    the way large pretraining runs weight wikipedia/code above raw web).
+
+    ``multipliers`` maps stratum value -> expected copies per document.
+    A multiplier ``m`` emits ``floor(m)`` guaranteed copies (``epoch`` =
+    0..floor(m)-1) plus one extra copy at ``epoch = floor(m)`` for the
+    ``frac(m)`` fraction of documents chosen by the md5-hex coin — so
+    m=2.25 repeats every doc twice and a deterministic quarter of them a
+    third time, m=0.4 is plain downsampling, m=0 drops the stratum.
+
+    Scale/determinism (the properties that matter at 100 TB):
+    - pure map stage + generator: the per-row epoch list is built from
+      literal per-stratum constants (floor and frac threshold are computed
+      in PYTHON, so no engine float arithmetic) and exploded — zero
+      shuffle, zero state;
+    - the extra-copy coin is a function of (salt, id) alone: re-sharded /
+      re-ordered / re-clustered corpora produce the SAME mixture, and the
+      same doc is upsampled consistently across reruns (``df.sample``
+      with replacement is partition-layout dependent);
+    - downstream shard assignment should hash (id, epoch) so repeated
+      copies spread across shards instead of colliding.
+    """
+    if default_mult < 0 or any(m < 0 for m in multipliers.values()):
+        raise ValueError("mixture multipliers must be >= 0")
+
+    def _parts(m: float) -> tuple[int, str]:
+        fl = int(m)  # m >= 0, so int() == floor()
+        return fl, split_threshold_hex(m - fl)
+
+    floor_expr = None
+    thr_expr = None
+    for stratum, m in multipliers.items():
+        fl, thr = _parts(m)
+        cond = F.col(stratum_col) == F.lit(stratum)
+        floor_expr = (
+            F.when(cond, fl) if floor_expr is None else floor_expr.when(cond, fl)
+        )
+        thr_expr = (
+            F.when(cond, thr) if thr_expr is None else thr_expr.when(cond, thr)
+        )
+    dfl, dthr = _parts(default_mult)
+    floor_col = (
+        F.lit(dfl) if floor_expr is None else floor_expr.otherwise(F.lit(dfl))
+    ).cast("int")
+    thr_col = F.lit(dthr) if thr_expr is None else thr_expr.otherwise(F.lit(dthr))
+    empty = F.array().cast("array<int>")
+    base = F.when(floor_col > 0, F.sequence(F.lit(0), floor_col - 1)).otherwise(empty)
+    extra = F.when(
+        _hash8(F.col(id_col), salt) < thr_col, F.array(floor_col)
+    ).otherwise(empty)
+    return df.withColumn("epoch", F.explode(F.concat(base, extra)))
 
 
 # --------------------------------------------------------------------------

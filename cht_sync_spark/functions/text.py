@@ -318,6 +318,37 @@ def pii_counts(col: Column) -> list[Column]:
     return [F.regexp_count(col, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
 
 
+def pseudonymize(col: Column, secret: str, prefix: str = "id_", length: int = 16) -> Column:
+    """Keyed deterministic pseudonym for an identifier column:
+    ``prefix + substr(md5(secret || ':' || value), 1, length)``; null stays
+    null. The GDPR-pipeline companion to :func:`scrub_pii` and
+    ``SnapshotTable.purge``: scrubbing removes free-text PII, purge erases
+    a key's history, pseudonymization keeps JOINABILITY while removing the
+    identifier itself — the same source value maps to the same token in
+    every table keyed with the same secret, so referential integrity
+    survives the masking (the standard lakehouse de-identification move).
+
+    Properties:
+    - pure map stage (one codegen'd expression), zero shuffle at any scale;
+    - deterministic per secret: rotating the secret unlinks every token
+      from previous exports, and DELETING the secret is crypto-shredding —
+      tokens become unlinkable to re-supplied identifiers (the keyed-hash
+      pseudonymization model; the secret must be high-entropy and live
+      outside the data plane, since a leaked secret lets an attacker
+      confirm candidate identifiers by re-hashing);
+    - ``length`` hex chars = length*4 bits; 16 (64 bits) keeps birthday
+      collisions negligible below ~2^28 distinct identifiers — raise it
+      for larger key spaces.
+    """
+    if not 1 <= length <= 32:
+        raise ValueError(f"length must be in [1, 32] hex chars, got {length}")
+    tok = F.concat(
+        F.lit(prefix),
+        F.substring(F.md5(F.concat(F.lit(secret + ":"), col.cast("string"))), 1, length),
+    )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(tok)
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     c = F.col(text_col)
     return df.select(
