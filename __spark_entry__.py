@@ -1789,6 +1789,73 @@ def q_gdpr_purge(spark, sf):
     return state.unionByName(markers)
 
 
+def q_retention_expiry(spark, sf):
+    """Predicate retention / TTL (tables/format.py SnapshotTable.expire_rows):
+    land three generations (base, clock-skewed edits, undated tombstones)
+    on a cdc-enabled user-bucketed table, then expire every key whose LWW
+    WINNER has age < 300 — the "drop conversations idle for 90 days"
+    primitive (Iceberg/Delta DELETE WHERE + expire + vacuum). Pins the
+    three semantic rules: the predicate judges the WINNER (an edit's
+    skewed-down age expires a key whose old version looks fresh), NULL
+    ages never expire (undated tombstones survive), and the removal ships
+    as content-free delete markers (bumped LWW seq, all payload NULL)
+    that strict changelog consumers cascade. The oracle recomputes the
+    winners and both output classes from scratch; a retained expired key,
+    a lost survivor, or a marker leaking content hash-mismatches.
+    Buckets whose file stats cannot admit age < cutoff are untouched, and
+    fully-expired buckets drop by pure metadata when markers are off
+    (tests/test_retention.py)."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="retention_q_")
+    ev = _t(spark, sf, "events").select("user_id", "event_id")
+    age1 = F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("long")).otherwise(
+        (F.col("event_id") % 1000).cast("long")
+    )
+
+    def gen(cond, val, age, seq, deleted=False):
+        df = ev if cond is None else ev.where(cond)
+        return df.select(
+            "user_id",
+            "event_id",
+            (F.lit(val) if val is not None else F.lit(None).cast("string")).alias("val"),
+            age.alias("age"),
+            F.lit(deleted).alias("_deleted"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    g1 = gen(None, "v1", age1, 1)
+    t = SnapshotTable.create(
+        spark, f"{work}/t", g1.schema, key_cols=["user_id", "event_id"],
+        bucket_cols=["user_id"], num_buckets=8, sort_cols=["user_id", "event_id"],
+        lww_order=[("seq", False)],
+        properties={"cdc.enabled": "true", "stats.cols": '["user_id", "age"]'},
+    )
+    t.append_delta(g1)
+    # clock skew: the edit's age is LOWER than the base version's
+    t.append_delta(
+        gen(F.col("event_id") % 3 == 0, "v2",
+            ((F.col("event_id") % 1000) - 50).cast("long"), 2)
+    )
+    # undated tombstones (delete stubs carry no payload timestamp)
+    t.append_delta(
+        gen(F.col("event_id") % 13 == 0, None, F.lit(None).cast("long"), 3, deleted=True)
+    )
+    v0 = t.current_version()
+    t.expire_rows("age", 300)
+    state = t.read_current().select(
+        F.lit("state").alias("kind"), "user_id", "event_id", "val", "age", "seq",
+        F.col("_deleted").alias("deleted"),
+    )
+    markers = t.changes(v0).select(
+        F.lit("retention_marker").alias("kind"), "user_id", "event_id", "val", "age",
+        "seq", F.col("_deleted").alias("deleted"),
+    )
+    return state.unionByName(markers)
+
+
 def q_model_run_stats(spark, sf):
     """Model run-stats — the dbt_results observability plane (reference
     sql-exporter-config.yaml:75-90 scrapes per-model status/execution_time
@@ -2434,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_tag": q_time_travel_tag,
         "rebucket_evolution": q_rebucket_evolution,
         "gdpr_purge": q_gdpr_purge,
+        "retention_expiry": q_retention_expiry,
         "table_diff": q_table_diff,
         "metadata_count": q_metadata_count,
         "zorder_cluster": q_zorder_cluster,
@@ -3326,6 +3394,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'purge_marker', user_id, event_id, NULL, "
             "  CAST(seq + 1 AS BIGINT), TRUE "
             "FROM w WHERE rn = 1 AND user_id % 7 = 0"
+        ),
+        # retention: the predicate judges the LWW WINNER's age (clock-skewed
+        # edits shift it down); NULL ages never expire; expired keys ship as
+        # content-free markers with the bumped seq
+        "retention_expiry": (
+            "WITH g AS ("
+            "  SELECT user_id, event_id, 'v1' AS val, "
+            "    CASE WHEN event_id % 17 = 0 THEN NULL "
+            "      ELSE event_id % 1000 END AS age, FALSE AS deleted, 1 AS seq "
+            "    FROM events "
+            "  UNION ALL SELECT user_id, event_id, 'v2', (event_id % 1000) - 50, "
+            "    FALSE, 2 FROM events WHERE event_id % 3 = 0 "
+            "  UNION ALL SELECT user_id, event_id, NULL, NULL, TRUE, 3 FROM events "
+            "    WHERE event_id % 13 = 0), "
+            "w AS (SELECT user_id, event_id, val, age, deleted, seq, "
+            "  ROW_NUMBER() OVER (PARTITION BY user_id, event_id "
+            "    ORDER BY seq DESC) AS rn FROM g) "
+            "SELECT 'state' AS kind, user_id, event_id, val, "
+            "  CAST(age AS BIGINT) AS age, CAST(seq AS BIGINT) AS seq, deleted "
+            "FROM w WHERE rn = 1 AND NOT (age IS NOT NULL AND age < 300) "
+            "UNION ALL "
+            "SELECT 'retention_marker', user_id, event_id, NULL, NULL, "
+            "  CAST(seq + 1 AS BIGINT), TRUE "
+            "FROM w WHERE rn = 1 AND age IS NOT NULL AND age < 300"
         ),
         # metadata count: total keys + live keys under the LWW resurrection
         # rule (%65 edits at seq 3 beat the %13 tombstones at seq 2)

@@ -232,9 +232,23 @@ def _file_stats(
         lo: Any = None
         hi: Any = None
         ok = True
+        # null presence (for expire_rows' all-rows-expired proof): False =
+        # provably no nulls, True = nulls present, None = unknowable
+        nulls: bool | None = False
+
+        def _chunk_nulls(st, ch) -> bool | None:
+            if st is None or not getattr(st, "has_null_count", False):
+                return None if ch.num_values else False
+            return st.null_count > 0
+
         for rg in range(md.num_row_groups):
             ch = md.row_group(rg).column(idx[col])
             st = ch.statistics
+            cn = _chunk_nulls(st, ch)
+            if cn is True:
+                nulls = True
+            elif cn is None and nulls is False:
+                nulls = None
             if st is None or not st.has_min_max:
                 if ch.num_values and (st is None or st.null_count != ch.num_values):
                     ok = False  # real values with no stats: bounds unknowable
@@ -244,14 +258,14 @@ def _file_stats(
             lo = mn if lo is None or (mn is not None and mn < lo) else lo
             hi = mx if hi is None or (mx is not None and mx > hi) else hi
         if not ok:
-            out[col] = {"lo": None, "hi": None}
+            out[col] = {"lo": None, "hi": None, "nulls": None}
             continue
         if isinstance(dtype, T.StringType):
             if lo is not None and len(lo) > _STR_BOUND_CAP:
                 lo = lo[:_STR_BOUND_CAP]  # prefix: still a valid lower bound
             if hi is not None and len(hi) > _STR_BOUND_CAP:
                 hi = None  # a truncated upper bound would over-prune
-        out[col] = {"lo": lo, "hi": hi}
+        out[col] = {"lo": lo, "hi": hi, "nulls": nulls}
     return out, int(md.num_rows), tomb_free
 
 
@@ -1452,7 +1466,8 @@ class SnapshotTable:
           reader without change files, and a non-strict consumer's target
           will retain the removed keys. Keep deletes as tombstone rows (the
           landing-table convention) or enable ``cdc.enabled``.
-        - ``purge`` (right-to-be-forgotten) — with ``cdc.enabled`` the
+        - ``purge`` (right-to-be-forgotten) / ``retention``
+          (:meth:`expire_rows` TTL) — with ``cdc.enabled`` the
           commit carries content-free delete MARKER files (cdc level) and
           reads exactly like an append of deletes; without them ``strict``
           raises (the removal is inexpressible) and non-strict
@@ -1483,7 +1498,9 @@ class SnapshotTable:
             snap = self.snapshot(v)
             if snap.operation in ("replace", "create"):
                 continue  # no logical change
-            if snap.operation not in ("append", "overwrite", "unknown", "rollback", "purge"):
+            if snap.operation not in (
+                "append", "overwrite", "unknown", "rollback", "purge", "retention"
+            ):
                 raise ValueError(f"unknown snapshot operation {snap.operation!r} at v{v}")
             parent = self.snapshot(v - 1) if snap.parent is not None else None
             prev = {f["path"] for f in (parent.files if parent else [])}
@@ -1528,9 +1545,9 @@ class SnapshotTable:
                 # the restated bucket files, making an overwrite snapshot
                 # as precisely readable as an append
                 entries = cdc
-            elif snap.operation == "purge" and strict:
+            elif snap.operation in ("purge", "retention") and strict:
                 raise ValueError(
-                    f"v{v} is a purge with no change-data marker files; the removal "
+                    f"v{v} is a {snap.operation} with no change-data marker files; the removal "
                     "cannot be delivered as row-level deltas (and non-strict "
                     "over-delivery would silently RETAIN the purged keys downstream) "
                     "— enable 'cdc.enabled' on the producer so purge() writes "
@@ -2015,20 +2032,9 @@ class SnapshotTable:
             obs = Observation()
             purged = purged.observe(obs, F.count(F.lit(1)).alias("n"))
             if use_markers:
-                msc, asc = snap.lww_order[0]
-                bump = F.coalesce(F.col(msc), F.lit(0)) + F.lit(-1 if asc else 1)
-                keep = set(snap.key_cols) | {c for c, _ in snap.lww_order}
-                cols = []
-                for f in snap.schema.fields:
-                    if f.name == msc:
-                        cols.append(bump.cast(f.dataType).alias(f.name))
-                    elif f.name == "_deleted":
-                        cols.append(F.lit(True).cast(f.dataType).alias(f.name))
-                    elif f.name in keep:
-                        cols.append(F.col(f.name))
-                    else:
-                        cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-                marker_files = self._write_data(purged.select(*cols), snap, level="cdc")
+                marker_files = self._write_data(
+                    purged.select(*self._marker_projection(snap)), snap, level="cdc"
+                )
                 n_purged = int(obs.get["n"])
             else:
                 n_purged = int(purged.count())
@@ -2046,6 +2052,170 @@ class SnapshotTable:
                     operation="purge",
                 )
                 return out, n_purged
+            except CommitConflict as e:
+                last_err = e  # concurrent commit landed: redo from tip
+        raise last_err  # type: ignore[misc]
+
+    def _marker_projection(self, snap: Snapshot) -> list:
+        """Content-free delete-marker projection shared by :meth:`purge` and
+        :meth:`expire_rows`: key columns + a bumped most-significant LWW
+        order value (so the marker outranks the stored winner downstream —
+        the CouchDB delete-is-a-new-revision move), ``_deleted=true``, NULL
+        everywhere else."""
+        msc, asc = snap.lww_order[0]
+        bump = F.coalesce(F.col(msc), F.lit(0)) + F.lit(-1 if asc else 1)
+        keep = set(snap.key_cols) | {c for c, _ in snap.lww_order}
+        cols = []
+        for f in snap.schema.fields:
+            if f.name == msc:
+                cols.append(bump.cast(f.dataType).alias(f.name))
+            elif f.name == "_deleted":
+                cols.append(F.lit(True).cast(f.dataType).alias(f.name))
+            elif f.name in keep:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return cols
+
+    def expire_rows(
+        self,
+        col: str,
+        cutoff: Any,
+        *,
+        cdc_markers: bool = True,
+        max_retries: int = 5,
+    ) -> tuple[Snapshot, int]:
+        """Predicate retention (TTL): remove every key whose RECONCILED
+        winner has ``col < cutoff`` — the data-retention primitive
+        (Iceberg/Delta ``DELETE FROM t WHERE ts < cutoff`` + expire +
+        vacuum), e.g. "drop conversations idle for 90 days". Like
+        :meth:`purge`, the expired keys leave no row and no tombstone;
+        complete the byte-level erasure with :meth:`erase_history`.
+
+        Semantics:
+        - the predicate is evaluated on the LWW WINNER of each key: a key
+          whose winner is fresh keeps ALL its versions (older shadowed
+          versions are compaction's job, and dropping them here while a
+          fresher winner exists would be wrong under clock skew — an older
+          version may carry a LARGER ``col`` than the winner);
+        - NULL retention values never expire (retention must not delete
+          rows it cannot date). Tombstone rows whose ``col`` is null —
+          e.g. delete stubs with no payload timestamp — therefore survive;
+          expire them by a column every row carries (``seq``);
+        - expiring is a REMOVAL: the snapshot commits as the same
+          changelog class as :meth:`purge` (exact content-free delete
+          markers when ``cdc.enabled`` + ``cdc_markers``; otherwise strict
+          changelog readers refuse to cross it).
+
+        Cost: bucket layouts hash by key, so age mixes into every bucket —
+        the work is bounded by FILE-LEVEL stats instead: buckets where no
+        file's ``[lo, hi]`` bound admits ``col < cutoff`` are untouched
+        (one driver-side pass over manifest stats, no I/O), which gets
+        sharp after :meth:`cluster` puts ``col`` in the Z-order. Touched
+        buckets rewrite like purge — O(touched buckets). With
+        ``cdc_markers=False``, buckets whose every file PROVABLY holds only
+        expired rows (``hi < cutoff`` and footer-proven null-free — the
+        ``nulls`` flag recorded at commit time) are dropped by pure
+        metadata, no read at all: the whole-table-went-cold fast path.
+        (Markers force a read of the expired keys, so the metadata path is
+        only available without them; the physical row counts of
+        metadata-dropped buckets come from manifest entries.)
+
+        Returns ``(snapshot, rows_expired)`` — expired winner rows for the
+        read path plus manifest physical rows for metadata-dropped buckets;
+        a no-match call is a metadata no-op (idempotent re-runs)."""
+        from pyspark.sql import Observation
+
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            names = {f.name for f in snap.schema.fields}
+            if col not in names:
+                raise ValueError(f"retention column {col!r} not in schema {sorted(names)}")
+            dtype = snap.schema[col].dataType
+            cut = _norm_bound(cutoff, dtype)
+            if cut is None:
+                raise ValueError("retention cutoff must be non-null")
+            by_bucket: dict[int, list[dict[str, Any]]] = {}
+            for e in snap.files:
+                by_bucket.setdefault(e["bucket"], []).append(e)
+            touched = sorted(
+                b
+                for b, fs in by_bucket.items()
+                if any(_entry_matches(e, [(col, "<", cut)]) for e in fs)
+            )
+            if not touched:
+                return snap, 0
+            cdc_on = snap.properties.get("cdc.enabled") == "true"
+            markable = bool(snap.lww_order) and isinstance(
+                snap.schema[snap.lww_order[0][0]].dataType, T.NumericType
+            )
+            if cdc_markers and cdc_on and not markable:
+                raise ValueError(
+                    "cdc.enabled is set but retention markers need a numeric "
+                    "most-significant LWW order column to outrank the stored "
+                    f"winner (lww_order={snap.lww_order}); pass "
+                    "cdc_markers=False to accept that strict changelog "
+                    "readers cannot cross this retention commit"
+                )
+            use_markers = cdc_markers and cdc_on and markable
+
+            def _all_expired(e: dict[str, Any]) -> bool:
+                st = (e.get("stats") or {}).get(col)
+                return (
+                    bool(st)
+                    and st.get("hi") is not None
+                    and st["hi"] < cut
+                    and st.get("nulls") is False
+                )
+
+            meta_drop = (
+                []
+                if use_markers  # markers need the keys: must read
+                else [b for b in touched if all(_all_expired(e) for e in by_bucket[b])]
+            )
+            residual = [b for b in touched if b not in set(meta_drop)]
+            self.last_expire_meta_buckets = meta_drop  # observability
+            n_meta = sum(int(e.get("rows") or 0) for b in meta_drop for e in by_bucket[b])
+            files: list[dict[str, Any]] = []
+            n_exp = 0
+            if residual:
+                # typed cutoff literal rebuilt from the NORMALIZED bound so
+                # int-micros and datetime cutoffs behave identically
+                if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+                    lit_cut = F.timestamp_micros(F.lit(cut)).cast(dtype)
+                else:
+                    lit_cut = F.lit(cut).cast(dtype)
+                cur = self.read_current(buckets=residual)
+                expired_pred = F.col(col).isNotNull() & (F.col(col) < lit_cut)
+                expired = cur.where(expired_pred)
+                obs = Observation()
+                expired = expired.observe(obs, F.count(F.lit(1)).alias("n"))
+                marker_files: list[dict[str, Any]] = []
+                if use_markers:
+                    marker_files = self._write_data(
+                        expired.select(*self._marker_projection(snap)), snap, level="cdc"
+                    )
+                    n_exp = int(obs.get["n"])
+                else:
+                    n_exp = int(expired.count())
+                if n_exp:
+                    survivors = cur.where(~expired_pred)
+                    files = self._write_data(survivors, snap, level="base") + marker_files
+                # n_exp == 0: stats were conservative, nothing to rewrite;
+                # any zero-row marker files become vacuum-collected orphans
+            remove = set(meta_drop) | (set(residual) if n_exp else set())
+            if not remove:
+                return snap, 0
+            try:
+                out = self.commit(
+                    add_files=files,
+                    remove_buckets=remove,
+                    remove_level=("base", "delta", "cdc"),
+                    expected_version=snap.version,
+                    operation="retention",
+                )
+                return out, n_exp + n_meta
             except CommitConflict as e:
                 last_err = e  # concurrent commit landed: redo from tip
         raise last_err  # type: ignore[misc]

@@ -75,9 +75,10 @@ def test_bounds_recorded_per_file(spark, tmp_path):
     for f in files:
         df = spark.read.schema(SCHEMA).parquet(f"{t.path}/{f['path']}")
         lo, hi = df.agg(F.min("turn_idx"), F.max("turn_idx")).first()
-        assert f["stats"]["turn_idx"] == {"lo": lo, "hi": hi}
+        # nulls: footer-proven null-freedom (expire_rows' metadata-drop proof)
+        assert f["stats"]["turn_idx"] == {"lo": lo, "hi": hi, "nulls": False}
         slo, shi = df.agg(F.min("seq"), F.max("seq")).first()
-        assert f["stats"]["seq"] == {"lo": slo, "hi": shi}
+        assert f["stats"]["seq"] == {"lo": slo, "hi": shi, "nulls": False}
         # timestamps are stored as epoch micros (total order preserved)
         tlo = f["stats"]["ts"]["lo"]
         assert isinstance(tlo, int) and tlo == _norm_bound(
