@@ -216,6 +216,8 @@ def main() -> None:
         "changelog_consume",
         "ivm_join",
         "gdpr_purge",
+        "retention_expiry",
+        "mixture_sample",
         "table_diff",
         "metadata_count",
         "stats_prune_scan",
