@@ -1166,6 +1166,59 @@ class SnapshotTable:
                 last_err = e  # concurrent append landed: refold from tip
         raise last_err  # type: ignore[misc]
 
+    def compact_deltas(self, min_files: int = 2, max_retries: int = 5) -> Snapshot:
+        """Minor compaction: bin-pack each bucket's DELTA files into one
+        fresh sorted delta file WITHOUT touching the base — the LSM
+        minor-compaction / Iceberg small-file rewrite that sits between
+        full :meth:`compact` passes.
+
+        :meth:`compact` refolds whole buckets (base ∪ deltas → winners):
+        O(bucket) per touched bucket, re-reading the base on every
+        maintenance tick. At a high micro-batch cadence the pressure that
+        actually accumulates between folds is the pile of SMALL per-epoch
+        delta files (manifest entries, file-open cost, loose parquet
+        pages); this rewrite reads ONLY the delta files of buckets holding
+        >= ``min_files`` of them and writes them back as one sorted delta
+        file per bucket — O(delta bytes), base files untouched and carried
+        by reference. At the 10^10-event design point the cadence becomes:
+        minor-pack every k batches, full refold every K >> k.
+
+        Correctness: the read-time LWW fold orders by ``lww_order``
+        COLUMNS only — never file identity, commit order, or level — so
+        re-packing delta rows into different files is state-invisible
+        (the same invariant that lets :meth:`compact` fold per bucket),
+        and rows that tie on the full order are value-identical by the
+        engine's delivery contract. ``cdc``-level change files are never
+        touched (they are the retention-windowed change records). Commits
+        as ``operation='replace'`` (physical-only: changelog-invisible,
+        like compact), pinned to the snapshot it read (S4 retry).
+        """
+        if min_files < 1:
+            raise ValueError(f"min_files must be >= 1, got {min_files}")
+        last_err: CommitConflict | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            per: dict[int, int] = {}
+            for f in snap.files:
+                if f["level"] == "delta":
+                    per[f["bucket"]] = per.get(f["bucket"], 0) + 1
+            cands = sorted(b for b, n in per.items() if n >= min_files)
+            if not cands:
+                return snap  # nothing to pack
+            df = self.read(buckets=cands, version=snap.version, levels=("delta",))
+            files = self._write_data(df, snap, level="delta")
+            try:
+                return self.commit(
+                    add_files=files,
+                    remove_buckets=set(cands),
+                    remove_level=("delta",),
+                    expected_version=snap.version,
+                    operation="replace",
+                )
+            except CommitConflict as e:
+                last_err = e  # concurrent commit landed: re-pack from tip
+        raise last_err  # type: ignore[misc]
+
     def overwrite(self, df: DataFrame, properties_update: dict[str, str] | None = None) -> Snapshot:
         """Full rewrite (the T12 'state-diff full refresh' analogue).
         Pinned like :meth:`compact` — a concurrent append must not be
