@@ -88,6 +88,7 @@ class ReplayPipeline:
         marker: str = "global",
         probe_pending: bool = False,
         maintenance_every: int | None = None,
+        minor_compact_every: int | None = None,
         maintenance_keep_snapshots: int = 20,
         dlq_path: str | None = None,
         table_properties: dict[str, str] | None = None,
@@ -116,6 +117,10 @@ class ReplayPipeline:
         # compaction) and driver-side metadata (live manifest count) over a
         # 10^10-event replay — without a cadence both grow O(batches).
         self.maintenance_every = maintenance_every
+        # Minor cadence (compact_deltas): bin-pack per-epoch delta files
+        # per bucket without refolding any base — O(delta bytes). Runs
+        # between full cycles; a full cycle resets its counter.
+        self.minor_compact_every = minor_compact_every
         self.maintenance_keep_snapshots = maintenance_keep_snapshots
         # In-loop changelog consumers (ChangelogConsumer, TermIndexConsumer,
         # DedupIndexConsumer, AnnIndexConsumer, AggregateConsumer — anything
@@ -619,17 +624,9 @@ class ReplayPipeline:
                 self.lineage.append_rows_local(recs)
         return BatchResult(epoch, lo, hi, n, dur)
 
-    def maintain(self) -> None:
-        """One maintenance cycle on the landing, model AND lineage tables:
-        fold MOR deltas into a fresh base (bounds per-read reconciliation
-        work), expire old manifests (bounds driver metadata — each model
-        commits one snapshot per epoch, and lineage one per batch:
-        unbounded over a 10^10-event replay), vacuum aged orphans (bounds
-        disk). The lineage table's per-batch micro-appends are pure delta
-        files, so it is folded too — without that, lineage reads reconcile
-        O(batches) tiny files."""
-        from cht_sync_spark.tables.format import maintain_tables
-
+    def _maintenance_sets(self):
+        """(all tables, MOR/micro-append compact subset) shared by the full
+        maintenance cycle and the minor-compaction cadence."""
         tables = [self.table] + [m.table for m in self.models]
         compact = [self.table] if self.mode == "mor" else []
         if self.model_mode == "mor":
@@ -661,7 +658,32 @@ class ReplayPipeline:
         ctabs = [c.target for c in self.consumers if getattr(c, "target", None) is not None]
         tables += ctabs
         compact += ctabs
+        return tables, compact
+
+    def maintain(self) -> None:
+        """One maintenance cycle on the landing, model AND lineage tables:
+        fold MOR deltas into a fresh base (bounds per-read reconciliation
+        work), expire old manifests (bounds driver metadata — each model
+        commits one snapshot per epoch, and lineage one per batch:
+        unbounded over a 10^10-event replay), vacuum aged orphans (bounds
+        disk). The lineage table's per-batch micro-appends are pure delta
+        files, so it is folded too — without that, lineage reads reconcile
+        O(batches) tiny files."""
+        from cht_sync_spark.tables.format import maintain_tables
+
+        tables, compact = self._maintenance_sets()
         maintain_tables(tables, self.maintenance_keep_snapshots, compact=compact)
+
+    def minor_compact(self) -> None:
+        """One MINOR maintenance cycle: bin-pack each MOR table's delta
+        files per bucket (``SnapshotTable.compact_deltas``) without
+        refolding any base — O(delta bytes) vs :meth:`maintain`'s
+        O(touched buckets). The sustained cadence for the 10^10 target is
+        minor-pack every ``minor_compact_every`` batches, full
+        fold+expire+vacuum every ``maintenance_every`` >> that."""
+        _, compact = self._maintenance_sets()
+        for t in compact:
+            t.compact_deltas()
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
         """Drain the feed (the reference's drain-until-empty loop,
@@ -691,6 +713,7 @@ class ReplayPipeline:
         results: list[BatchResult] = []
         lo = -(2**62)
         applied_since_maintain = 0
+        applied_since_minor = 0
         for epoch, hi in enumerate(cuts):
             if max_batches is not None and len([r for r in results if not r.skipped]) >= max_batches:
                 break
@@ -707,9 +730,17 @@ class ReplayPipeline:
                 # comment in maintain() depends on this order)
                 for c in self.consumers:
                     c.run()
+                applied_since_minor += 1
                 if self.maintenance_every and applied_since_maintain >= self.maintenance_every:
                     self.maintain()
                     applied_since_maintain = 0
+                    applied_since_minor = 0  # the full fold subsumes a pack
+                elif (
+                    self.minor_compact_every
+                    and applied_since_minor >= self.minor_compact_every
+                ):
+                    self.minor_compact()
+                    applied_since_minor = 0
             lo = hi
         # a resume with nothing new to ingest still gives lagging consumers
         # their catch-up cycle (crash window between landing commit and

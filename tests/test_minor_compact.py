@@ -145,6 +145,39 @@ def test_noop_and_min_files(spark, tmp_path):
         t.compact_deltas(min_files=0)
 
 
+def test_pipeline_minor_cadence(spark, feed_path, tmp_path):
+    """minor_compact_every packs the MOR landing's deltas in-loop: final
+    state equals an uncadenced run, delta files stay bounded at one per
+    touched bucket, and exactly-once markers are unaffected."""
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+
+    def run(path, **kw):
+        feed = ChangesFeedSource(spark, feed_path, sources=feed_sources())
+        p = ReplayPipeline(spark, feed, str(path), batch_size=150,
+                           num_buckets=4, mode="mor", **kw)
+        p.run()
+        return p
+
+    a = run(tmp_path / "cadence", minor_compact_every=1)
+    b = run(tmp_path / "plain")
+    per = {}
+    for f in a.table.snapshot().files:
+        if f["level"] == "delta":
+            per.setdefault(f["bucket"], []).append(f)
+    assert per and all(len(fs) == 1 for fs in per.values())
+    sa = a.table.read_current(drop_tombstones=True)
+    sb = b.table.read_current(drop_tombstones=True)
+    assert sa.count() == sb.count()
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+    # resume is a no-op: the replace snapshots never disturb the watermark
+    # (a fresh pipeline on the same table applies zero batches)
+    resumed = run(tmp_path / "cadence", minor_compact_every=1)
+    sa2 = resumed.table.read_current(drop_tombstones=True)
+    assert sa2.count() == sa.count() and sa2.exceptAll(sb).count() == 0
+
+
 def test_concurrent_append_never_swallowed(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     _seed_deltas(spark, t)
