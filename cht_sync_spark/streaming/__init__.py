@@ -1,4 +1,5 @@
 from cht_sync_spark.streaming.consumer import ChangelogConsumer
+from cht_sync_spark.streaming.hll import HllDistinctConsumer
 from cht_sync_spark.streaming.ivm import AggregateConsumer, DistinctCountConsumer, Measure
 from cht_sync_spark.streaming.join import JoinConsumer
 from cht_sync_spark.streaming.pipeline import ReplayPipeline
@@ -9,6 +10,7 @@ __all__ = [
     "AggregateConsumer",
     "ChangelogConsumer",
     "DistinctCountConsumer",
+    "HllDistinctConsumer",
     "JoinConsumer",
     "Measure",
     "ReplayPipeline",
