@@ -136,14 +136,35 @@ class ModelSpec:
     enforced: bool = False
     unique_test: bool = False
     not_null: list[str] = field(default_factory=list)
+    # Row-level expectations on the TRANSFORM OUTPUT (functions/quality.py
+    # — dbt's accepted_values/custom tests, DLT's expectations), as a
+    # zero-arg factory returning the rules (Column objects are not
+    # source-hashable; the factory's source is). Semantics per action:
+    # 'drop' — a failing row RETRACTS from the model (marked _deleted, so
+    # the merge tombstone-cascades it; uniform across row-wise and grouped
+    # shapes, and a row that STARTS failing retracts the stored row
+    # instead of leaving it stale); 'fail' — the batch raises before the
+    # merge (enforced-test path, exactly-once: the epoch never commits);
+    # 'warn' — counted in the same one-pass report, rows kept.
+    expectations: Callable[[], list] | None = None
 
     def transform_hash(self) -> str:
         # the dependency list is part of the model's identity: rewiring the
-        # DAG must trigger a full rebuild just like editing the transform
+        # DAG must trigger a full rebuild just like editing the transform.
+        # Expectations too: drop-rules shape the stored table, so editing
+        # them must trigger the same full rebuild a transform edit does
         ident = inspect.getsource(self.transform) + "|deps:" + ",".join(self.depends_on)
+        if self.expectations is not None:
+            ident += "|expect:" + inspect.getsource(self.expectations)
         return hashlib.sha256(ident.encode()).hexdigest()[:16]
 
     def __post_init__(self) -> None:
+        if self.expectations is not None and not callable(self.expectations):
+            raise ValueError(
+                f"model {self.name!r}: expectations must be a zero-arg factory "
+                "returning the rule list (Columns are not source-hashable; "
+                "the factory's source is part of the model identity)"
+            )
         if self.depends_on and not self.group_cols:
             raise ValueError(
                 f"model {self.name!r}: depends_on requires group_cols — the "
@@ -298,6 +319,7 @@ class ModelRunner:
         cur = landing.read_current().persist(StorageLevel.MEMORY_AND_DISK)
         rows = self._apply_transform(cur, upstreams, keys=None)
         self._enforce_schema(rows)
+        rows = self._apply_expectations(rows)
         if self.spec.group_cols and "seq" in rows.columns:
             # same stamp discipline as run_increment: per-group max landing
             # seq (tombstones included). Without it a refresh would store
@@ -331,6 +353,32 @@ class ModelRunner:
             from cht_sync_spark.tables.format import _conform
 
             _conform(out, self.spec.schema, strict=True)
+
+    def _apply_expectations(self, out: DataFrame) -> DataFrame:
+        """Row-level expectations on the transform output (see ModelSpec):
+        'fail'/'warn' rules run as ONE aggregation over the slice (raising
+        on 'fail' violations BEFORE anything commits); 'drop' rules cost no
+        extra job — failing rows are marked ``_deleted`` in the same plan,
+        so the merge retracts them like any other tombstone (and the
+        grouped shapes' absence logic sees them as emitted, never
+        double-tombstoned)."""
+        if self.spec.expectations is None:
+            return out
+        from cht_sync_spark.functions.quality import check_expectations
+
+        rules = list(self.spec.expectations())
+        reportable = [r for r in rules if r.action in ("fail", "warn")]
+        if reportable:
+            check_expectations(out, reportable)  # raises on 'fail' violations
+        dead = None
+        for r in rules:
+            if r.action == "drop":
+                dead = r.fails() if dead is None else (dead | r.fails())
+        if dead is not None:
+            out = out.withColumn(
+                "_deleted", F.coalesce(F.col("_deleted"), F.lit(False)) | dead
+            )
+        return out
 
     def _run_data_tests(self, buckets: list[int] | None) -> None:
         """dbt-style unique/not_null tests (contacts.yml:10-15) on the
@@ -457,6 +505,7 @@ class ModelRunner:
                     own_persists += [keys, scope, seqs]
             out = self._apply_transform(scope, upstreams, keys=keys)
             self._enforce_schema(out)
+            out = self._apply_expectations(out)
             if "seq" in out.columns:
                 out = out.drop("seq").join(F.broadcast(seqs), on=self.spec.group_cols, how="left")
             if set(self.spec.key_cols) == set(self.spec.group_cols):
@@ -523,6 +572,7 @@ class ModelRunner:
             cached = None
             out = self.spec.transform(batch_rows)
             self._enforce_schema(out)
+            out = self._apply_expectations(out)
         props = {HASH_PROP: self.spec.transform_hash()}
         if epoch is not None:
             props[EPOCH_PROP] = str(epoch)
