@@ -209,6 +209,9 @@ class ModelRunner:
         self.spark = spark
         self.spec = spec
         self.mode = mode
+        # violation counts from the most recent expectations check (the
+        # dbt-test/DLT metrics surface; see _apply_expectations)
+        self.last_expectation_stats: dict[str, int] | None = None
         schema, lww_order = spec.schema, spec.lww_order
         props = {"tombstones.retain": "false"}
         if mode == "mor":
@@ -361,7 +364,16 @@ class ModelRunner:
         extra job — failing rows are marked ``_deleted`` in the same plan,
         so the merge retracts them like any other tombstone (and the
         grouped shapes' absence logic sees them as emitted, never
-        double-tombstoned)."""
+        double-tombstoned).
+
+        'fail'/'warn' rules judge LIVE rows only: a landing tombstone flows
+        through the transform with null payload columns, and Expectation's
+        null-fails semantics would otherwise turn every routine source
+        delete into a permanently re-raising batch abort (a delete cannot
+        be "fixed" upstream). The retraction itself is already the row's
+        fate — there is nothing to validate on it. The counts of the last
+        check are kept on ``self.last_expectation_stats`` (the dbt test /
+        DLT metrics surface; 'warn' violations are observable there)."""
         if self.spec.expectations is None:
             return out
         from cht_sync_spark.functions.quality import check_expectations
@@ -369,7 +381,13 @@ class ModelRunner:
         rules = list(self.spec.expectations())
         reportable = [r for r in rules if r.action in ("fail", "warn")]
         if reportable:
-            check_expectations(out, reportable)  # raises on 'fail' violations
+            live = (
+                out.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                if "_deleted" in out.columns
+                else out
+            )
+            # raises on 'fail' violations; counts recorded for metrics
+            self.last_expectation_stats = check_expectations(live, reportable)
         dead = None
         for r in rules:
             if r.action == "drop":

@@ -12,10 +12,18 @@ Why a sketch fits CDC replay unusually well: HLL union is a register-wise
 MAX — commutative, associative, and IDEMPOTENT. Re-applying a crash
 window's batch is a no-op by algebra (not by bookkeeping), so the consumer
 needs no refcount plane, no preimage read, and no retraction recompute.
-The price is monotone semantics: the sketch counts values EVER seen in
-live rows per group ("distinct users ever active"), so edits add but
-deletes never subtract — state-of-now distinct counting stays with the
-exact consumer. Both are maintained from the same changelog cursor
+The price is monotone semantics, stated precisely: the sketch counts
+every value DELIVERED in a live physical row through the changelog
+("distinct users ever active"), so edits add but deletes never subtract —
+state-of-now distinct counting stays with the exact consumer. Under
+out-of-order delivery this includes a late-arriving older revision that
+the LWW fold immediately shadows (the row was never visible in any
+reconciled read, but its value still enters the sketch). Filtering those
+losers out would require exactly the preimage read / per-version winner
+recompute this consumer exists to avoid, for an approximate monotone
+estimate; the over-inclusion only widens the "ever seen" upper bound.
+:meth:`reseed` narrows to current winners — the documented semantic
+reset. Both consumers are maintained from the same changelog cursor
 contract (``consumer.<name>.version`` committed atomically with the
 merged sketches).
 
@@ -36,11 +44,12 @@ from __future__ import annotations
 import time
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cht_sync_spark.streaming.cursor import CursorConsumer
+from cht_sync_spark.streaming.ivm import _live
 from cht_sync_spark.tables.format import (
     CommitConflict,
     SnapshotTable,
@@ -52,10 +61,6 @@ __all__ = ["HllDistinctConsumer"]
 SKETCH_COL = "sketch"
 LGK_PROP = "hll.lg_k"
 VALUE_PROP = "hll.value_col"
-
-
-def _live(df: DataFrame) -> Column:
-    return ~F.coalesce(F.col("_deleted"), F.lit(False)) if "_deleted" in df.columns else F.lit(True)
 
 
 class HllDistinctConsumer(CursorConsumer):

@@ -64,6 +64,7 @@ class StreamingReplay:
         model_parallelism: int | None = None,
         bucket_cols: list[str] | None = None,
         maintenance_every: int | None = None,
+        minor_compact_every: int | None = None,
         maintenance_keep_snapshots: int = 20,
         dlq_path: str | None = None,
         source_format: Literal["parquet", "cht_changes"] = "parquet",
@@ -92,9 +93,15 @@ class StreamingReplay:
         # the grace-windowed vacuum tolerates concurrent S8 writers), so
         # exactly-once replay semantics are unaffected.
         self.maintenance_every = maintenance_every
+        # minor cadence parity with ReplayPipeline(minor_compact_every=):
+        # bin-pack MOR delta files between full maintenance cycles — the
+        # sustained-ingest form is exactly where per-trigger delta files
+        # otherwise accumulate O(batches)
+        self.minor_compact_every = minor_compact_every
         self.maintenance_keep_snapshots = maintenance_keep_snapshots
         self.consumers = list(consumers or [])
         self._since_maintain = 0
+        self._since_minor = 0
         # S8: several streaming queries (one per source/watcher, own Spark
         # checkpoint dir) may share one landing table; each keeps its own
         # epoch-marker namespace, like ReplayPipeline's `marker`.
@@ -325,6 +332,7 @@ class StreamingReplay:
                 )
         self._applied += 1
         self._since_maintain += 1
+        self._since_minor += 1
         # in-loop changelog consumers, same contract as ReplayPipeline:
         # convenience wiring — each consumer owns its atomically-committed
         # cursor, so a crash here just leaves it one range behind. They run
@@ -335,6 +343,10 @@ class StreamingReplay:
         if self.maintenance_every and self._since_maintain >= self.maintenance_every:
             self.maintain()
             self._since_maintain = 0
+            self._since_minor = 0  # the full fold subsumes a pack
+        elif self.minor_compact_every and self._since_minor >= self.minor_compact_every:
+            self.minor_compact()
+            self._since_minor = 0
 
     def maintain(self) -> None:
         """One maintenance cycle on the landing AND model tables (the
@@ -354,11 +366,29 @@ class StreamingReplay:
             [self.table] + [m.table for m in self.models]
             + ([self.dlq] if self.dlq is not None else []) + runs + ctabs,
             self.maintenance_keep_snapshots,
-            compact=([self.table] if self.mode == "mor" else [])
+            compact=self._compact_set(),
+        )
+
+    def _compact_set(self):
+        runs = [self.model_runs_table] if self.model_runs_table is not None else []
+        ctabs = [c.target for c in self.consumers if getattr(c, "target", None) is not None]
+        return (
+            ([self.table] if self.mode == "mor" else [])
             + ([m.table for m in self.models] if self.model_mode == "mor" else [])
             + runs  # one micro-append per batch: fold on the same cadence
-            + ctabs,
+            + ctabs
         )
+
+    def minor_compact(self) -> None:
+        """One MINOR maintenance cycle (parity with
+        ``ReplayPipeline.minor_compact``): bin-pack each MOR table's delta
+        files per bucket without refolding any base — O(delta bytes) vs
+        :meth:`maintain`'s O(touched buckets). The sustained cadence for
+        the 10^10 target is minor-pack every ``minor_compact_every``
+        triggers, full fold+expire+vacuum every ``maintenance_every`` >>
+        that."""
+        for t in self._compact_set():
+            t.compact_deltas()
 
     def model_runs(self) -> DataFrame:
         """dbt_results parity for the streaming form — same reconciled

@@ -178,6 +178,38 @@ def test_pipeline_minor_cadence(spark, feed_path, tmp_path):
     assert sa2.count() == sa.count() and sa2.exceptAll(sb).count() == 0
 
 
+def test_streaming_minor_cadence(spark, feed_path, tmp_path):
+    """The streaming runner's minor_compact_every mirrors the pipeline's:
+    per-trigger MOR deltas stay packed at one per touched bucket and the
+    final state matches the batch replay."""
+    from cht_sync_spark.sources.changes import ChangesFeedSource
+    from cht_sync_spark.sources.feedgen import feed_sources
+    from cht_sync_spark.streaming.pipeline import ReplayPipeline
+    from cht_sync_spark.streaming.stream import StreamingReplay
+
+    sr = StreamingReplay(
+        spark, feed_path, str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, num_buckets=4, mode="mor",
+        sources=feed_sources(), minor_compact_every=1,
+    )
+    sr.run_available_now()
+    per = {}
+    for f in sr.table.snapshot().files:
+        if f["level"] == "delta":
+            per.setdefault(f["bucket"], []).append(f)
+    assert per and all(len(fs) == 1 for fs in per.values())
+    ref = ReplayPipeline(
+        spark, ChangesFeedSource(spark, feed_path, sources=feed_sources()),
+        str(tmp_path / "ref"), batch_size=300, num_buckets=4,
+    )
+    ref.run()
+    sa = sr.table.read_current(drop_tombstones=True)
+    sb = ref.table.read_current(drop_tombstones=True)
+    cols = sb.columns
+    assert sa.select(cols).exceptAll(sb).count() == 0
+    assert sb.exceptAll(sa.select(cols)).count() == 0
+
+
 def test_concurrent_append_never_swallowed(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     _seed_deltas(spark, t)

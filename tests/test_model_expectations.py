@@ -171,9 +171,60 @@ def test_expectation_edit_changes_identity(spark):
         return [Expectation("x", F.lit(True), "warn")]
 
     c = _spec(expectations=other)
-    assert a.transform_hash() != b.transform_hash() != c.transform_hash()
+    assert len({a.transform_hash(), b.transform_hash(), c.transform_hash()}) == 3
     with pytest.raises(ValueError, match="zero-arg factory"):
         _spec(expectations=[Expectation("x", F.lit(True))])
+
+
+def test_tombstones_never_trip_fail_rules(spark, tmp_path):
+    """A routine source delete flows through a model with a 'fail' rule:
+    the tombstone's null payload must not abort the batch (Expectation's
+    null-fails semantics judge LIVE rows only), and the retraction still
+    cascades."""
+    from cht_sync_spark.tables.format import SnapshotTable
+    from pyspark.sql import Row
+
+    def strict_text():
+        return [Expectation("has_text", F.col("text").isNotNull(), "fail")]
+
+    landing = SnapshotTable.create(
+        spark, str(tmp_path / "landing"), _TURNS_SCHEMA,
+        key_cols=["conv_id", "turn_idx"], num_buckets=4, bucket_cols=["conv_id"],
+        lww_order=[("seq", False)],
+    )
+    runner = ModelRunner(spark, _spec(name="strict", expectations=strict_text),
+                         str(tmp_path / "model"))
+
+    def batch(items):
+        return spark.createDataFrame(
+            [Row(conv_id=c, turn_idx=t, role=r, text=x, seq=s, rev_height=s,
+                 _rev=f"{s}-x", _deleted=d) for c, t, r, x, s, d in items],
+            _TURNS_SCHEMA,
+        )
+
+    b1 = batch([("a", 0, "user", "hello", 1, False)])
+    landing.append_delta(b1)
+    runner.run_increment(landing, b1, epoch=0)
+    # the delete arrives as a tombstone stub: null role/text
+    b2 = batch([("a", 0, None, None, 2, True)])
+    landing.append_delta(b2)
+    runner.run_increment(landing, b2, epoch=1)  # must not raise
+    assert runner.table.read_current(drop_tombstones=True).count() == 0
+
+
+def test_warn_counts_recorded(spark, feed_path, tmp_path):
+    """'warn' violations are observable: the runner keeps the last
+    check's counts (the dbt-test metrics surface)."""
+    def warning():
+        return [Expectation("short_text", F.length("text") < 3, "warn")]
+
+    spec = _spec(name="turns_warn_counts", expectations=warning)
+    p = _pipe(spark, feed_path, tmp_path / "wc", spec)
+    p.run()
+    runner = p.models[0]
+    stats = runner.last_expectation_stats
+    assert stats is not None and stats["n_rows"] > 0
+    assert "fail_short_text" in stats
 
 
 def test_grouped_model_composes(spark, feed_path, tmp_path):
