@@ -1554,6 +1554,57 @@ def q_time_travel_tag(spark, sf):
     )
 
 
+def q_table_clone(spark, sf):
+    """Zero-copy shallow clone (tables/format.py SnapshotTable.clone —
+    Delta SHALLOW CLONE parity): land the events table, clone it
+    (hard-linked data files, no bytes copied), DIVERGE both sides — the
+    source takes edits the clone must never see and is then compacted,
+    expired and vacuumed (reclaiming the pre-clone files on the source
+    side, which must not pull bytes out from under the clone); the clone
+    takes its own COW merge of edits + tombstone deletes — and read the
+    clone's reconciled state. The oracle recomputes the clone's winners
+    (clone edits over the base, deletes dropped, source edits absent)
+    from raw events: a leaked source edit, a lost clone edit, or a
+    vacuum-broken shared file mismatches (the read would fail)."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+    from cht_sync_spark.tables.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="clone_q_")
+    base = (
+        _t(spark, sf, "events")
+        .select("event_id").distinct()
+        .select(
+            "event_id", F.lit("v1").alias("val"),
+            F.lit(False).alias("_deleted"), F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    t = SnapshotTable.create(
+        spark, f"{work}/t", base.schema, key_cols=["event_id"],
+        num_buckets=8, sort_cols=["event_id"], lww_order=[("seq", False)],
+    )
+    t.append_delta(base)
+    c = t.clone(f"{work}/c")
+    # source-side divergence the clone must never see; then reclaim the
+    # source's pre-clone files (hard-link safety: the clone keeps reading)
+    merge_upsert(t, base.where(F.col("event_id") % 7 == 0)
+                 .select("event_id", F.lit("src").alias("val"), "_deleted",
+                         F.lit(2).cast("long").alias("seq")))
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(grace_seconds=0.0)
+    # clone-side divergence: COW merge of edits + tombstones
+    merge_upsert(c, base.where(F.col("event_id") % 5 == 0)
+                 .select("event_id", F.lit("clone").alias("val"), "_deleted",
+                         F.lit(2).cast("long").alias("seq")))
+    merge_upsert(c, base.where(F.col("event_id") % 11 == 0)
+                 .select("event_id", F.lit(None).cast("string").alias("val"),
+                         F.lit(True).alias("_deleted"),
+                         F.lit(3).cast("long").alias("seq")))
+    return c.read_current(drop_tombstones=True).select("event_id", "val", "seq")
+
+
 def q_rebucket_evolution(spark, sf):
     """Bucket-layout evolution (tables/format.py SnapshotTable.rebucket —
     the Iceberg partition-spec-evolution analogue, done as ONE atomic
@@ -2499,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_prune_scan": q_stats_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
+        "table_clone": q_table_clone,
         "rebucket_evolution": q_rebucket_evolution,
         "gdpr_purge": q_gdpr_purge,
         "retention_expiry": q_retention_expiry,
@@ -3506,6 +3558,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH m AS (SELECT max(event_id) AS hi FROM events) "
             "SELECT event_id, user_id, event_type, value "
             "FROM events, m WHERE event_id <= hi // 2"
+        ),
+        # clone winners: clone edits over the base, deletes dropped,
+        # source-side edits never visible
+        "table_clone": (
+            "WITH ids AS (SELECT DISTINCT event_id FROM events) "
+            "SELECT event_id, "
+            "  CASE WHEN event_id % 5 = 0 THEN 'clone' ELSE 'v1' END AS val, "
+            "  CAST(CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS seq "
+            "FROM ids WHERE event_id % 11 <> 0"
         ),
         # SQL view over the LWW-reconciled table == grouped winners
         "sql_view": (

@@ -1975,6 +1975,88 @@ class SnapshotTable:
         self._write_manifest(snap)  # O_EXCL claim: loses cleanly to a racer
         return snap
 
+    def clone(self, dest_path: str, version: int | None = None,
+              *, ref: str | None = None) -> "SnapshotTable":
+        """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / exporting an Iceberg snapshot as a new table): a new,
+        fully independent table at ``dest_path`` whose v1 holds the source
+        snapshot's exact state — no data bytes copied or rewritten.
+
+        Data files are immutable, so the clone HARD-LINKS them at the same
+        table-relative paths (O(files) driver-side metadata, zero data
+        I/O). Independence is total from that point: writes on either side
+        commit into their own snapshot dirs, and because ``vacuum`` only
+        ever unlinks its OWN table's name for a file, reclaiming a file on
+        one side can never pull bytes out from under the other (the inode
+        lives until its last link drops) — the experimentation fork for
+        "try a risky rewrite against yesterday's 100 TB table" at zero
+        storage cost. On an object store the same op is manifest-level
+        path sharing (Delta shallow clones reference the source's absolute
+        file URIs); hard links are this sandbox's faithful filesystem
+        equivalent, with copy-fallback across filesystems.
+
+        Carried over: schema, key/bucket/sort/LWW config, and ALL
+        state-coupled properties (checkpoint cursors, epoch markers,
+        consumer cursors, pinned hash/sketch configs) — so a cloned
+        pipeline or consumer target resumes exactly where the source
+        state says. Stripped: ``tag.*`` refs (they pin versions of the
+        SOURCE's history, which the clone does not have) — branches are
+        sibling snapshot dirs and simply aren't copied. The clone's v1 is
+        ``operation='clone'``; its changelog starts there (downstream
+        consumers bootstrap, then tail only post-clone commits).
+
+        ``ref`` accepts a tag name; ``version`` a snapshot version;
+        default = current tip. Cloning a BRANCH handle clones the branch's
+        state. Refuses an existing ``dest_path``.
+        """
+        import shutil as _shutil
+
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass either version or ref, not both")
+            version = self.resolve_ref(ref)
+        src = self.snapshot(version)  # raises if expired/unknown
+        dest = SnapshotTable(self.spark, dest_path)
+        if dest.exists():
+            raise FileExistsError(dest_path)
+        os.makedirs(os.path.join(dest_path, dest._snapdir), exist_ok=True)
+        os.makedirs(os.path.join(dest_path, _DATADIR), exist_ok=True)
+        linked_dirs = set()
+        for f in src.files:
+            s = os.path.join(self.path, f["path"])
+            d = os.path.join(dest_path, f["path"])
+            dd = os.path.dirname(d)
+            if dd not in linked_dirs:
+                os.makedirs(dd, exist_ok=True)
+                linked_dirs.add(dd)
+            try:
+                os.link(s, d)
+            except OSError:
+                _shutil.copy2(s, d)  # cross-device fallback
+        for dd in linked_dirs:
+            _fsync_dir(dd)
+        props = {k: v for k, v in src.properties.items() if not k.startswith("tag.")}
+        # one fresh manifest holding the full entry list (the compacted-
+        # metadata shape a new table starts from)
+        man = dest._write_manifest_file(list(src.files)) if src.files else None
+        dest._write_manifest(
+            Snapshot(
+                version=1,
+                schema=src.schema,
+                key_cols=list(src.key_cols),
+                bucket_cols=list(src.bucket_cols),
+                num_buckets=src.num_buckets,
+                sort_cols=list(src.sort_cols),
+                lww_order=list(src.lww_order),
+                files=list(src.files),
+                properties=props,
+                parent=None,
+                manifests=[man] if man is not None else [],
+                operation="clone",
+            )
+        )
+        return dest
+
     # ---------------------------------------------------------- maintenance
     # ------------------------------------------------------------- erasure
     def purge(

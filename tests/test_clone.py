@@ -1,0 +1,138 @@
+"""Shallow clone (SnapshotTable.clone — Delta SHALLOW CLONE / Iceberg
+snapshot-export parity): a new independent table whose v1 is the source
+snapshot's state, hard-linking the immutable data files (zero copy).
+Pins:
+
+- clone state == source state at the cloned ref (tip, version, tag);
+- zero-copy: the clone's data files are the SAME inodes;
+- full independence: writes on either side are invisible to the other;
+- vacuum on the diverged source never pulls bytes out from under the
+  clone (last-link semantics), and vice versa;
+- tag refs are stripped (they pin source history), state-coupled
+  properties carry over;
+- the clone is writable (merge works) and its changelog starts at v1;
+- refuses an existing destination and unknown refs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from cht_sync_spark.tables.format import SnapshotTable
+from cht_sync_spark.tables.merge import merge_upsert
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("_deleted", T.BooleanType()),
+    ]
+)
+
+
+def _rows(spark, items):
+    return spark.createDataFrame(
+        [Row(conv_id=c, turn_idx=t, text=x, seq=s, _deleted=d) for c, t, x, s, d in items],
+        SCHEMA,
+    )
+
+
+def _mk(spark, path) -> SnapshotTable:
+    return SnapshotTable.create(
+        spark, str(path), SCHEMA, key_cols=["conv_id", "turn_idx"],
+        num_buckets=4, bucket_cols=["conv_id"], lww_order=[("seq", False)],
+        properties={"pinned.config": "x"},
+    )
+
+
+def _state(t, **kw):
+    return {
+        (r.conv_id, r.turn_idx, r.text, r.seq, r._deleted)
+        for r in t.read_current(**kw).collect()
+    }
+
+
+def _seed(spark, t):
+    t.append_delta(_rows(spark, [("a", 0, "a0", 1, False), ("a", 1, "a1", 2, False),
+                                 ("b", 0, "b0", 3, False)]))
+    t.append_delta(_rows(spark, [("a", 1, "a1v2", 4, False), ("c", 0, "c0", 5, False)]))
+    t.compact()
+
+
+def test_clone_state_and_zero_copy(spark, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    want = _state(t)
+    c = t.clone(str(tmp_path / "dst"))
+    assert c.current_version() == 1
+    assert c.snapshot().operation == "clone"
+    assert _state(c) == want
+    # zero-copy: every data file is the same inode as the source's
+    for f in c.snapshot().files:
+        s_ino = os.stat(os.path.join(t.path, f["path"])).st_ino
+        d_ino = os.stat(os.path.join(c.path, f["path"])).st_ino
+        assert s_ino == d_ino
+    # config and state-coupled properties carry over; tags don't
+    assert c.snapshot().properties["pinned.config"] == "x"
+    assert c.snapshot().key_cols == t.snapshot().key_cols
+    assert c.snapshot().lww_order == t.snapshot().lww_order
+
+
+def test_clone_at_version_and_tag(spark, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    t.append_delta(_rows(spark, [("a", 0, "v1", 1, False)]))
+    v = t.current_version()
+    t.tag("run_x", v)
+    t.append_delta(_rows(spark, [("a", 0, "v2", 2, False)]))
+    by_ver = t.clone(str(tmp_path / "byver"), version=v)
+    by_tag = t.clone(str(tmp_path / "bytag"), ref="run_x")
+    assert _state(by_ver) == _state(by_tag) == {("a", 0, "v1", 1, False)}
+    # tag refs are stripped: the clone has no source-history pins
+    assert by_tag.tags() == {}
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.clone(str(tmp_path / "nope"), ref="missing")
+    with pytest.raises(ValueError, match="not both"):
+        t.clone(str(tmp_path / "nope"), version=v, ref="run_x")
+    with pytest.raises(FileExistsError):
+        t.clone(str(tmp_path / "byver"))
+
+
+def test_independence_and_vacuum_safety(spark, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    at_clone = _state(t)
+    c = t.clone(str(tmp_path / "dst"))
+    # diverge both sides
+    merge_upsert(t, _rows(spark, [("a", 0, "src-edit", 10, False)]))
+    merge_upsert(c, _rows(spark, [("b", 0, "clone-edit", 11, False)]))
+    assert ("a", 0, "src-edit", 10, False) in _state(t)
+    assert ("a", 0, "src-edit", 10, False) not in _state(c)
+    assert ("b", 0, "clone-edit", 11, False) in _state(c)
+    assert ("b", 0, "clone-edit", 11, False) not in _state(t)
+    # source rewrites + expiry + vacuum reclaim the pre-clone files on the
+    # SOURCE side; the clone still reads its v1 state byte-for-byte
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(grace_seconds=0.0)
+    assert _state(c) == (at_clone | {("b", 0, "clone-edit", 11, False)}) - {("b", 0, "b0", 3, False)}
+    # and the mirror direction: vacuuming the clone leaves the source intact
+    c.compact()
+    c.expire_snapshots(keep_last=1)
+    c.vacuum(grace_seconds=0.0)
+    assert ("a", 0, "src-edit", 10, False) in _state(t)
+
+
+def test_clone_changelog_starts_fresh(spark, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    c = t.clone(str(tmp_path / "dst"))
+    v1 = c.current_version()
+    c.append_delta(_rows(spark, [("z", 0, "new", 99, False)]))
+    got = c.changes(v1, c.current_version()).collect()
+    assert {(r.conv_id, r.turn_idx) for r in got} == {("z", 0)}
