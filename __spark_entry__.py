@@ -925,6 +925,61 @@ def q_ann_index_cdc(spark, sf):
     )
 
 
+def q_ivf_index_cdc(spark, sf):
+    """Approximate top-k from the CDC-MAINTAINED IVF index
+    (streaming/ann_index.py IvfIndexConsumer + ivf_index_search): land the
+    embeddings as a CDC source, pin md5-ordered sampled centroids at index
+    creation, bootstrap from the changelog, then apply re-embeddings
+    (vec_id%5==1: negated vectors, which move cells — the stale row in the
+    old cell's bucket must die by delete-by-absence) and deletions
+    (vec_id%7==2), and probe. Fully oracle-checked like similarity_ivf:
+    the md5 centroid sample, argmax-cell assignment of the FINAL corpus,
+    probe ranking and exact cosine re-rank all replay in DuckDB — a stale
+    cell row still matching, or a deleted vector surviving, mismatches."""
+    import tempfile
+
+    from cht_sync_spark.streaming.ann_index import IvfIndexConsumer, ivf_index_search
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="ivfcdc_q_")
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") != 0)
+
+    def gen(df, seq, deleted=False, vec=None):
+        return df.select(
+            "vec_id",
+            (vec if vec is not None else F.col("embedding")).alias("embedding"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(deleted).alias("_deleted"),
+        )
+
+    g1 = gen(e, 1)
+    src = SnapshotTable.create(
+        spark, f"{work}/src", g1.schema, key_cols=["vec_id"],
+        num_buckets=8, sort_cols=["vec_id"], lww_order=[("seq", False)],
+    )
+    src.append_delta(g1)
+    # centroids = md5-ordered sample of the CURRENT live vectors (frozen
+    # copies: later waves never move them — the build_ivf_index contract)
+    idx = IvfIndexConsumer.create_index(
+        spark, src, f"{work}/idx", n_cells=8, num_buckets=8, cent_hash="md5",
+    )
+    c = IvfIndexConsumer(spark, src, idx, "ix")
+    c.run_once()  # bootstrap = incremental from zero
+    src.append_delta(
+        gen(e.where(F.col("vec_id") % 5 == 1), 2,
+            vec=F.transform("embedding", lambda x: -x))
+    )
+    src.append_delta(
+        gen(e.where(F.col("vec_id") % 7 == 2), 3, deleted=True,
+            vec=F.lit(None).cast(g1.schema["embedding"].dataType))
+    )
+    c.run_once()
+    qvec = _t(spark, sf, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_index_search(idx, qvec, k=10, n_probe=4).select(
+        "vec_id", F.round("cos", 4).alias("cos")
+    )
+
+
 def q_text_stats(spark, sf):
     from cht_sync_spark.functions.text import text_stats
 
@@ -2513,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ivf": q_similarity_ivf,
         "ann_index_cdc": q_ann_index_cdc,
+        "ivf_index_cdc": q_ivf_index_cdc,
         "text_stats": q_text_stats,
         "text_fingerprint_winnow": q_text_fingerprint_winnow,
         "multimodal_meta": q_multimodal_meta,
@@ -2888,6 +2944,31 @@ def oracle_sql() -> dict[str, str]:
             "  FROM e, pl WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.v) "
             "SELECT vec_id, round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos "
             "FROM ds, q WHERE sig IN (SELECT sig FROM probes) "
+            "ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
+        ),
+        # CDC-maintained IVF: centroids = md5 sample of the ORIGINAL
+        # vectors (frozen at index creation); the final corpus (negated
+        # %5==1 re-embeddings, %7==2 deleted) assigns against them —
+        # argmax cell with smallest-cell ties, top-4 probe, exact re-rank
+        "ivf_index_cdc": (
+            "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "cents AS (SELECT v AS cv, "
+            "    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell "
+            "  FROM e0 WHERE vec_id <> 0 "
+            "  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8), "
+            "e AS (SELECT vec_id, CASE WHEN vec_id % 5 = 1 THEN list_transform(v, x -> -x) "
+            "      ELSE v END AS v FROM e0 WHERE vec_id <> 0 AND vec_id % 7 <> 2), "
+            "q AS (SELECT v AS qv FROM e0 WHERE vec_id = 0), "
+            "asg AS (SELECT e.vec_id, e.v, c.cell, "
+            "    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ac "
+            "  FROM e, cents c), "
+            "cellof AS (SELECT vec_id, v, cell FROM asg "
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cell) = 1), "
+            "pr AS (SELECT cell FROM (SELECT c.cell, "
+            "      list_dot_product(qv, c.cv) / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qv, qv))) AS pc "
+            "    FROM cents c, q) QUALIFY row_number() OVER (ORDER BY pc DESC, cell) <= 4) "
+            "SELECT vec_id, round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS cos "
+            "FROM cellof, q WHERE cell IN (SELECT cell FROM pr) "
             "ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
         ),
         # persisted-IVF oracle: md5-ordered centroid sample (cell id = rank),

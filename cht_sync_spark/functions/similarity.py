@@ -367,12 +367,41 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
     df = spread(df)
     if n_cells > 256:
         return ivf_assign_join(df, [c for _, c in cents], vec_col, id_col), [c for _, c in cents]
-    arr = F.array(*[cosine(F.col(vec_col), _lit_vec(cvec)) for _, cvec in cents])
+    return assign_cells(df, [c for _, c in cents], vec_col, id_col), [c for _, c in cents]
+
+
+def assign_cells(df: DataFrame, cents: list, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Argmax-cosine cell assignment against FIXED centroids, preserving
+    every input column — the maintenance form (IvfIndexConsumer): the
+    centroids come from the index table's committed properties, not from
+    the data, so an incremental batch assigns exactly like the build did.
+    <=256 cells: the array-literal expression (O(n_cells x dim) plan
+    nodes, whole-stage-codegen'd — see ivf_assign for why the chained-when
+    form is forbidden). Beyond 256: broadcast centroid join + struct-max
+    argmax joined back on the id (plan O(1) in n_cells). Both break ties
+    to the smallest cell id, matching ivf_assign/ivf_assign_join exactly."""
+    if len(cents) > 256:
+        ids = [id_col] if isinstance(id_col, str) else list(id_col)
+        spark = df.sparkSession
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, cvec array<double>",
+        )
+        scored = df.select(*ids, vec_col).join(F.broadcast(cdf)).withColumn(
+            "__cos", cosine(F.col(vec_col), F.col("cvec"))
+        )
+        pick = F.max(
+            F.struct(F.col("__cos"), (-F.col("cell")).alias("negc"), F.col("cell"))
+        ).getField("cell")
+        cells = scored.groupBy(*ids).agg(pick.alias("__cell"))
+        return df.join(cells, on=ids, how="inner")
+    arr = F.array(*[cosine(F.col(vec_col), _lit_vec(cvec)) for cvec in cents])
     # stage the cosine array through a named column referenced twice —
     # CollapseProject keeps a >1-referenced non-trivial alias materialized,
     # so the n_cells cosines compute once per row. First index of the max
     # -> smallest cell id wins ties (same value -> same bits, exact match).
-    assigned = (
+    return (
         df.withColumn("__cos_arr", arr)
         .withColumn(
             "__cell",
@@ -380,7 +409,6 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
         )
         .drop("__cos_arr")
     )
-    return assigned, [c for _, c in cents]
 
 
 def ivf_assign_join(df: DataFrame, cents: list, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

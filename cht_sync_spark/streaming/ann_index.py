@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from cht_sync_spark.functions.similarity import (
+    assign_cells,
     cosine_topk,
     lsh_signature,
     make_planes,
@@ -49,12 +50,19 @@ from cht_sync_spark.functions.similarity import (
 from cht_sync_spark.streaming.derived_index import DerivedIndexConsumer, DerivedIndexResult
 from cht_sync_spark.tables.format import SnapshotTable
 
-__all__ = ["AnnIndexConsumer", "AnnIndexResult", "ann_index_search"]
+__all__ = [
+    "AnnIndexConsumer",
+    "AnnIndexResult",
+    "IvfIndexConsumer",
+    "ann_index_search",
+    "ivf_index_search",
+]
 
 AnnIndexResult = DerivedIndexResult
 
 _PLANES = "ann.planes"
 _N_PLANES = "ann.n_planes"
+_CENTS = "ivf.centroids"
 
 
 def _planes_of(snap) -> tuple[list[list[float]], int]:
@@ -139,6 +147,163 @@ class AnnIndexConsumer(DerivedIndexConsumer):
             lww_order=list(snap.lww_order or []),
             properties={_PLANES: json.dumps(planes), _N_PLANES: str(len(planes))},
         )
+
+
+class IvfIndexConsumer(DerivedIndexConsumer):
+    """CDC-maintained IVF coarse index — the same update/delete gap-closer
+    :class:`AnnIndexConsumer` is for the LSH index, applied to the
+    cell-bucketed form (``functions/similarity.py build_ivf_index`` is a
+    one-shot build; a re-embedded vector can change cells, so its stale
+    row would survive in its old cell's bucket, and deletes have no path
+    short of a rebuild). ``__cell`` joins the ROW KEY (a cell move is
+    delete + insert of different keys), buckets stay cell-derived so
+    probes prune, and stale rows die by the shared delete-by-absence
+    machinery. Centroids are committed in the index properties at
+    :meth:`create_index` — maintenance assigns every batch against the
+    SAME centroids the build used (``assign_cells``), so incremental and
+    rebuilt indexes agree exactly (centroid drift/re-clustering is a
+    rebuild-and-swap, the standard IVF operational answer)."""
+
+    derived_key = ["__cell"]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapshotTable,
+        index: SnapshotTable,
+        name: str,
+        *,
+        vec_col: str = "embedding",
+        strict: bool = True,
+        max_retries: int = 8,
+    ):
+        super().__init__(spark, source, index, name, strict=strict, max_retries=max_retries)
+        self.vec_col = vec_col
+
+    def _cents(self) -> list[list[float]]:
+        p = self.index.snapshot().properties
+        try:
+            return json.loads(p[_CENTS])
+        except KeyError:
+            raise ValueError(
+                "not an IVF index: missing ivf.centroids — create it with "
+                "IvfIndexConsumer.create_index"
+            ) from None
+
+    def derived_rows(self, docs: DataFrame, key: list[str]) -> DataFrame:
+        live = (
+            docs.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            if "_deleted" in docs.columns
+            else docs
+        )
+        live = live.where(F.col(self.vec_col).isNotNull())
+        return assign_cells(live, self._cents(), self.vec_col, key).select(
+            "__cell", *key, F.col(self.vec_col)
+        )
+
+    # --------------------------------------------------------------- setup
+    @classmethod
+    def create_index(
+        cls,
+        spark: SparkSession,
+        source: SnapshotTable,
+        path: str,
+        *,
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        centroids: list[list[float]] | None = None,
+        num_buckets: int = 16,
+        cent_hash: str = "xxhash64",
+    ) -> SnapshotTable:
+        """Empty cell-bucketed index wired to the source's key and LWW
+        spec, centroids committed in table properties (build_ivf_index's
+        contract). Default centroids = the deterministic smallest-hash
+        sample of the source's CURRENT live vectors (ivf_assign's rule;
+        ``cent_hash='md5'`` for the DuckDB-replayable ordering); pass
+        ``centroids`` to pin an external/k-means set. Bootstrap = run the
+        consumer (history is one range)."""
+        snap = source.snapshot()
+        if centroids is None:
+            key0 = snap.key_cols[0]
+            cent_order = (
+                F.md5(F.col(key0).cast("string"))
+                if cent_hash == "md5"
+                else F.xxhash64(F.col(key0).cast("string"))
+            )
+            centroids = [
+                [float(x) for x in r[0]]
+                for r in source.read_current(drop_tombstones=True)
+                .where(F.col(vec_col).isNotNull())
+                .select(F.col(vec_col), cent_order.alias("__o"), F.col(key0))
+                .orderBy("__o", key0)
+                .limit(n_cells)
+                .collect()
+            ]
+        if not centroids:
+            raise ValueError("no centroids: source has no live vectors and none were passed")
+        fields = [T.StructField("__cell", T.IntegerType(), True)]
+        for k in snap.key_cols:
+            fields.append(T.StructField(k, snap.schema[k].dataType, True))
+        fields.append(T.StructField(vec_col, snap.schema[vec_col].dataType, True))
+        for c, _ in snap.lww_order or []:
+            if c not in snap.key_cols and c not in ("__cell", vec_col, "_deleted"):
+                fields.append(T.StructField(c, snap.schema[c].dataType, True))
+        fields.append(T.StructField("_deleted", T.BooleanType(), True))
+        return SnapshotTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=["__cell", *snap.key_cols],
+            bucket_cols=["__cell"],
+            num_buckets=num_buckets,
+            sort_cols=["__cell", *snap.key_cols],
+            lww_order=list(snap.lww_order or []),
+            properties={_CENTS: json.dumps([[float(x) for x in c] for c in centroids])},
+        )
+
+
+def ivf_index_search(
+    index: SnapshotTable,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k from the CDC-maintained IVF index: identical
+    probe strategy to ``similarity.ivf_index_topk`` (centroids ranked
+    driver-side from the committed list, scan pruned to the probed cells'
+    buckets) but read through ``read_current`` — the LWW fold drops
+    absence tombstones and reconciles MOR delta rows, so results are
+    exact over the index's CURRENT state between compactions."""
+    from cht_sync_spark.functions.similarity import _pynorm
+    from cht_sync_spark.tables.format import bucket_expr
+
+    snap = index.snapshot()
+    try:
+        cents = json.loads(snap.properties[_CENTS])
+    except KeyError:
+        raise ValueError(
+            "not an IVF index: missing ivf.centroids — create it with "
+            "IvfIndexConsumer.create_index"
+        ) from None
+    scored = sorted(
+        range(len(cents)),
+        key=lambda i: -sum(float(a) * float(b) for a, b in zip(query_vec, cents[i]))
+        / (_pynorm(cents[i]) * _pynorm(query_vec)),
+    )
+    probe = scored[:n_probe]
+    buckets = sorted(
+        {
+            r["__b"]
+            for r in index.spark.createDataFrame([(c,) for c in probe], "__cell int")
+            .select(bucket_expr(["__cell"], snap.num_buckets).alias("__b"))
+            .collect()
+        }
+    )
+    cand = index.read_current(buckets=buckets, drop_tombstones=True).where(
+        F.col("__cell").isin(probe)
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
 def ann_index_search(
