@@ -209,6 +209,7 @@ def main() -> None:
         "bm25_index_search",
         "dedup_index_pairs",
         "ann_index_cdc",
+        "ivf_index_cdc",
         "conversation_assembly",
         "sft_examples",
         "scd2_history",
