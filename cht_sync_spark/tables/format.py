@@ -1976,7 +1976,7 @@ class SnapshotTable:
         return snap
 
     def clone(self, dest_path: str, version: int | None = None,
-              *, ref: str | None = None) -> "SnapshotTable":
+              *, ref: str | None = None, deep: bool = False) -> "SnapshotTable":
         """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
         CLONE`` / exporting an Iceberg snapshot as a new table): a new,
         fully independent table at ``dest_path`` whose v1 holds the source
@@ -2007,7 +2007,10 @@ class SnapshotTable:
 
         ``ref`` accepts a tag name; ``version`` a snapshot version;
         default = current tip. Cloning a BRANCH handle clones the branch's
-        state. Refuses an existing ``dest_path``.
+        state. Refuses an existing ``dest_path``. ``deep=True`` copies the
+        bytes instead of linking (Delta's deep clone): the migration form
+        for moving a snapshot to another filesystem/disk, where link-based
+        sharing is impossible or unwanted.
         """
         import shutil as _shutil
 
@@ -2029,10 +2032,13 @@ class SnapshotTable:
             if dd not in linked_dirs:
                 os.makedirs(dd, exist_ok=True)
                 linked_dirs.add(dd)
-            try:
-                os.link(s, d)
-            except OSError:
-                _shutil.copy2(s, d)  # cross-device fallback
+            if deep:
+                _shutil.copy2(s, d)
+            else:
+                try:
+                    os.link(s, d)
+                except OSError:
+                    _shutil.copy2(s, d)  # cross-device fallback
         for dd in linked_dirs:
             _fsync_dir(dd)
         props = {k: v for k, v in src.properties.items() if not k.startswith("tag.")}

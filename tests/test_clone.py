@@ -128,6 +128,17 @@ def test_independence_and_vacuum_safety(spark, tmp_path):
     assert ("a", 0, "src-edit", 10, False) in _state(t)
 
 
+def test_deep_clone_copies_bytes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    c = t.clone(str(tmp_path / "deep"), deep=True)
+    assert _state(c) == _state(t)
+    for f in c.snapshot().files:
+        s = os.stat(os.path.join(t.path, f["path"]))
+        d = os.stat(os.path.join(c.path, f["path"]))
+        assert s.st_ino != d.st_ino and s.st_size == d.st_size
+
+
 def test_clone_changelog_starts_fresh(spark, tmp_path):
     t = _mk(spark, tmp_path / "src")
     _seed(spark, t)
