@@ -146,6 +146,30 @@ def test_reseed_equals_incremental(spark, tmp_path):
     assert c2.position() == src2.current_version()
 
 
+def test_assign_cells_join_form_parity(spark):
+    """assign_cells beyond 256 centroids switches to the broadcast-join
+    argmax; it must agree with a per-row Python argmax (same smallest-cell
+    tie-break) and preserve every input column."""
+    import math
+
+    from cht_sync_spark.functions.similarity import assign_cells
+
+    rnd = __import__("random").Random(3)
+    cents = [[rnd.uniform(-1, 1), rnd.uniform(-1, 1)] for _ in range(300)]
+    rows = [Row(vec_id=i, embedding=[rnd.uniform(-1, 1), rnd.uniform(-1, 1)],
+                seq=i, _deleted=False) for i in range(12)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.vec_id: (r["__cell"], r.seq) for r in assign_cells(df, cents, "embedding", "vec_id").collect()}
+
+    def cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0.0
+
+    for r in rows:
+        want = max(range(300), key=lambda i: (cos(r.embedding, cents[i]), -i))
+        assert got[r.vec_id] == (want, r.seq)
+
+
 def test_sampled_centroids_and_validation(spark, tmp_path):
     src = SnapshotTable.create(
         spark, str(tmp_path / "src"), SCHEMA, key_cols=["vec_id"], num_buckets=4,
