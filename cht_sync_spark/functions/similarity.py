@@ -370,6 +370,26 @@ def ivf_assign(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding", id_
     return assign_cells(df, [c for _, c in cents], vec_col, id_col), [c for _, c in cents]
 
 
+def _join_argmax(df: DataFrame, cents: list, vec_col: str, ids: list[str]) -> DataFrame:
+    """Shared large-``n_cells`` argmax core: broadcast the centroids (one
+    row per cell), cosine per (row, cell) pair, lexicographic struct-max
+    per id — highest cosine, then SMALLEST cell (matching the array
+    form's tie-break exactly). Returns one ``(ids..., __cell)`` row per
+    distinct id. Plan size O(1) in n_cells — the 65k-cell shape."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, cvec array<double>",
+    )
+    scored = df.select(*ids, vec_col).join(F.broadcast(cdf)).withColumn(
+        "__cos", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    pick = F.max(
+        F.struct(F.col("__cos"), (-F.col("cell")).alias("negc"), F.col("cell"))
+    ).getField("cell")
+    return scored.groupBy(*ids).agg(pick.alias("__cell"))
+
+
 def assign_cells(df: DataFrame, cents: list, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
     """Argmax-cosine cell assignment against FIXED centroids, preserving
@@ -378,24 +398,18 @@ def assign_cells(df: DataFrame, cents: list, vec_col: str = "embedding",
     the data, so an incremental batch assigns exactly like the build did.
     <=256 cells: the array-literal expression (O(n_cells x dim) plan
     nodes, whole-stage-codegen'd — see ivf_assign for why the chained-when
-    form is forbidden). Beyond 256: broadcast centroid join + struct-max
-    argmax joined back on the id (plan O(1) in n_cells). Both break ties
-    to the smallest cell id, matching ivf_assign/ivf_assign_join exactly."""
+    form is forbidden). Beyond 256: the shared broadcast-join argmax
+    (:func:`_join_argmax`) joined back on the id. Both break ties to the
+    smallest cell id, matching ivf_assign/ivf_assign_join exactly.
+
+    PRECONDITION for the >256 form: rows are unique (and non-null) per
+    ``id_col`` — the argmax groups by id, so duplicate ids would share
+    one winning cell and null ids drop at the inner join-back. The array
+    form is strictly per-row. Every caller in the engine satisfies this
+    (the maintenance path LWW-dedups per key first; corpora are keyed)."""
     if len(cents) > 256:
         ids = [id_col] if isinstance(id_col, str) else list(id_col)
-        spark = df.sparkSession
-        cdf = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-            "cell int, cvec array<double>",
-        )
-        scored = df.select(*ids, vec_col).join(F.broadcast(cdf)).withColumn(
-            "__cos", cosine(F.col(vec_col), F.col("cvec"))
-        )
-        pick = F.max(
-            F.struct(F.col("__cos"), (-F.col("cell")).alias("negc"), F.col("cell"))
-        ).getField("cell")
-        cells = scored.groupBy(*ids).agg(pick.alias("__cell"))
-        return df.join(cells, on=ids, how="inner")
+        return df.join(_join_argmax(df, cents, vec_col, ids), on=ids, how="inner")
     arr = F.array(*[cosine(F.col(vec_col), _lit_vec(cvec)) for cvec in cents])
     # stage the cosine array through a named column referenced twice —
     # CollapseProject keeps a >1-referenced non-trivial alias materialized,
@@ -412,28 +426,14 @@ def assign_cells(df: DataFrame, cents: list, vec_col: str = "embedding",
 
 
 def ivf_assign_join(df: DataFrame, cents: list, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Large-``n_cells`` centroid assignment: centroids as a BROADCAST table
-    (one row per cell), cosine per (vector, cell) pair, struct-max argmax
-    per vector — the plan stays O(1) in n_cells (the centroid count moves
-    from the expression tree into broadcast data), which is what a 65k-cell
-    IVF needs. Ties break to the smallest cell id, matching the literal
-    form exactly."""
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, cvec array<double>",
+    """Large-``n_cells`` centroid assignment: the shared broadcast-join
+    argmax core (:func:`_join_argmax` — the plan stays O(1) in n_cells,
+    which is what a 65k-cell IVF needs), joined back to the vectors. Ties
+    break to the smallest cell id, matching the literal form exactly."""
+    cells = _join_argmax(df, cents, vec_col, [id_col])
+    return df.select(id_col, vec_col).join(cells, on=id_col, how="inner").select(
+        id_col, vec_col, "__cell"
     )
-    scored = df.join(F.broadcast(cdf)).withColumn(
-        "__cos", cosine(F.col(vec_col), F.col("cvec"))
-    )
-    # lexicographic struct max: highest cosine, then smallest cell
-    pick = F.max(
-        F.struct(F.col("__cos"), (-F.col("cell")).alias("negc"), F.col("cell"))
-    ).getField("cell")
-    assigned = scored.groupBy(F.col(id_col)).agg(
-        pick.alias("__cell"), F.first(F.col(vec_col)).alias(vec_col)
-    )
-    return assigned.select(id_col, vec_col, "__cell")
 
 
 def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_cells: int = 16, n_probe: int = 4,

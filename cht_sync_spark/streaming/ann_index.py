@@ -65,6 +65,16 @@ _N_PLANES = "ann.n_planes"
 _CENTS = "ivf.centroids"
 
 
+def _cents_of(snap) -> list[list[float]]:
+    try:
+        return json.loads(snap.properties[_CENTS])
+    except KeyError:
+        raise ValueError(
+            "not an IVF index: missing ivf.centroids — create it with "
+            "IvfIndexConsumer.create_index"
+        ) from None
+
+
 def _planes_of(snap) -> tuple[list[list[float]], int]:
     p = snap.properties
     try:
@@ -179,16 +189,16 @@ class IvfIndexConsumer(DerivedIndexConsumer):
     ):
         super().__init__(spark, source, index, name, strict=strict, max_retries=max_retries)
         self.vec_col = vec_col
+        self._cents_cache: list[list[float]] | None = None
 
     def _cents(self) -> list[list[float]]:
-        p = self.index.snapshot().properties
-        try:
-            return json.loads(p[_CENTS])
-        except KeyError:
-            raise ValueError(
-                "not an IVF index: missing ivf.centroids — create it with "
-                "IvfIndexConsumer.create_index"
-            ) from None
+        # centroids are frozen for the index's lifetime (create_index
+        # commits them once; re-clustering is rebuild-and-swap), so parse
+        # the JSON once per consumer — derived_rows runs twice per cycle,
+        # and at the 65k-cell design point the list is megabytes
+        if self._cents_cache is None:
+            self._cents_cache = _cents_of(self.index.snapshot())
+        return self._cents_cache
 
     def derived_rows(self, docs: DataFrame, key: list[str]) -> DataFrame:
         live = (
@@ -279,13 +289,7 @@ def ivf_index_search(
     from cht_sync_spark.tables.format import bucket_expr
 
     snap = index.snapshot()
-    try:
-        cents = json.loads(snap.properties[_CENTS])
-    except KeyError:
-        raise ValueError(
-            "not an IVF index: missing ivf.centroids — create it with "
-            "IvfIndexConsumer.create_index"
-        ) from None
+    cents = _cents_of(snap)
     scored = sorted(
         range(len(cents)),
         key=lambda i: -sum(float(a) * float(b) for a, b in zip(query_vec, cents[i]))

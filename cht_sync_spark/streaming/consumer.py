@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cht_sync_spark.streaming.cursor import CursorConsumer
+from cht_sync_spark.streaming.cursor import CursorConsumer, start_version
 from cht_sync_spark.tables.format import SnapshotTable
 from cht_sync_spark.tables.merge import MergeStats, merge_upsert
 
@@ -102,7 +102,7 @@ class ChangelogConsumer(CursorConsumer):
         consumer is caught up. One changelog scan, one idempotent merge,
         cursor committed atomically with the derived rows."""
         tip = self.source.current_version()
-        from_v = max(self.position(), 1)  # v1 is the empty CREATE snapshot
+        from_v = start_version(self.source, self.position())
         if tip <= from_v:
             return None
         ch = self.source.changes(from_v, tip, strict=self.strict)

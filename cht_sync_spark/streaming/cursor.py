@@ -20,6 +20,34 @@ import time
 from cht_sync_spark.tables.format import SnapshotTable
 
 
+def start_version(source: SnapshotTable, position: int) -> int:
+    """The changelog version a consumer tails from. A recorded cursor is
+    authoritative. A FRESH cursor (position 0) starts after v1 — correct
+    for a normal table, whose v1 is the empty CREATE snapshot — but a
+    CLONE's v1 is DATA-BEARING (it holds the full cloned state), so
+    silently starting after it would hand the consumer a target missing
+    the entire cloned corpus with no error. Refuse loudly instead: the
+    sound bootstrap on a clone is ``reseed()`` (which derives the target
+    from current state and records the cursor), then tail."""
+    if position >= 1:
+        return position
+    try:
+        op = source.snapshot(1).operation
+    except Exception:
+        # v1 expired from history: a consumer this far behind cannot tail
+        # incrementally anyway — changes() will refuse on the missing
+        # snapshot and the recovery is the same reseed()
+        return 1
+    if op == "clone":
+        raise ValueError(
+            f"source table {source.path} is a clone: its v1 holds the full "
+            "cloned state, which the tail-after-v1 consumer convention "
+            "would silently skip — bootstrap this consumer with reseed() "
+            "first, then tail"
+        )
+    return 1
+
+
 class CursorConsumer:
     """Mixin: cursor read/probe, the pinned cursor-only advance, the drain
     loop, and reseed's foreign-cursor clearing. See module docstring."""

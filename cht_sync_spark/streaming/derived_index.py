@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cht_sync_spark.operators.lww import lww_dedup
+from cht_sync_spark.streaming.cursor import start_version
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
 from cht_sync_spark.tables.merge import merge_upsert
 
@@ -216,7 +217,7 @@ class DerivedIndexConsumer:
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
             tip = self.source.current_version()
-            from_v = max(self.position(), 1)
+            from_v = start_version(self.source, self.position())
             if tip <= from_v:
                 return None if attempt == 0 else self._mk_result(from_v, tip, 0, 0, attempt)
             d = self._delta(from_v, tip)

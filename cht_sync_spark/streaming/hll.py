@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cht_sync_spark.streaming.cursor import CursorConsumer
+from cht_sync_spark.streaming.cursor import CursorConsumer, start_version
 from cht_sync_spark.streaming.ivm import _live
 from cht_sync_spark.tables.format import (
     CommitConflict,
@@ -159,7 +159,7 @@ class HllDistinctConsumer(CursorConsumer):
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
             tip = self.source.current_version()
-            from_v = max(self.position(), 1)
+            from_v = start_version(self.source, self.position())
             if tip <= from_v:
                 return None if attempt == 0 else (from_v, tip, 0)
             try:

@@ -92,7 +92,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.streaming.cursor import CursorConsumer
+from cht_sync_spark.streaming.cursor import CursorConsumer, start_version
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
 
 # the mandatory support measure: live rows contributing to the group.
@@ -340,7 +340,7 @@ class AggregateConsumer(CursorConsumer):
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
             tip = self.source.current_version()
-            from_v = max(self.position(), 1)  # v1 = the empty CREATE
+            from_v = start_version(self.source, self.position())
             if tip <= from_v:
                 return None if attempt == 0 else IvmResult(from_v, tip, 0, 0, 0, attempt)
             try:

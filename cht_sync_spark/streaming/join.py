@@ -74,7 +74,7 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from cht_sync_spark.operators.lww import lww_dedup
-from cht_sync_spark.streaming.cursor import CursorConsumer
+from cht_sync_spark.streaming.cursor import CursorConsumer, start_version
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
 from cht_sync_spark.tables.merge import MergeStats, merge_upsert
 
@@ -277,8 +277,8 @@ class JoinConsumer(CursorConsumer):
         for attempt in range(self.max_retries):
             a_tip = self.left.current_version()
             b_tip = self.right.current_version()
-            a_from = max(self.position(), 1)  # v1 = the empty CREATE
-            b_from = max(self.right_position(), 1)
+            a_from = start_version(self.left, self.position())
+            b_from = start_version(self.right, self.right_position())
             if a_tip <= a_from and b_tip <= b_from:
                 return None if attempt == 0 else JoinResult(
                     a_from, a_tip, b_from, b_tip, 0, None, attempt

@@ -77,7 +77,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cht_sync_spark.streaming.cursor import CursorConsumer
+from cht_sync_spark.streaming.cursor import CursorConsumer, start_version
 from cht_sync_spark.tables.format import CommitConflict, SnapshotTable, bucket_expr
 from cht_sync_spark.tables.merge import MergeStats, merge_upsert
 
@@ -217,7 +217,7 @@ class Scd2Consumer(CursorConsumer):
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
             tip = self.source.current_version()
-            from_v = max(self.position(), 1)  # v1 = the empty CREATE
+            from_v = start_version(self.source, self.position())
             if tip <= from_v:
                 return None if attempt == 0 else Scd2Result(from_v, tip, 0, None, attempt)
             try:

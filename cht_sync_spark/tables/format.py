@@ -1526,6 +1526,13 @@ class SnapshotTable:
           raises (the removal is inexpressible) and non-strict
           over-delivers restated rows while silently retaining the purged
           keys downstream — re-seed or cascade the purge explicitly.
+        - ``clone`` (a clone table's v1) — holds the FULL cloned state,
+          not a delta; ``strict`` refuses a range that crosses it (a fresh
+          consumer must ``reseed()``-bootstrap, then tail), ``strict=False``
+          delivers it as upserts (exact for LWW consumers — a clone
+          restates every live row and tombstone; carried-over cdc files
+          from the source's history are dropped, they record another
+          chain's commits).
 
         Snapshots expired by ``expire_snapshots`` cannot be read
         incrementally (their manifests may be vacuumed); reading version
@@ -1552,7 +1559,8 @@ class SnapshotTable:
             if snap.operation in ("replace", "create"):
                 continue  # no logical change
             if snap.operation not in (
-                "append", "overwrite", "unknown", "rollback", "purge", "retention"
+                "append", "overwrite", "unknown", "rollback", "purge", "retention",
+                "clone",
             ):
                 raise ValueError(f"unknown snapshot operation {snap.operation!r} at v{v}")
             parent = self.snapshot(v - 1) if snap.parent is not None else None
@@ -1575,15 +1583,30 @@ class SnapshotTable:
             else:  # legacy inline file lists: diff by path
                 entries = [f for f in snap.files if f["path"] not in prev]
             cdc = [e for e in entries if e.get("level") == "cdc"]
-            if snap.operation == "rollback":
-                # a rollback RESTORES an old snapshot's file set; any
-                # resurrected cdc-level files (re-added because a later
-                # compaction had dropped them from the fold) are the change
-                # records of a PAST commit, not this one — never deliver
-                # them as a precise feed, and drop them from the non-strict
-                # over-delivery set (their stale tombstone markers are not
-                # part of the restored state)
+            if snap.operation in ("rollback", "clone"):
+                # a rollback RESTORES an old snapshot's file set (and a
+                # clone's v1 HOLDS the full cloned state); any cdc-level
+                # files in the set (resurrected by the restore, or carried
+                # over by the clone) are the change records of a PAST
+                # commit on another chain, not this one — never deliver
+                # them as a precise feed, and drop them from the
+                # non-strict delivery set
                 entries = [e for e in entries if e.get("level") != "cdc"]
+                if strict and snap.operation == "clone":
+                    # the consumer convention starts tailing after v1 (the
+                    # empty CREATE snapshot of a normal table); a clone's
+                    # v1 is DATA-BEARING, so a fresh consumer that clamped
+                    # its cursor to 1 would silently miss the entire cloned
+                    # corpus — refuse loudly instead and point at the two
+                    # sound bootstraps
+                    raise ValueError(
+                        f"v{v} is a clone's initial snapshot — it holds the full "
+                        "cloned state, not a delta; bootstrap the consumer from "
+                        "current state (reseed()) and tail from there, or pass "
+                        "strict=False to receive the cloned state as upserts "
+                        "(exact for LWW consumers: a clone restates every live "
+                        "row and tombstone)"
+                    )
                 if strict:
                     raise ValueError(
                         f"v{v} is a logical rewrite (rollback) — a restore is not "
@@ -2002,8 +2025,12 @@ class SnapshotTable:
         state says. Stripped: ``tag.*`` refs (they pin versions of the
         SOURCE's history, which the clone does not have) — branches are
         sibling snapshot dirs and simply aren't copied. The clone's v1 is
-        ``operation='clone'``; its changelog starts there (downstream
-        consumers bootstrap, then tail only post-clone commits).
+        ``operation='clone'`` and is DATA-BEARING: a strict
+        :meth:`changes` range that crosses it refuses with a bootstrap
+        hint (a fresh consumer must ``reseed()`` first, then tail —
+        otherwise the tail-from-v1 convention would silently miss the
+        cloned corpus), while ``strict=False`` delivers the full cloned
+        state as upserts.
 
         ``ref`` accepts a tag name; ``version`` a snapshot version;
         default = current tip. Cloning a BRANCH handle clones the branch's
@@ -2024,6 +2051,8 @@ class SnapshotTable:
             raise FileExistsError(dest_path)
         os.makedirs(os.path.join(dest_path, dest._snapdir), exist_ok=True)
         os.makedirs(os.path.join(dest_path, _DATADIR), exist_ok=True)
+        import errno
+
         linked_dirs = set()
         for f in src.files:
             s = os.path.join(self.path, f["path"])
@@ -2032,13 +2061,22 @@ class SnapshotTable:
             if dd not in linked_dirs:
                 os.makedirs(dd, exist_ok=True)
                 linked_dirs.add(dd)
+            # a clone interrupted before its v1 manifest landed leaves
+            # dest.exists() False, so a retry re-enters here with some
+            # files already linked — clear them (unlink drops only this
+            # table's name) instead of letting link raise EEXIST or copy2
+            # raise SameFileError on the shared inode
+            if os.path.exists(d):
+                os.unlink(d)
             if deep:
                 _shutil.copy2(s, d)
             else:
                 try:
                     os.link(s, d)
-                except OSError:
-                    _shutil.copy2(s, d)  # cross-device fallback
+                except OSError as e:
+                    if e.errno != errno.EXDEV:
+                        raise
+                    _shutil.copy2(s, d)  # cross-filesystem fallback only
         for dd in linked_dirs:
             _fsync_dir(dd)
         props = {k: v for k, v in src.properties.items() if not k.startswith("tag.")}

@@ -147,3 +147,71 @@ def test_clone_changelog_starts_fresh(spark, tmp_path):
     c.append_delta(_rows(spark, [("z", 0, "new", 99, False)]))
     got = c.changes(v1, c.current_version()).collect()
     assert {(r.conv_id, r.turn_idx) for r in got} == {("z", 0)}
+
+
+def test_clone_v1_refuses_strict_delivers_nonstrict(spark, tmp_path):
+    """The clone's v1 is data-bearing: a strict changelog range crossing
+    it must refuse (the tail-from-v1 consumer convention would silently
+    miss the cloned corpus), and non-strict must deliver the FULL cloned
+    state as upserts — exact for LWW consumers."""
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    c = t.clone(str(tmp_path / "dst"))
+    c.append_delta(_rows(spark, [("z", 0, "new", 99, False)]))
+    with pytest.raises(ValueError, match="clone's initial snapshot"):
+        c.changes(0, c.current_version())
+    got = c.changes(0, c.current_version(), strict=False)
+    folded = {
+        (r.conv_id, r.turn_idx, r.text, r.seq)
+        for r in got.where("_change_type = 'upsert'").collect()
+    }
+    # every live cloned row + the post-clone append is delivered
+    want = {(r.conv_id, r.turn_idx, r.text, r.seq)
+            for r in c.read_current(drop_tombstones=True).collect()}
+    assert want <= folded
+
+
+def test_fresh_consumer_on_clone_refuses_then_reseeds(spark, tmp_path):
+    """A fresh changelog consumer attached to a clone must refuse loudly
+    (its tail-after-v1 convention would silently skip the cloned corpus)
+    and work normally after the documented reseed() bootstrap."""
+    from cht_sync_spark.streaming.consumer import ChangelogConsumer
+
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    c = t.clone(str(tmp_path / "dst"))
+    # post-clone commits exist, so a naive tail would "work" silently
+    c.append_delta(_rows(spark, [("z", 0, "post", 99, False)]))
+    tgt = ChangelogConsumer.create_target(spark, c, str(tmp_path / "m"), "m")
+    cons = ChangelogConsumer(spark, c, tgt, "m")
+    with pytest.raises(ValueError, match="reseed"):
+        cons.run()
+    cons.reseed()
+    c.append_delta(_rows(spark, [("z", 1, "post2", 100, False)]))
+    cons.run()
+    a = c.read_current(drop_tombstones=True)
+    b = tgt.read_current(drop_tombstones=True).select(a.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_interrupted_clone_retry_recovers(spark, tmp_path):
+    """A clone interrupted after linking files but before its v1 manifest
+    lands leaves dest.exists() False; a retry must recover cleanly
+    (re-link over the partial set) instead of crashing on EEXIST or
+    SameFileError."""
+    import os as _os
+
+    from cht_sync_spark.tables.format import SnapshotTable as _ST
+
+    t = _mk(spark, tmp_path / "src")
+    _seed(spark, t)
+    dest = str(tmp_path / "dst")
+    # simulate the partial clone: link every data file but write no manifest
+    snap = t.snapshot()
+    for f in snap.files:
+        d = _os.path.join(dest, f["path"])
+        _os.makedirs(_os.path.dirname(d), exist_ok=True)
+        _os.link(_os.path.join(t.path, f["path"]), d)
+    assert not _ST(spark, dest).exists()
+    c = t.clone(dest)  # retry succeeds
+    assert _state(c) == _state(t)
