@@ -2147,6 +2147,41 @@ def q_stats_prune_scan(spark, sf):
     return got.select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def q_bloom_prune_scan(spark, sf):
+    """File-level Bloom-filter point-lookup skipping (tables/blooms.py +
+    SnapshotTable.build_blooms — Iceberg Puffin / Delta bloom-index
+    analogue; the reference's counterpart is its Postgres point-lookup
+    btree indexes, setup.js:21-31). The table is keyed by md5(doc_id) —
+    a SCATTERED id, so every file's [min, max] spans the whole keyspace
+    and range stats cannot skip anything; batches are split round-robin
+    to force that shape. After build_blooms, each probe opens ~1 file
+    (pinned in tests/test_blooms.py); a Bloom can only over-keep, never
+    over-prune, so the oracle is the plain semi-join over raw documents —
+    a lost or phantom row hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="bloom_q_")
+    docs = _t(spark, sf, "documents").select(
+        F.md5(F.col("doc_id").cast("string")).alias("uid"),
+        "doc_id", "lang", "n_chars",
+    )
+    t = SnapshotTable.create(
+        spark, f"{work}/t", docs.schema, key_cols=["uid"],
+        num_buckets=1, sort_cols=["uid"], lww_order=[("doc_id", True)],
+    )
+    for m in range(4):
+        t.append_delta(docs.where(F.col("doc_id") % 4 == m))
+    t.build_blooms(["uid"])
+    probes = [r["uid"] for r in docs.select("uid").orderBy("uid").limit(5).collect()]
+    out = None
+    for u in probes:
+        part = t.read(filters=[("uid", "=", u)]).select("doc_id", "uid", "lang", "n_chars")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -2604,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal_normalize": q_cdc_wal_normalize,
         "cdc_wal_replay": q_cdc_wal_replay,
         "stats_prune_scan": q_stats_prune_scan,
+        "bloom_prune_scan": q_bloom_prune_scan,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "table_clone": q_table_clone,
@@ -3729,6 +3765,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, m "
             "WHERE event_id > hi // 4 AND event_id <= hi // 2 "
             "  AND epoch_us(ts) >= mid_us"
+        ),
+        # bloom-pruned point lookups == the plain semi-join (a Bloom filter
+        # can over-keep but never over-prune; the files-opened bound is
+        # asserted in tests/test_blooms.py)
+        "bloom_prune_scan": (
+            "WITH u AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS uid, doc_id, "
+            "  lang, n_chars FROM documents), "
+            "p AS (SELECT uid FROM u ORDER BY uid LIMIT 5) "
+            "SELECT u.doc_id, u.uid, u.lang, u.n_chars FROM u JOIN p USING (uid)"
         ),
         "conversation_assembly": (
             f"WITH turns AS ({_TURNS_SQL}), "

@@ -222,6 +222,7 @@ def main() -> None:
         "table_diff",
         "metadata_count",
         "stats_prune_scan",
+        "bloom_prune_scan",
         "sql_view",
     ):
         t0 = time.monotonic()

@@ -322,6 +322,9 @@ class SnapshotTable:
         self._snap_cache: dict[int, Snapshot] = {}
         # manifest files are immutable too: parse each at most once
         self._manifest_cache: dict[str, list[dict[str, Any]]] = {}
+        # bloom sidecars are immutable (uuid-named, swapped by property):
+        # decoded bitsets cached per sidecar path
+        self._bloom_cache: dict[str, dict[str, Any]] = {}
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -535,14 +538,16 @@ class SnapshotTable:
             cols = "version int, parent int, operation string, num_buckets int, n_files int, n_manifests int"
         elif kind == "files":
             snap = self.snapshot()
+            conf = self._bloom_conf(snap)
+            side = self._bloom_words(conf["sidecar"]) if conf and conf["sidecar"] else {}
             rows = [
                 (f["path"], f["bucket"], f["level"], f["commit"], "stats" in f,
-                 f.get("rows"), bool(f.get("live_exact", False)))
+                 f.get("rows"), bool(f.get("live_exact", False)), f["path"] in side)
                 for f in snap.files
             ]
             cols = (
                 "path string, bucket int, level string, commit string, "
-                "has_stats boolean, rows bigint, live_exact boolean"
+                "has_stats boolean, rows bigint, live_exact boolean, has_bloom boolean"
             )
         elif kind == "manifests":
             snap = self.snapshot()
@@ -655,6 +660,7 @@ class SnapshotTable:
                     )
                 norm.append((col, op, _norm_bound(v, by_name[col])))
             files = [f for f in files if _entry_matches(f, norm)]
+            files = self._bloom_filter_files(snap, files, filters)
         # scan-size instrumentation: tests assert pruned reads open fewer
         # files than the table holds (the file-count analogue of Iceberg's
         # scan-planning metrics)
@@ -900,6 +906,215 @@ class SnapshotTable:
                 e["rows"] = nrows
                 if tomb_free:
                     e["live_exact"] = True
+
+    # ------------------------------------------------------------- blooms
+    def _bloom_conf(self, snap: Snapshot) -> dict[str, Any] | None:
+        """Pinned bloom config (cols/bits/k + current sidecar path), or
+        None when the table has never built blooms."""
+        raw = snap.properties.get("bloom.cols")
+        if raw is None:
+            return None
+        return {
+            "cols": list(json.loads(raw)),
+            "bits": int(snap.properties.get("bloom.bits", "0")),
+            "k": int(snap.properties.get("bloom.k", "0")),
+            "sidecar": snap.properties.get("bloom.sidecar"),
+        }
+
+    def _bloom_words(self, sidecar_rel: str) -> dict[str, dict[str, Any]]:
+        """Decoded ``{file path -> {col -> uint64 bitset}}`` for one
+        immutable sidecar, cached. Missing sidecar (e.g. a clone whose
+        source never copied one) degrades to no pruning."""
+        cached = self._bloom_cache.get(sidecar_rel)
+        if cached is not None:
+            return cached
+        from . import blooms as _bl
+
+        try:
+            with open(os.path.join(self.path, sidecar_rel)) as fh:
+                body = json.load(fh)
+            decoded = {
+                path: {c: _bl.b64_to_words(b64) for c, b64 in cols.items()}
+                for path, cols in body["files"].items()
+            }
+        except FileNotFoundError:
+            decoded = {}
+        self._bloom_cache[sidecar_rel] = decoded
+        return decoded
+
+    def _bloom_filter_files(
+        self,
+        snap: Snapshot,
+        files: list[dict[str, Any]],
+        filters: list[tuple[str, str, Any]],
+    ) -> list[dict[str, Any]]:
+        """Drop files whose bitset PROVABLY excludes an equality filter
+        value. Conservative everywhere a bitset is missing (post-build
+        appends, unrenderable probe values, absent sidecar)."""
+        conf = self._bloom_conf(snap)
+        if not conf or not conf["sidecar"] or not files:
+            return files
+        from . import blooms as _bl
+
+        probes: list[tuple[str, Any]] = []
+        for col, op, v in filters:
+            if op != "=" or col not in conf["cols"]:
+                continue
+            try:
+                raw = _bl.render_value(v)
+            except TypeError:
+                continue  # keep: prober can't render what the builder hashed
+            probes.append((col, _bl.positions(raw, conf["bits"], conf["k"])))
+        if not probes:
+            return files
+        side = self._bloom_words(conf["sidecar"])
+        kept = []
+        for f in files:
+            entry = side.get(f["path"])
+            if entry is not None and any(
+                col in entry and not _bl.might_contain(entry[col], pos)
+                for col, pos in probes
+            ):
+                continue
+            kept.append(f)
+        return kept
+
+    def build_blooms(
+        self,
+        cols: list[str] | None = None,
+        *,
+        bits: int | None = None,
+        k: int | None = None,
+    ) -> int:
+        """Compute per-file Bloom bitsets for ``cols`` over every live file
+        missing one, and commit the refreshed sidecar as a metadata-only
+        ``replace`` snapshot (changelog-invisible — no logical change).
+        The lake analogue of the reference's secondary point-lookup
+        indexes (setup.js:21-31, contacts.sql:7-11); see
+        :mod:`cht_sync_spark.tables.blooms` for the design and sizing.
+
+        Incremental by construction: a re-run with unchanged config hashes
+        only files the current sidecar doesn't cover (new appends, post-
+        compaction rewrites); a config change (cols/bits/k) rebuilds all.
+        ONE zero-shuffle Spark job per call (Arrow ``mapInPandas`` partial
+        bitsets, OR-merged driver-side — the collect is O(partitions ×
+        cols) KB-sized rows, the same order as the manifest metadata
+        itself). Returns the number of files (re)computed."""
+        from . import blooms as _bl
+
+        snap = self.snapshot()
+        prev = self._bloom_conf(snap)
+        if cols is None:
+            if prev is None:
+                raise ValueError("no bloom.cols pinned yet; pass cols= on the first build")
+            cols = prev["cols"]
+        by_name = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"bloom column {c!r} not in table schema")
+            if by_name[c] not in _bl.ALLOWED_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {by_name[c]}; only "
+                    f"{'/'.join(_bl.ALLOWED_TYPES)} have a canonical hashable "
+                    "rendering (range stats serve the rest)"
+                )
+        bits = bits if bits is not None else (prev["bits"] if prev else _bl.DEFAULT_BITS)
+        k = k if k is not None else (prev["k"] if prev else _bl.DEFAULT_K)
+        if bits % 64 != 0 or bits <= 0:
+            raise ValueError(f"bits must be a positive multiple of 64, got {bits}")
+        if not (1 <= k <= 16):
+            raise ValueError(f"k must be in [1, 16], got {k}")
+
+        same_conf = (
+            prev is not None
+            and prev["sidecar"] is not None
+            and prev["cols"] == cols
+            and prev["bits"] == bits
+            and prev["k"] == k
+        )
+        old_b64: dict[str, dict[str, str]] = {}
+        if same_conf:
+            try:
+                with open(os.path.join(self.path, prev["sidecar"])) as fh:
+                    old_b64 = json.load(fh)["files"]
+            except FileNotFoundError:
+                old_b64 = {}
+
+        live = [f for f in snap.files if f["level"] in ("base", "delta")]
+        targets = [
+            f
+            for f in live
+            if any(c not in old_b64.get(f["path"], {}) for c in cols)
+        ]
+        computed: dict[str, dict[str, str]] = {}
+        if targets:
+            integral = {c: by_name[c] != "string" for c in cols}
+            prefix = os.path.abspath(self.path) + os.sep
+            cset, bset, kset = list(cols), bits, k
+
+            def gen(batches):
+                import pandas as pd
+
+                acc: dict[tuple[str, str], str] = {}
+                for pdf in batches:
+                    for fname, sub in pdf.groupby("__file", sort=False):
+                        for c in cset:
+                            b64 = _bl.series_bitset(sub[c], bset, kset, integral[c])
+                            if b64 is not None:
+                                key = (fname, c)
+                                acc[key] = _bl.merge_b64(acc.get(key), b64)
+                yield pd.DataFrame(
+                    [(f, c, b) for (f, c), b in acc.items()],
+                    columns=["file", "col", "b64"],
+                )
+
+            paths = [os.path.join(self.path, f["path"]) for f in targets]
+            src = (
+                self.spark.read.schema(snap.schema)
+                .parquet(*paths)
+                .select(*cols)
+                .withColumn("__file", F.input_file_name())
+            )
+            for fname, c, b64 in src.mapInPandas(
+                gen, schema="file string, col string, b64 string"
+            ).collect():
+                # input_file_name yields a file: URI of the absolute path
+                p = fname.removeprefix("file:")
+                rel = p[len(prefix):] if p.startswith(prefix) else os.path.relpath(p, self.path)
+                d = computed.setdefault(os.path.normpath(rel), {})
+                d[c] = _bl.merge_b64(d.get(c), b64)
+
+        # fold: live files only (stale removed-file entries dropped here)
+        out_files: dict[str, dict[str, str]] = {}
+        for f in live:
+            entry: dict[str, str] = {}
+            for c in cols:
+                b64 = computed.get(f["path"], {}).get(c) or old_b64.get(f["path"], {}).get(c)
+                if b64 is not None:
+                    entry[c] = b64
+            if entry:
+                out_files[f["path"]] = entry
+        d = os.path.join(self.path, _MANDIR)
+        os.makedirs(d, exist_ok=True)
+        rel = os.path.join(_MANDIR, f"bloom-{uuid.uuid4().hex}.json")
+        tmp = os.path.join(self.path, rel + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"bits": bits, "k": k, "cols": cols, "files": out_files}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.path, rel))
+        _fsync_dir(d)
+        self.commit(
+            add_files=[],
+            properties_update={
+                "bloom.cols": json.dumps(cols),
+                "bloom.bits": str(bits),
+                "bloom.k": str(k),
+                "bloom.sidecar": rel,
+            },
+            operation="replace",
+        )
+        return len(targets)
 
     def commit(
         self,
@@ -2080,6 +2295,18 @@ class SnapshotTable:
         for dd in linked_dirs:
             _fsync_dir(dd)
         props = {k: v for k, v in src.properties.items() if not k.startswith("tag.")}
+        # bloom sidecar: copy the immutable file so the clone keeps its
+        # point-lookup pruning; on any miss just drop the reference (the
+        # reader degrades to conservative keeps, and build_blooms rebuilds)
+        side = props.get("bloom.sidecar")
+        if side is not None:
+            s = os.path.join(self.path, side)
+            if os.path.exists(s):
+                dd = os.path.join(dest_path, os.path.dirname(side))
+                os.makedirs(dd, exist_ok=True)
+                _shutil.copy2(s, os.path.join(dest_path, side))
+            else:
+                props.pop("bloom.sidecar", None)
         # one fresh manifest holding the full entry list (the compacted-
         # metadata shape a new table starts from)
         man = dest._write_manifest_file(list(src.files)) if src.files else None
@@ -2506,6 +2733,9 @@ class SnapshotTable:
                     live.add(os.path.normpath(f["path"]))
                 for ref in snap.manifests or []:
                     live_manifests.add(os.path.normpath(ref))
+                sc = snap.properties.get("bloom.sidecar")
+                if sc:  # sidecar referenced by a retained snapshot: live
+                    live_manifests.add(os.path.normpath(sc))
         data_root = os.path.join(self.path, _DATADIR)
         cutoff = _time.time() - grace_seconds
         removed = 0
