@@ -1221,6 +1221,41 @@ def q_sample_stratified(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_sample_exact_k(spark, sf):
+    """Exactly-k-per-stratum deterministic reservoir sample
+    (functions/corpus.py sample_exact_k) — eval sets and audit pools need
+    an exact COUNT, not a rate: keep the k rows with the smallest md5
+    coin per stratum. A zero-shuffle pre-filter bounds the rank window's
+    input to O(k) rows per stratum (with an exact-recovery fallback), so
+    the result EQUALS the brute-force window — which is precisely the
+    DuckDB oracle (row_number over the same coin)."""
+    from cht_sync_spark.functions.corpus import sample_exact_k
+
+    d = _t(spark, sf, "documents")
+    return sample_exact_k(d, 20).select("doc_id", "lang")
+
+
+def q_ngram_lm_perplexity(spark, sf):
+    """Bigram-LM perplexity scoring (functions/lm.py) — the CCNet/KenLM
+    corpus quality filter: train add-k bigram counts over the corpus in
+    ONE aggregation (zip_with pairs, zero shuffle to form them), score
+    every document by avg log-prob via keyed joins against the
+    vocab-sized counts table. Fully deterministic (no sampling), so the
+    oracle replays the identical ln/double math in SQL; scores rounded
+    to 6 decimals on both sides."""
+    from cht_sync_spark.functions.lm import ngram_lm_counts, ngram_lm_score
+
+    d = _t(spark, sf, "documents")
+    counts = ngram_lm_counts(d)
+    out = ngram_lm_score(d, counts, k=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality signals (functions/corpus.py
     repetition_stats): dup-word fraction, top-2-gram share, duplicated
@@ -2617,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination,
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
+        "sample_exact_k": q_sample_exact_k,
+        "ngram_lm_perplexity": q_ngram_lm_perplexity,
         "mixture_sample": q_mixture_sample,
         "pseudonymize_ids": q_pseudonymize,
         "expectations_report": q_expectations_report,
@@ -3310,6 +3347,43 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < "
             "CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000' "
             "ELSE 'c0000000' END"
+        ),
+        # exact-k reservoir == brute-force rank over the same md5 coin
+        "sample_exact_k": (
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY "
+            "    substr(md5('reservoir:' || CAST(doc_id AS VARCHAR)), 1, 8), "
+            "    doc_id) AS rn FROM documents) WHERE rn <= 20"
+        ),
+        # bigram LM with add-k smoothing: identical ln/double math replayed
+        # (head term scores against the unigram model over total mass T,
+        # transitions against c(prev w)/c(prev), both +k over vocab V)
+        "ngram_lm_perplexity": (
+            r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            r"  trim(lower(text)), '\s+'), x -> x <> '') AS toks FROM documents), "
+            "nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0), "
+            "uni AS (SELECT w, count(*) AS c FROM ("
+            "  SELECT unnest(toks) AS w FROM nz) GROUP BY w), "
+            "bi AS (SELECT p, w, count(*) AS c FROM ("
+            "  SELECT toks[i] AS p, toks[i + 1] AS w FROM nz, "
+            "  LATERAL unnest(range(1, n)) AS u(i)) GROUP BY p, w), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T, "
+            "  CAST(count(*) AS DOUBLE) AS V FROM uni), "
+            "terms AS ("
+            "  SELECT doc_id, n, NULL AS p, toks[1] AS w FROM nz "
+            "  UNION ALL "
+            "  SELECT doc_id, n, toks[i] AS p, toks[i + 1] AS w FROM nz, "
+            "  LATERAL unnest(range(1, n)) AS u(i)), "
+            "lp AS (SELECT doc_id, n, CASE WHEN terms.p IS NULL "
+            "  THEN ln((coalesce(u.c, 0) + 0.5) / (T + 0.5 * V)) "
+            "  ELSE ln((coalesce(b.c, 0) + 0.5) / (coalesce(pu.c, 0) + 0.5 * V)) "
+            "  END AS lp FROM terms "
+            "  LEFT JOIN bi b ON terms.p = b.p AND terms.w = b.w "
+            "  LEFT JOIN uni pu ON terms.p = pu.w "
+            "  LEFT JOIN uni u ON terms.w = u.w, tot) "
+            "SELECT doc_id, n AS n_tokens, round(sum(lp) / n, 6) AS avg_logp, "
+            "  round(exp(-sum(lp) / n), 6) AS ppl FROM lp GROUP BY doc_id, n"
         ),
         # mixture: en 2.25 -> floor 2 + frac .25 = '40000000'; zh 0.5 ->
         # floor 0 + '80000000'; de 0.0 -> drop; default 1.0 -> floor 1

@@ -204,6 +204,7 @@ def main() -> None:
         "repetition_stats",
         "pack_sequences",
         "curation_funnel",
+        "ngram_lm_perplexity",
         "doc_chunking",
         "bm25_search",
         "bm25_index_search",

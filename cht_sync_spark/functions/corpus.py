@@ -53,6 +53,7 @@ __all__ = [
     "mixture_sample",
     "pack_sequences",
     "sample_stratified",
+    "sample_exact_k",
     "repetition_stats",
     "split_threshold_hex",
 ]
@@ -135,6 +136,94 @@ def sample_stratified(
         else F.lit(split_threshold_hex(default_rate))
     )
     return df.where(h < thr_col)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically —
+    the distributed reservoir sample.
+
+    ``sample_stratified`` keeps a RATE (binomial count jitter);
+    evaluation sets, few-shot pools, and audit samples need an exact
+    COUNT. Keeping the k rows with the smallest md5 coin is equivalent
+    to a uniform k-reservoir, and — unlike ``rand()``-based sampling —
+    deterministic, re-shard-stable, and engine-portable (the oracle is
+    a plain ``row_number() <= k``).
+
+    Scale shape: the naive form is one rank window per stratum — a full
+    shuffle of the corpus where a hot stratum serializes into one task.
+    Here a zero-shuffle PRE-FILTER bounds the window's input first: one
+    tiny per-stratum count aggregate sets each stratum's coin threshold
+    to overshoot k by 6 sigma (binomial), so the window ranks O(k) rows
+    per stratum instead of all of them. The filter can only FALSELY DROP
+    a should-be-winner if fewer than k survive — detected exactly by
+    comparing survivor counts against min(k, n), and those strata (p ~
+    1e-9 each, plus every stratum with n <= the overshoot where the
+    filter is a no-op by construction) fall back to ranking their full
+    slice. Result is EXACTLY the brute-force rank — the fast path is an
+    optimization, never a semantics change."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = _hash8(F.col(id_col), salt)
+    sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    # overshoot: rate covering k + 6*sqrt(k) expected survivors
+    import math
+
+    over = k + 6.0 * math.sqrt(k) + 1.0
+    with_thr = df.join(F.broadcast(sizes), stratum_col).withColumn(
+        "__thr",
+        F.when(
+            F.col("__n") <= F.lit(over), F.lit("g")  # > any md5 hex: keep all
+        ).otherwise(
+            # threshold_hex is driver-side math over a literal rate — but the
+            # rate depends on the per-stratum n, so inline the same formula
+            # as a Catalyst expression: first 8 hex chars of the coin
+            # compared against rate * 16^8
+            F.lpad(
+                F.lower(  # conv() emits uppercase hex; the md5 coin is lower
+                    F.conv(
+                        F.least(
+                            F.lit(float(2**32 - 1)),
+                            F.ceil(F.lit(over) / F.col("__n") * F.lit(float(2**32))),
+                        ).cast("bigint").cast("string"),
+                        10,
+                        16,
+                    )
+                ),
+                8,
+                "0",
+            )
+        ),
+    )
+    survivors = with_thr.where(F.substring(h, 1, 8) < F.col("__thr"))
+    # exact-recovery check: a stratum whose survivor count fell short of
+    # min(k, n) re-ranks its FULL slice (rare; keeps exactness a theorem
+    # instead of a probability)
+    short = (
+        survivors.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .join(sizes, stratum_col)
+        .where(F.col("__s") < F.least(F.lit(k), F.col("__n")))
+        .select(stratum_col)
+    )
+    ranked_input = survivors.join(
+        F.broadcast(short), stratum_col, "left_anti"
+    ).select(df.columns + []).unionByName(
+        df.join(F.broadcast(short), stratum_col, "left_semi")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        ranked_input.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def mixture_sample(

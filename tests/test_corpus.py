@@ -260,3 +260,45 @@ def test_composition_rollup_levels_and_grouping_id(spark):
     # ONE Expand + ONE aggregate pair: a single shuffle for all levels
     plan = composition_rollup(d)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and plan.count("Exchange") == 1
+
+
+def test_sample_exact_k_counts_and_brute_force_parity(spark):
+    """sample_exact_k: exactly min(k, n) per stratum, and the fast
+    pre-filtered path returns EXACTLY the brute-force rank's rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cht_sync_spark.functions.corpus import _hash8, sample_exact_k
+
+    rows = [(i, f"t{i}", ["en", "fr", "tiny"][i % 3 if i < 900 else 2], "w", i)
+            for i in range(903)]
+    # strata: en 300, fr 300, (mid) 300 → plus 'tiny' gets the 3 tail rows
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    k = 25
+    got = sample_exact_k(d, k)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {s: min(k, n) for s, n in sizes.items()}
+
+    h = _hash8(F.col("doc_id"), "reservoir")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    brute = d.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k).drop("__rn")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+    # partition invariance (re-shard stability)
+    again = sample_exact_k(d.repartition(11), k)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_sample_exact_k_validation(spark):
+    import pytest
+
+    from cht_sync_spark.functions.corpus import sample_exact_k
+
+    d = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="k must be positive"):
+        sample_exact_k(d, 0)
