@@ -2374,6 +2374,75 @@ def q_cdc_wal_replay(spark, sf):
     return live.select("conv_id", "turn_idx", "text", "seq")
 
 
+def q_cdc_wal_export(spark, sf):
+    """CDC EGRESS (sources/envelopes.py events_to_debezium — the inverse
+    of the WAL ingest adapter): a landing table's changelog re-emitted as
+    Debezium-shaped envelopes so downstream Debezium consumers can tail
+    THIS engine. Three append snapshots over the events table (per-batch
+    LWW-deduped, tombstones from 'error' events), exported from v1 and
+    flattened. The oracle recomputes batch membership, per-batch winners,
+    op typing, and the synthesized log position ((version << 40) |
+    md5_40(_id)) from the raw events — a dropped envelope, wrong op, or
+    broken lsn ordering hash-mismatches. The export→reimport round trip
+    (state equality through the UNCHANGED pipeline) is pinned in
+    tests/test_wal_export.py."""
+    import tempfile
+
+    from cht_sync_spark.sources.envelopes import events_to_debezium
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="walx_q_")
+    ev = _t(spark, sf, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    c1, c2 = hi // 3, (2 * hi) // 3
+    conv = F.concat(F.lit("c"), F.col("user_id").cast("string"))
+    turn = (F.col("event_id") % 16).cast("int")
+    rows = ev.select(
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        F.when(F.col("event_type") != "error", F.col("props")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(conv, F.lit(":"), turn.cast("string")).alias("_id"),
+        F.concat(F.col("event_id").cast("string"), F.lit("-x")).alias("_rev"),
+        (F.col("event_type") == "error").alias("_deleted"),
+        F.col("ts").cast("timestamp").alias("saved_timestamp"),
+        F.lit("bench").alias("source"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("rev_height"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("conv_id", "turn_idx").orderBy(F.desc("seq"))
+    )
+    t = SnapshotTable.create(
+        spark, f"{work}/t", rows.schema, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, sort_cols=["conv_id", "turn_idx"],
+        lww_order=[("rev_height", False), ("seq", False)],
+    )
+    for lo, hi_b in ((None, c1), (c1, c2), (c2, None)):
+        batch = rows
+        if lo is not None:
+            batch = batch.where(F.col("seq") > lo)
+        if hi_b is not None:
+            batch = batch.where(F.col("seq") <= hi_b)
+        t.append_delta(batch.withColumn("__rn", rn).where("__rn = 1").drop("__rn"))
+    env = events_to_debezium(t, 1, db="bench")
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return env.select(
+        "op",
+        "ts_ms",
+        F.col("source.lsn").alias("lsn"),
+        F.col("source.tx_id").alias("tx_id"),
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        F.col("after.text").alias("text"),
+        F.col("after.ts").alias("ts_millis"),
+    )
+
+
 def q_datasource_stream_drain(spark, sf):
     """Admission-capped streaming drain through `cht_changes` readStream:
     offsets are per-feed-partition seq cursors in Spark's OWN offset log
@@ -2675,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_stream_drain": q_datasource_stream_drain,
         "cdc_wal_normalize": q_cdc_wal_normalize,
         "cdc_wal_replay": q_cdc_wal_replay,
+        "cdc_wal_export": q_cdc_wal_export,
         "stats_prune_scan": q_stats_prune_scan,
         "bloom_prune_scan": q_bloom_prune_scan,
         "sql_view": q_sql_view,
@@ -3821,6 +3891,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM e JOIN w ON e.user_id = w.user_id AND e.turn = w.turn "
             "  AND e.event_id = w.m "
             "WHERE e.event_type <> 'error'"
+        ),
+        # CDC egress: batch membership (3 appends after create -> versions
+        # 2/3/4), per-(key, batch) LWW winner, op typing, and the
+        # synthesized log position (version << 40 | md5_40(_id)) all
+        # recomputed from the raw events
+        "cdc_wal_export": (
+            "WITH e AS (SELECT 'c' || CAST(user_id AS VARCHAR) AS conv, "
+            "    CAST(event_id % 16 AS INTEGER) AS turn, event_id, "
+            "    event_type, props, ts FROM events), "
+            "m AS (SELECT max(event_id) AS hi FROM events), "
+            "b AS (SELECT e.*, CASE WHEN event_id <= hi // 3 THEN 2 "
+            "    WHEN event_id <= (2 * hi) // 3 THEN 3 ELSE 4 END AS v "
+            "  FROM e, m), "
+            "w AS (SELECT conv, turn, v, max(event_id) AS me FROM b "
+            "  GROUP BY 1, 2, 3), "
+            "ch AS (SELECT b.* FROM b JOIN w ON b.conv = w.conv "
+            "  AND b.turn = w.turn AND b.v = w.v AND b.event_id = w.me) "
+            "SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, "
+            "  epoch_ms(ts) AS ts_ms, "
+            "  (CAST(v AS BIGINT) << 40) + CAST('0x' || substr(md5("
+            "    conv || ':' || CAST(turn AS VARCHAR)), 1, 10) AS BIGINT) AS lsn, "
+            "  CAST(v AS BIGINT) AS tx_id, conv AS conv_id, turn AS turn_idx, "
+            "  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text, "
+            "  CASE WHEN event_type = 'error' THEN NULL "
+            "    ELSE epoch_ms(ts) END AS ts_millis "
+            "FROM ch"
         ),
         # capped streaming drain + re-drain: per-source totals over the
         # union of all micro-batches == raw events (dups/loss break sums)

@@ -214,6 +214,7 @@ def main() -> None:
         "conversation_assembly",
         "sft_examples",
         "scd2_history",
+        "cdc_wal_export",
         "changelog_read",
         "changelog_consume",
         "ivm_join",

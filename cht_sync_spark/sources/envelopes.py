@@ -295,6 +295,139 @@ def generate_wal_envelopes(
     )
 
 
+def events_to_debezium(
+    table,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    db: str | None = None,
+    with_before: bool = False,
+    strict: bool = True,
+) -> DataFrame:
+    """CDC EGRESS — the inverse of :func:`debezium_to_events`: a landing
+    table's own changelog re-emitted as Debezium-shaped WAL envelopes, so
+    any Debezium-speaking downstream (Kafka sinks, other lakes, search
+    indexers) can tail THIS engine the way this engine tails a WAL. The
+    reference has no egress at all (Postgres IS its terminal store); at
+    lake scale the changelog-out surface is what makes the landing table a
+    first-class CDC source rather than a dead end.
+
+    Envelope mapping (``WAL_ENVELOPE`` shape, pg flavor):
+
+    - ``op``: tombstones → ``'d'``; live changes → ``'u'`` (upsert — an
+      LWW changelog does not know insert-vs-update without a preimage),
+      or ``'c'``/``'u'`` split by preimage existence when
+      ``with_before=True``;
+    - ``source.lsn`` = ``(change_version << 40) | md5_40(_id)`` — per key
+      the change version strictly increases, so the synthesized log
+      position preserves each key's change order exactly and replaying
+      the export through :func:`debezium_to_events` + the idempotent LWW
+      merge converges to the exported table's live state (the round-trip
+      pinned in tests). 40 bits of md5 keep positions distinct across
+      keys within a version; versions stay below 2^23 under snapshot
+      expiry, so the pack cannot overflow int64.
+    - ``before``: for deletes, the key columns (null payload — the
+      content-free tombstone stub, importer.js:86-95); with
+      ``with_before=True``, the full image at ``from_version`` (the
+      range-preimage: for a key that changed multiple times inside the
+      range, intermediate envelopes still carry the range-start image —
+      the audit-diff convention, documented rather than hidden);
+    - ``ts_ms`` = the row's ``saved_timestamp`` in epoch millis.
+
+    Cost: O(changed files) — the changelog scan plans driver-side; the
+    optional preimage read is bucket-pruned to the touched buckets plus a
+    broadcast key semi-join (the derived-index consumers' discipline).
+    Pure Catalyst throughout.
+    """
+    import os as _os
+
+    from cht_sync_spark.tables.format import bucket_expr
+
+    ch = table.changes(from_version, to_version, strict=strict)
+    db_name = db if db is not None else _os.path.basename(_os.path.normpath(table.path))
+    is_del = F.col("_change_type") == "delete"
+
+    def image(prefix: str = "") -> Column:
+        c = lambda n: F.col(prefix + n)  # noqa: E731
+        return F.struct(
+            c("conv_id").alias("conv_id"),
+            c("turn_idx").alias("turn_idx"),
+            c("role").alias("role"),
+            c("text").alias("text"),
+            c("tool").alias("tool"),
+            F.unix_millis(c("ts")).alias("ts"),
+        )
+
+    key_stub = F.struct(
+        F.col("conv_id").alias("conv_id"),
+        F.col("turn_idx").alias("turn_idx"),
+        *[F.lit(None).cast("string").alias(n) for n in ("role", "text", "tool")],
+        F.lit(None).cast("long").alias("ts"),
+    )
+
+    if with_before:
+        snap = table.snapshot(from_version)
+        key = list(snap.key_cols)
+        touched = [
+            r["__b"]
+            for r in ch.select(
+                bucket_expr(snap.bucket_cols, snap.num_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        pre = (
+            table.read_current(
+                version=from_version, buckets=sorted(touched), drop_tombstones=True
+            )
+            .join(F.broadcast(ch.select(*key).distinct()), on=key, how="left_semi")
+            .select(
+                *key,
+                *[
+                    F.col(n).alias(f"__pre_{n}")
+                    for n in ("role", "text", "tool", "ts")
+                ],
+                F.lit(True).alias("__pre_exists"),
+            )
+        )
+        ch = ch.join(pre, on=key, how="left")
+        before = F.when(
+            F.col("__pre_exists").isNotNull(),
+            F.struct(
+                F.col("conv_id").alias("conv_id"),
+                F.col("turn_idx").alias("turn_idx"),
+                F.col("__pre_role").alias("role"),
+                F.col("__pre_text").alias("text"),
+                F.col("__pre_tool").alias("tool"),
+                F.unix_millis(F.col("__pre_ts")).alias("ts"),
+            ),
+        ).otherwise(F.when(is_del, key_stub))
+        op = F.when(is_del, F.lit("d")).otherwise(
+            F.when(F.col("__pre_exists").isNotNull(), F.lit("u")).otherwise(F.lit("c"))
+        )
+    else:
+        before = F.when(is_del, key_stub)
+        op = F.when(is_del, F.lit("d")).otherwise(F.lit("u"))
+
+    md40 = F.conv(F.substring(F.md5(F.col("_id")), 1, 10), 16, 10).cast("long")
+    lsn = F.shiftleft(F.col("_change_version").cast("long"), 40) + md40
+    src = F.struct(
+        F.lit(db_name).alias("db"),
+        F.lit("transcripts").alias("table"),
+        lsn.alias("lsn"),
+        F.lit(None).cast("string").alias("file"),
+        F.lit(None).cast("long").alias("pos"),
+        F.col("_change_version").cast("long").alias("tx_id"),
+    )
+    return ch.select(
+        op.alias("op"),
+        F.unix_millis(F.col("saved_timestamp")).alias("ts_ms"),
+        before.alias("before"),
+        F.when(~is_del, image()).alias("after"),
+        src.alias("source"),
+    )
+
+
 def expected_wal_state(envelopes: DataFrame) -> DataFrame:
     """Oracle for tests: the final table state a WAL apply must converge to —
     per (source.db, key) the image at the highest log position; keys whose
