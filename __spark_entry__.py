@@ -579,6 +579,28 @@ def q_ivm_distinct(spark, sf):
     )
 
 
+def q_ivm_topk_values(spark, sf):
+    """Heavy hitters over maintained IVM state (streaming/ivm.py
+    DistinctCountConsumer.topk_values): per-conversation top-3 event kinds
+    by live support, read from the refcount plane AFTER the three-wave
+    replay (inserts, late inserts, tombstone wave) — the query runs over
+    vocabulary-sized state with zero corpus I/O, the reference's
+    full-rescan dashboard count priced at O(distinct values). The oracle
+    recomputes per-(conv, kind) support over the surviving events and
+    applies the same deterministic (support desc, value asc) rank — a
+    stale refcount surviving the delete wave, or a lost migration,
+    changes support/rank and hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.streaming.ivm import DistinctCountConsumer
+
+    tgt = _ivm_replay(
+        spark, sf, tempfile.mkdtemp(prefix="ivmtk_q_"), ["conv_id"], None,
+        distinct="text",
+    )
+    return DistinctCountConsumer.topk_from_state(tgt, ["conv_id"], 3)
+
+
 def _ivm_join_replay(spark, sf, work, value_index=False):
     """Shared harness for the join-IVM driver entries: three waves over a
     fact table (events keyed by event_id) and a dimension table (customers
@@ -2692,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_aggregate": q_ivm_aggregate,
         "ivm_daily_rollup": q_ivm_daily_rollup,
         "ivm_distinct": q_ivm_distinct,
+        "ivm_topk_values": q_ivm_topk_values,
         "ivm_join": q_ivm_join,
         "ivm_join_indexed": q_ivm_join_indexed,
         "consistent_read": q_consistent_read,
@@ -2955,6 +2978,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
             "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
             "FROM events WHERE event_type <> 'error' GROUP BY user_id"
+        ),
+        # heavy hitters from the refcount plane: per-(conv, kind) live
+        # support over the surviving events + the same deterministic rank
+        "ivm_topk_values": (
+            "WITH s AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "  event_type AS v, count(*) AS c FROM events "
+            "  WHERE event_type <> 'error' GROUP BY 1, 2), "
+            "r AS (SELECT conv_id, v, c, row_number() OVER ("
+            "  PARTITION BY conv_id ORDER BY c DESC, v) AS rn FROM s) "
+            "SELECT conv_id, v AS value, CAST(c AS BIGINT) AS support, "
+            "  CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"
         ),
         "ivm_join": (
             "SELECT e.event_id, e.user_id, e.event_type, "

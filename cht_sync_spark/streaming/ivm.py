@@ -663,6 +663,43 @@ class DistinctCountConsumer(AggregateConsumer):
         t = self.target.read(buckets=buckets)
         return t.where(F.col("__v").isNotNull())
 
+    @staticmethod
+    def topk_from_state(
+        target: SnapshotTable, outer: list[str], k: int,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Heavy hitters from a maintained refcount table (the query
+        :meth:`topk_values` wraps): per group the k most frequent values
+        by live support, deterministic (support desc, value asc)
+        tie-break. Runs over STATE — vocabulary-sized, bucket-prunable —
+        with zero corpus I/O: the 'top event kinds per conversation'
+        dashboard query the reference answers with a full rescan
+        (sql-exporter-config.yaml), priced at O(distinct values) here
+        regardless of corpus size."""
+        from pyspark.sql import Window
+
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        w = Window.partitionBy(*outer).orderBy(
+            F.col(SUPPORT_COL).desc(), F.col("__v").asc()
+        )
+        return (
+            target.read(buckets=buckets)
+            .where(F.col("__v").isNotNull())
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select(
+                *outer,
+                F.col("__v").alias("value"),
+                F.col(SUPPORT_COL).alias("support"),
+                F.col("__rk").cast("int").alias("rank"),
+            )
+        )
+
+    def topk_values(self, k: int, buckets: list[int] | None = None) -> DataFrame:
+        """Per-group top-k most frequent values (see :meth:`topk_from_state`)."""
+        return self.topk_from_state(self.target, self.outer, k, buckets)
+
     # ------------------------------------------------------------- apply
     def _apply(self, delta: DataFrame, from_v: int, tip: int, attempt: int) -> IvmResult:
         tsnap = self.target.snapshot()

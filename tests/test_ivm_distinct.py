@@ -185,3 +185,33 @@ def test_reseed_and_derived_groups(spark, tmp_path):
     assert {(r.clan, r["__v"]) for r in cons.refcounts().select("clan", "__v").collect()} == {
         ("a", "x"), ("a", "y"), ("b", "y"),
     }
+
+
+def test_topk_values_heavy_hitters(spark, tmp_path):
+    """topk_values: per-group top-k by live support from the refcount
+    plane — exact through migrations and deletes, deterministic
+    (support desc, value asc) tie-break, validated k."""
+    import pytest
+
+    src = _src(spark, tmp_path / "s")
+    cons = _mk(spark, src, tmp_path / "t")
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "x", 1), _row("a", 1, "x", 1), _row("a", 2, "y", 1),
+         _row("a", 3, "y", 1), _row("a", 4, "z", 1), _row("b", 0, "q", 1)],
+        SRC_SCHEMA))
+    cons.run()
+    got = [(r.conv_id, r.value, r.support, r.rank)
+           for r in cons.topk_values(2).orderBy("conv_id", "rank").collect()]
+    # a: x and y tie at 2 -> value asc breaks it; z (1) is cut at k=2
+    assert got == [("a", "x", 2, 1), ("a", "y", 2, 2), ("b", "q", 1, 1)]
+
+    # delete both x rows: y promotes to rank 1, z enters at rank 2
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, None, 2, True), _row("a", 1, None, 2, True)], SRC_SCHEMA))
+    cons.run()
+    got = [(r.conv_id, r.value, r.support, r.rank)
+           for r in cons.topk_values(2).where("conv_id = 'a'").orderBy("rank").collect()]
+    assert got == [("a", "y", 2, 1), ("a", "z", 1, 2)]
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        cons.topk_values(0).collect()
