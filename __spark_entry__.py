@@ -2239,6 +2239,30 @@ def q_bloom_prune_scan(spark, sf):
     return out
 
 
+def q_pq_adc_topk(spark, sf):
+    """Product quantization with asymmetric-distance ranking
+    (functions/similarity.py pq_* — the IVF-PQ corpus-compression plane):
+    deterministic md5-sampled codebooks (8 subspaces x 64 entries over the
+    normalized corpus), per-subspace L2 argmin encoding (|c|^2 - 2 s.c,
+    first-index tie-break), and top-10 by the ADC dot-product sum — the
+    query side exact, the corpus side 8 codes per vector (~32x smaller
+    than float32; at 100 TB the candidate scan reads codes only). Fully
+    deterministic, so the oracle replays sampling, normalization,
+    encoding, and the ADC arithmetic in SQL — a wrong code or stale
+    codebook changes scores and hash-mismatches. IVF-composite recall and
+    file pruning are pinned in tests/test_pq.py."""
+    from cht_sync_spark.functions.similarity import (
+        make_pq_codebooks, pq_adc_topk, pq_encode,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    corp = emb.where("vec_id <> 0")
+    cbs = make_pq_codebooks(corp, hash_fn="md5")
+    codes = pq_encode(corp, cbs)
+    return pq_adc_topk(codes, q, cbs, 10)
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -2770,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wal_export": q_cdc_wal_export,
         "stats_prune_scan": q_stats_prune_scan,
         "bloom_prune_scan": q_bloom_prune_scan,
+        "pq_adc_topk": q_pq_adc_topk,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "table_clone": q_table_clone,
@@ -3969,6 +3994,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, m "
             "WHERE event_id > hi // 4 AND event_id <= hi // 2 "
             "  AND epoch_us(ts) >= mid_us"
+        ),
+        # PQ-ADC: md5-ordered codebook sample, normalized slices, per-
+        # subspace L2 argmin (dist asc, entry asc), ADC dot-product sum —
+        # the whole quantization pipeline replayed in SQL
+        "pq_adc_topk": (
+            "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "  FROM embeddings), "
+            "qh AS (SELECT list_transform(v, x -> x / greatest("
+            "  sqrt(list_dot_product(v, v)), 1e-30)) AS qv FROM e0 WHERE vec_id = 0), "
+            "corp AS (SELECT vec_id, list_transform(v, x -> x / greatest("
+            "  sqrt(list_dot_product(v, v)), 1e-30)) AS vh FROM e0 WHERE vec_id <> 0), "
+            "samp AS (SELECT list_transform(v, x -> x / greatest("
+            "    sqrt(list_dot_product(v, v)), 1e-30)) AS sh, "
+            "    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j "
+            "  FROM e0 WHERE vec_id <> 0 "
+            "  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+            "    vec_id) <= 64), "
+            "cb AS (SELECT j, m, sh[m * 8 + 1 : m * 8 + 8] AS csub "
+            "  FROM samp, range(0, 8) t(m)), "
+            "dist AS (SELECT c.vec_id, b.m, b.j, "
+            "    list_dot_product(b.csub, b.csub) - 2 * list_dot_product("
+            "      c.vh[b.m * 8 + 1 : b.m * 8 + 8], b.csub) AS d "
+            "  FROM corp c, cb b), "
+            "chosen AS (SELECT vec_id, m, j FROM dist "
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id, m "
+            "    ORDER BY d ASC, j ASC) = 1), "
+            "adc AS (SELECT ch.vec_id, sum(list_dot_product("
+            "    q.qv[b.m * 8 + 1 : b.m * 8 + 8], b.csub)) AS adc "
+            "  FROM chosen ch JOIN cb b ON ch.m = b.m AND ch.j = b.j, qh q "
+            "  GROUP BY ch.vec_id) "
+            "SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"
         ),
         # bloom-pruned point lookups == the plain semi-join (a Bloom filter
         # can over-keep but never over-prune; the files-opened bound is

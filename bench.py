@@ -196,6 +196,7 @@ def main() -> None:
         "dedup_simhash",
         "text_stats",
         "similarity_topk",
+        "pq_adc_topk",
         "text_fingerprint_winnow",
         "asof_click_attribution",
         "range_join_click_window",
