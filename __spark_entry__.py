@@ -2239,6 +2239,28 @@ def q_bloom_prune_scan(spark, sf):
     return out
 
 
+def q_bpe_pair_counts(spark, sf):
+    """BPE tokenizer induction, round 1 (functions/bpe.py): weighted
+    adjacent-symbol pair counts over the Zipf-collapsed word-frequency
+    table — the aggregation every BPE training round runs (train_bpe
+    loops it; classic-equality with a sequential reference is pinned in
+    tests/test_bpe.py). Top-20 pairs by (count desc, pair asc). The
+    oracle recomputes word counts, character symbol arrays with the
+    end-of-word marker, and the weighted pair aggregation in SQL."""
+    from cht_sync_spark.functions.bpe import EOW, _pair_counts, word_counts
+
+    d = _t(spark, sf, "documents")
+    vocab = word_counts(d).select(
+        F.col("cnt"),
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias("symbols"),
+    )
+    return (
+        _pair_counts(vocab)
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
 def q_pq_adc_topk(spark, sf):
     """Product quantization with asymmetric-distance ranking
     (functions/similarity.py pq_* — the IVF-PQ corpus-compression plane):
@@ -2795,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_prune_scan": q_stats_prune_scan,
         "bloom_prune_scan": q_bloom_prune_scan,
         "pq_adc_topk": q_pq_adc_topk,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
         "table_clone": q_table_clone,
@@ -3994,6 +4017,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM events, m "
             "WHERE event_id > hi // 4 AND event_id <= hi // 2 "
             "  AND epoch_us(ts) >= mid_us"
+        ),
+        # BPE round-1 pair counts: word frequencies -> char symbols + EOW
+        # marker -> weighted adjacent-pair aggregation, same tie-break
+        "bpe_pair_counts": (
+            r"WITH w AS (SELECT w, count(*) AS cnt FROM ("
+            r"    SELECT unnest(list_filter(regexp_split_to_array("
+            r"      trim(lower(text)), '\s+'), x -> x <> '')) AS w "
+            r"    FROM documents) GROUP BY w), "
+            "s AS (SELECT cnt, list_append(regexp_split_to_array(w, ''), "
+            "  '▁') AS syms FROM w), "
+            "p AS (SELECT s.syms[i] AS a, s.syms[i + 1] AS b, cnt "
+            "  FROM s, LATERAL unnest(range(1, len(syms))) u(i)) "
+            "SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM p "
+            "GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20"
         ),
         # PQ-ADC: md5-ordered codebook sample, normalized slices, per-
         # subspace L2 argmin (dist asc, entry asc), ADC dot-product sum —
