@@ -206,17 +206,25 @@ def bpe_tokenize(
         toks.select(F.col(id_col), F.posexplode("__ws").alias("__pos", "word"))
         .join(F.broadcast(dic), "word")
     )
+    agg = per_word.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("toks")))
+                ),
+                lambda s: s["toks"],
+            )
+        ).alias("tokens")
+    )
+    # word-less documents (empty/whitespace text) produce no exploded rows
+    # — left-join them back as (tokens=[], n_tokens=0) instead of silently
+    # dropping them from the output
     return (
-        per_word.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("__pos"), F.col("toks")))
-                    ),
-                    lambda s: s["toks"],
-                )
-            ).alias("tokens")
+        toks.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("tokens"), F.array().cast("array<string>")).alias("tokens"),
         )
         .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
     )

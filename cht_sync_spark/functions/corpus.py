@@ -203,12 +203,18 @@ def sample_exact_k(
     survivors = with_thr.where(F.substring(h, 1, 8) < F.col("__thr"))
     # exact-recovery check: a stratum whose survivor count fell short of
     # min(k, n) re-ranks its FULL slice (rare; keeps exactness a theorem
-    # instead of a probability)
+    # instead of a probability). LEFT join from sizes: a stratum with
+    # ZERO survivors has no row in the survivor counts at all — an inner
+    # join would silently drop it from the output instead of recovering it
     short = (
-        survivors.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .join(sizes, stratum_col)
-        .where(F.col("__s") < F.least(F.lit(k), F.col("__n")))
+        sizes.join(
+            survivors.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__s")),
+            stratum_col,
+            "left",
+        )
+        .where(
+            F.coalesce(F.col("__s"), F.lit(0)) < F.least(F.lit(k), F.col("__n"))
+        )
         .select(stratum_col)
     )
     ranked_input = survivors.join(

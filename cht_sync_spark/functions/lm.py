@@ -110,6 +110,11 @@ def ngram_lm_score(
         F.sum("__cw").alias("T"), F.count(F.lit(1)).alias("V")
     ).first()
     T, V = float(tot["T"] or 0), float(tot["V"] or 0)
+    if V == 0:
+        # an empty counts table would make every denominator collapse to
+        # zero and score all docs Infinity/0.0 — garbage silently passing
+        # a quality gate; refuse loudly instead
+        raise ValueError("counts table holds no unigrams (empty training corpus)")
 
     toks = _toks(df, id_col, text_col).where(F.size("__toks") > 0)
     n = F.size("__toks")

@@ -566,7 +566,6 @@ def pq_encode(
     pre = df.select(
         F.col(id_col), *[F.col(c) for c in keep], _vhat(vec_col).alias("__vh")
     )
-    codes = []
     for m in range(m_sub):
         sub = F.slice(F.col("__vh"), m * dsub + 1, dsub)
         # one struct-literal array per subspace + ONE transform lambda:
@@ -580,8 +579,19 @@ def pq_encode(
                 for e in codebooks[m]
             ]
         )
-        dists = F.transform(entries, lambda p: p["n"] - 2.0 * dot(sub, p["v"]))
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        # stage the distance array behind a NAMED column: the argmin below
+        # references it twice (array_position + array_min), and Column
+        # trees don't share subtrees — without the alias every codebook
+        # dot product would run twice per row (the assign_cells pitfall)
+        pre = pre.withColumn(
+            f"__d{m}", F.transform(entries, lambda p: p["n"] - 2.0 * dot(sub, p["v"]))
+        )
+    codes = [
+        (
+            F.array_position(F.col(f"__d{m}"), F.array_min(F.col(f"__d{m}"))) - 1
+        ).cast("int")
+        for m in range(m_sub)
+    ]
     return pre.select(
         F.col(id_col), *[F.col(c) for c in keep], F.array(*codes).alias("codes")
     )

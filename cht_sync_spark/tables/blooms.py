@@ -115,17 +115,20 @@ def merge_b64(a: str | None, b: str) -> str:
     return words_to_b64(np.bitwise_or(wa, wb))
 
 
-def series_bitset(values, bits: int, k: int, integral: bool) -> str | None:
+def series_bitset(values, bits: int, k: int) -> str | None:
     """Bitset b64 for one pandas Series slice (one file, one column) —
     nulls skipped; returns None when nothing non-null was seen. Hashing
-    runs over the DISTINCT values only (the md5 loop is the cost)."""
+    runs over the DISTINCT values only (the md5 loop is the cost).
+
+    The builder casts every bloom column to STRING on the Spark side
+    before the Arrow crossing (a nullable int64 would otherwise arrive
+    as float64 and lose exactness above 2^53 — a silently-over-pruning
+    bloom); Spark's long->string cast renders exactly like the prober's
+    ``str(int(v))``, so values here are always strings."""
     s = values.dropna()
     if len(s) == 0:
         return None
     words = empty_words(bits)
     for v in s.unique():
-        # parquet int columns with nulls arrive as float64 in pandas —
-        # restore the integral rendering the prober will use
-        raw = render_value(int(v) if integral and not isinstance(v, str) else v)
-        set_positions(words, positions(raw, bits, k))
+        set_positions(words, positions(render_value(v), bits, k))
     return words_to_b64(words)

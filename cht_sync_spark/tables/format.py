@@ -933,8 +933,16 @@ class SnapshotTable:
         try:
             with open(os.path.join(self.path, sidecar_rel)) as fh:
                 body = json.load(fh)
+            # "" = computed-all-null sentinel: the file provably holds no
+            # non-null values of the column, so an equality probe (which
+            # never matches null) can SOUNDLY prune it — an all-zero
+            # bitset expresses exactly that
+            nbits = int(body["bits"])
             decoded = {
-                path: {c: _bl.b64_to_words(b64) for c, b64 in cols.items()}
+                path: {
+                    c: _bl.b64_to_words(b64) if b64 else _bl.empty_words(nbits)
+                    for c, b64 in cols.items()
+                }
                 for path, cols in body["files"].items()
             }
         except FileNotFoundError:
@@ -1048,8 +1056,6 @@ class SnapshotTable:
         ]
         computed: dict[str, dict[str, str]] = {}
         if targets:
-            integral = {c: by_name[c] != "string" for c in cols}
-            prefix = os.path.abspath(self.path) + os.sep
             cset, bset, kset = list(cols), bits, k
 
             def gen(batches):
@@ -1059,7 +1065,7 @@ class SnapshotTable:
                 for pdf in batches:
                     for fname, sub in pdf.groupby("__file", sort=False):
                         for c in cset:
-                            b64 = _bl.series_bitset(sub[c], bset, kset, integral[c])
+                            b64 = _bl.series_bitset(sub[c], bset, kset)
                             if b64 is not None:
                                 key = (fname, c)
                                 acc[key] = _bl.merge_b64(acc.get(key), b64)
@@ -1069,27 +1075,51 @@ class SnapshotTable:
                 )
 
             paths = [os.path.join(self.path, f["path"]) for f in targets]
+            # integer columns are cast to STRING before crossing into
+            # pandas: a nullable int64 column would otherwise arrive as
+            # float64 and lose exactness above 2^53 — the builder would
+            # hash a different rendering than the prober and the bloom
+            # would FALSELY PRUNE (the one failure a Bloom must never
+            # have). Spark's long->string cast equals Python's str(int).
             src = (
                 self.spark.read.schema(snap.schema)
                 .parquet(*paths)
-                .select(*cols)
+                .select(*[F.col(c).cast("string").alias(c) for c in cols])
                 .withColumn("__file", F.input_file_name())
             )
+            from urllib.parse import unquote as _unquote
+
+            root = os.path.abspath(self.path)
             for fname, c, b64 in src.mapInPandas(
                 gen, schema="file string, col string, b64 string"
             ).collect():
-                # input_file_name yields a file: URI of the absolute path
-                p = fname.removeprefix("file:")
-                rel = p[len(prefix):] if p.startswith(prefix) else os.path.relpath(p, self.path)
-                d = computed.setdefault(os.path.normpath(rel), {})
+                # input_file_name yields a percent-encoded file: URI of
+                # the absolute path — decode before mapping back to the
+                # manifest-relative path (a space in the table path would
+                # otherwise key every bitset wrongly and disable pruning)
+                p = _unquote(fname)
+                if p.startswith("file:"):
+                    p = "/" + p[5:].lstrip("/")
+                rel = os.path.normpath(os.path.relpath(p, root))
+                d = computed.setdefault(rel, {})
                 d[c] = _bl.merge_b64(d.get(c), b64)
 
-        # fold: live files only (stale removed-file entries dropped here)
+        # fold: live files only (stale removed-file entries dropped here).
+        # A TARGETED file the job produced no bitset for holds only nulls
+        # in that column: record the empty-string sentinel ("computed,
+        # nothing to hash" — the prober ignores it) so the next build's
+        # missing-column check reaches the zero-recompute steady state
+        # instead of rescanning all-null files forever.
+        target_paths = {f["path"] for f in targets}
         out_files: dict[str, dict[str, str]] = {}
         for f in live:
             entry: dict[str, str] = {}
             for c in cols:
-                b64 = computed.get(f["path"], {}).get(c) or old_b64.get(f["path"], {}).get(c)
+                b64 = computed.get(f["path"], {}).get(c)
+                if b64 is None:
+                    b64 = old_b64.get(f["path"], {}).get(c)
+                if b64 is None and f["path"] in target_paths:
+                    b64 = ""
                 if b64 is not None:
                     entry[c] = b64
             if entry:

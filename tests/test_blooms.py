@@ -129,14 +129,43 @@ def test_int_column_with_nulls(spark, tmp_path):
     )
     for b in range(3):
         t.append_delta(_batch(spark, b * 100, (b + 1) * 100, with_null_n=True))
+    # a value above 2^53 in a null-carrying int column: the builder must
+    # hash the exact integral rendering (string cast before Arrow), not a
+    # float64 round-trip — a wrong hash would FALSELY PRUNE the row
+    big = (1 << 60) + 1
+    t.append_delta(spark.createDataFrame(
+        [Row(doc_id="bigrow", n=big, text="t"), Row(doc_id="bignull", n=None, text="t")],
+        SCHEMA,
+    ))
     t.build_blooms(["n"])
-    # 77 % 3 != 0 → present; pandas reads the column as float64 because of
-    # the nulls — the builder must still hash the integral rendering
+    # 77 % 3 != 0 → present despite the column's float64-coercing nulls
     got = t.read(filters=[("n", "=", 77)]).collect()
     assert [r["doc_id"] for r in got] == [_uuidish(77)]
     assert t.last_scan_files <= 2
+    got_big = t.read(filters=[("n", "=", big)]).collect()
+    assert [r["doc_id"] for r in got_big] == ["bigrow"]
     # a null-masked slot (99 % 3 == 0) was never hashed: absent
     assert t.read(filters=[("n", "=", 99)]).count() == 0
+
+
+def test_all_null_column_sentinel(spark, tmp_path):
+    """A file whose bloom column is entirely null gets the computed-empty
+    sentinel: equality probes SOUNDLY prune it (= never matches null), and
+    re-builds reach the zero-recompute steady state instead of rescanning
+    it forever."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t4n"), SCHEMA, key_cols=["doc_id"],
+        num_buckets=1, sort_cols=["doc_id"], lww_order=[("n", True)],
+    )
+    t.append_delta(_batch(spark, 0, 100))
+    t.append_delta(spark.createDataFrame(
+        [Row(doc_id=f"null{i}", n=None, text="t") for i in range(50)], SCHEMA))
+    n_live = len(t.snapshot().files)
+    assert t.build_blooms(["n"]) == n_live
+    assert t.build_blooms() == 0  # sentinel counted as covered
+    t.read(filters=[("n", "=", 42)]).collect()
+    assert t.last_scan_files <= 2  # the all-null file is pruned, value found
+    assert t.read(filters=[("n", "=", 42)]).count() == 1
 
 
 def test_config_change_rebuilds_and_validation(spark, tmp_path):

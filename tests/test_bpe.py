@@ -138,3 +138,12 @@ def test_validation(spark):
 def test_word_counts(spark):
     wc = {r["word"]: r["cnt"] for r in word_counts(_docs(spark)).collect()}
     assert wc["low"] == 5 and wc["newer"] == 2
+
+
+def test_tokenize_keeps_wordless_docs(spark):
+    d = _docs(spark, ["hello world", "", "   "])
+    out = {r["doc_id"]: r for r in bpe_tokenize(d, []).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["tokens"] == [] and out[1]["n_tokens"] == 0
+    assert out[2]["n_tokens"] == 0
+    assert out[0]["n_tokens"] > 0

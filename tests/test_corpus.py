@@ -270,9 +270,12 @@ def test_sample_exact_k_counts_and_brute_force_parity(spark):
 
     from cht_sync_spark.functions.corpus import _hash8, sample_exact_k
 
-    rows = [(i, f"t{i}", ["en", "fr", "tiny"][i % 3 if i < 900 else 2], "w", i)
-            for i in range(903)]
-    # strata: en 300, fr 300, (mid) 300 → plus 'tiny' gets the 3 tail rows
+    def lang(i):
+        # en 300 / fr 300 / mid 300 (window path) + tiny 3 (n < k: the
+        # keep-all threshold branch AND the min(k, n) = n output size)
+        return "en" if i < 300 else "fr" if i < 600 else "mid" if i < 900 else "tiny"
+
+    rows = [(i, f"t{i}", lang(i), "w", i) for i in range(903)]
     d = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long")
     k = 25

@@ -97,3 +97,9 @@ def test_bad_k_raises(spark):
     counts = ngram_lm_counts(train)
     with pytest.raises(ValueError, match="k > 0"):
         ngram_lm_score(train, counts, k=0.0)
+
+
+def test_empty_counts_refused(spark):
+    empty = ngram_lm_counts(_docs(spark, ["", "   "]))
+    with pytest.raises(ValueError, match="no unigrams"):
+        ngram_lm_score(_docs(spark, ["a b"]), empty)
