@@ -269,7 +269,7 @@ def _file_stats(
     return out, int(md.num_rows), tomb_free
 
 
-_FILTER_OPS = ("=", "<", "<=", ">", ">=")
+_FILTER_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _entry_matches(entry: dict[str, Any], filters: list[tuple[str, str, Any]]) -> bool:
@@ -286,6 +286,12 @@ def _entry_matches(entry: dict[str, Any], filters: list[tuple[str, str, Any]]) -
         lo, hi = b.get("lo"), b.get("hi")
         if op == "=":
             if (lo is not None and v < lo) or (hi is not None and v > hi):
+                return False
+        elif op == "in":
+            # the file survives if ANY listed value fits its range
+            if not any(
+                (lo is None or x >= lo) and (hi is None or x <= hi) for x in v
+            ):
                 return False
         elif op == "<":
             if lo is not None and lo >= v:
@@ -632,8 +638,10 @@ class SnapshotTable:
         pruning: only files of the requested buckets are listed, so Spark
         never opens the rest.
 
-        ``filters`` — ``[(col, op, value), ...]`` with op in ``= < <= > >=``
-        — adds manifest-bounds file skipping: files whose recorded column
+        ``filters`` — ``[(col, op, value), ...]`` with op in ``= < <= > >=
+        in`` (``'in'`` takes a non-empty value list: the multi-point
+        lookup — a file survives if ANY listed value fits its range /
+        bloom) — adds manifest-bounds file skipping: files whose recorded column
         range cannot contain matches are never listed (driver-side, no
         I/O), and the residual row predicate is applied to the survivors,
         where parquet row-group pushdown finishes the job. Files without
@@ -653,6 +661,20 @@ class SnapshotTable:
                     raise ValueError(f"filter column {col!r} not in table schema")
                 if op not in _FILTER_OPS:
                     raise ValueError(f"unsupported filter op {op!r}")
+                if op == "in":
+                    if not isinstance(v, (list, tuple, set)) or not v:
+                        raise ValueError(
+                            f"'in' filter for {col!r} needs a non-empty list of values"
+                        )
+                    if any(x is None for x in v):
+                        raise ValueError(
+                            f"'in' filter for {col!r} must not contain None "
+                            "(a null comparison matches no rows)"
+                        )
+                    norm.append(
+                        (col, op, [_norm_bound(x, by_name[col]) for x in v])
+                    )
+                    continue
                 if v is None:
                     raise ValueError(
                         f"filter value for {col!r} must not be None "
@@ -672,9 +694,12 @@ class SnapshotTable:
         if filters:
             for col, op, v in filters:
                 c = F.col(col)
-                df = df.where(
-                    {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
-                )
+                if op == "in":
+                    df = df.where(c.isin(list(v)))
+                else:
+                    df = df.where(
+                        {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+                    )
         return df
 
     def bucket_for(self, values: dict[str, Any]) -> int:
@@ -964,15 +989,22 @@ class SnapshotTable:
             return files
         from . import blooms as _bl
 
-        probes: list[tuple[str, Any]] = []
+        # each probe is (col, [position-arrays]): "=" carries one array,
+        # "in" one per listed value — a file survives a probe if ANY of
+        # its arrays might be contained
+        probes: list[tuple[str, list]] = []
         for col, op, v in filters:
-            if op != "=" or col not in conf["cols"]:
+            if op not in ("=", "in") or col not in conf["cols"]:
                 continue
+            vals = list(v) if op == "in" else [v]
             try:
-                raw = _bl.render_value(v)
+                pos = [
+                    _bl.positions(_bl.render_value(x), conf["bits"], conf["k"])
+                    for x in vals
+                ]
             except TypeError:
                 continue  # keep: prober can't render what the builder hashed
-            probes.append((col, _bl.positions(raw, conf["bits"], conf["k"])))
+            probes.append((col, pos))
         if not probes:
             return files
         side = self._bloom_words(conf["sidecar"])
@@ -980,7 +1012,8 @@ class SnapshotTable:
         for f in files:
             entry = side.get(f["path"])
             if entry is not None and any(
-                col in entry and not _bl.might_contain(entry[col], pos)
+                col in entry
+                and not any(_bl.might_contain(entry[col], p) for p in pos)
                 for col, pos in probes
             ):
                 continue

@@ -249,3 +249,24 @@ def test_meta_files_exposes_bloom_coverage(spark, tmp_path):
     t.append_delta(_batch(spark, 400, 450))
     covered = t.meta("files").where("has_bloom").count()
     assert covered == n_live  # the fresh file is visibly uncovered
+
+
+def test_in_list_point_lookup(spark, tmp_path):
+    """'in' filters compose with stats AND bloom pruning: a 3-id lookup
+    opens ~3 files, results equal the plain isin, and an all-absent list
+    skips (nearly) everything."""
+    t = _make(spark, tmp_path, "t10")
+    n_live = len(t.snapshot().files)
+    t.build_blooms(["doc_id"])
+    ids = [_uuidish(5), _uuidish(210), _uuidish(777)]
+    got = sorted(r["n"] for r in t.read(filters=[("doc_id", "in", ids)]).collect())
+    assert got == [5, 210, 777]
+    assert t.last_scan_files <= 4  # one file per id + FP slack
+    assert t.read(filters=[("doc_id", "in", ["nope-a", "nope-b"])]).count() == 0
+    assert t.last_scan_files <= max(1, n_live // 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty list"):
+        t.read(filters=[("doc_id", "in", [])])
+    with pytest.raises(ValueError, match="not contain None"):
+        t.read(filters=[("doc_id", "in", [None, "x"])])
