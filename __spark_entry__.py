@@ -601,6 +601,61 @@ def q_ivm_topk_values(spark, sf):
     return DistinctCountConsumer.topk_from_state(tgt, ["conv_id"], 3)
 
 
+def q_cms_estimate(spark, sf):
+    """Count-min sketch IVM (streaming/cms.py CmsConsumer): approximate
+    per-(conversation, event-kind) frequencies at FIXED state (3 depths x
+    64 cells per group) with exact TURNSTILE deletes — each depth is an
+    AggregateConsumer whose derived group key is the hashed cell, so
+    retractions ride the time-travel preimage machinery. Three-wave
+    replay (two insert waves with the consumer draining between, then a
+    tombstone wave deleting every 'error' turn); estimates for all five
+    kinds. Fully deterministic with hash_fn='md5': the oracle replays the
+    SKETCH itself in SQL — cells, per-depth counts, min-across-depths,
+    and the all-depths-present absence proof — so a missed retraction or
+    stale cell hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.streaming.cms import CmsConsumer
+    from cht_sync_spark.tables.format import SnapshotTable
+    from cht_sync_spark.tables.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="cms_q_")
+    ev = _t(spark, sf, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    mid = hi // 2
+    rows = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("kind"),
+        F.lit(False).alias("_deleted"),
+        F.lit(1).cast("long").alias("rev_height"),
+        F.col("event_id").alias("seq"),
+    )
+    src = SnapshotTable.create(
+        spark, f"{work}/s", rows.schema, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, bucket_cols=["conv_id"],
+        lww_order=[("rev_height", False), ("seq", False)],
+        properties={"cdc.enabled": "true"},
+    )
+    tgts = CmsConsumer.create_targets(
+        spark, src, f"{work}/cms", ["conv_id"], "kind",
+        depth=3, width=64, seed=7, num_buckets=4, hash_fn="md5",
+    )
+    cons = CmsConsumer(spark, src, tgts, "cms")
+    merge_upsert(src, rows.where(F.col("seq") <= mid))
+    cons.run()
+    merge_upsert(src, rows.where(F.col("seq") > mid))
+    cons.run()
+    dels = rows.where(F.col("kind") == "error").select(
+        "conv_id", "turn_idx", F.lit(None).cast("string").alias("kind"),
+        F.lit(True).alias("_deleted"), F.lit(2).cast("long").alias("rev_height"),
+        (F.col("seq") + hi).alias("seq"),
+    )
+    merge_upsert(src, dels)
+    cons.run()
+    return cons.estimate(["click", "error", "purchase", "signup", "view"])
+
+
 def _ivm_join_replay(spark, sf, work, value_index=False):
     """Shared harness for the join-IVM driver entries: three waves over a
     fact table (events keyed by event_id) and a dimension table (customers
@@ -2761,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_daily_rollup": q_ivm_daily_rollup,
         "ivm_distinct": q_ivm_distinct,
         "ivm_topk_values": q_ivm_topk_values,
+        "cms_estimate": q_cms_estimate,
         "ivm_join": q_ivm_join,
         "ivm_join_indexed": q_ivm_join_indexed,
         "consistent_read": q_consistent_read,
@@ -3026,6 +3082,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
             "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct "
             "FROM events WHERE event_type <> 'error' GROUP BY user_id"
+        ),
+        # count-min sketch replayed in SQL: md5 cells per depth, per-depth
+        # counts over surviving events, min-across-depths with the
+        # all-depths-present absence proof
+        "cms_estimate": (
+            "WITH s AS (SELECT 'c' || CAST(user_id AS VARCHAR) AS conv, "
+            "  event_type AS v FROM events WHERE event_type <> 'error'), "
+            "cells AS (SELECT conv, d, CAST(concat('0x', substr(md5("
+            "  CAST(7 + d AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT) % 64 "
+            "  AS cell FROM s, range(0, 3) t(d)), "
+            "counts AS (SELECT conv, d, cell, count(*) AS n FROM cells "
+            "  GROUP BY 1, 2, 3), "
+            "pv AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'), "
+            "  ('signup'), ('view')) AS p(v)), "
+            "pc AS (SELECT v, d, CAST(concat('0x', substr(md5("
+            "  CAST(7 + d AS VARCHAR) || ':' || v), 1, 15)) AS BIGINT) % 64 "
+            "  AS cell FROM pv, range(0, 3) t(d)), "
+            "hits AS (SELECT c.conv, pc.v, c.d, c.n FROM counts c "
+            "  JOIN pc ON c.d = pc.d AND c.cell = pc.cell) "
+            "SELECT conv AS conv_id, v AS value, CAST(min(n) AS BIGINT) AS est "
+            "FROM hits GROUP BY conv, v HAVING count(*) = 3"
         ),
         # heavy hitters from the refcount plane: per-(conv, kind) live
         # support over the surviving events + the same deterministic rank
