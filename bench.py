@@ -206,6 +206,8 @@ def main() -> None:
         "pack_sequences",
         "curation_funnel",
         "ngram_lm_perplexity",
+        "bpe_pair_counts",
+        "sample_exact_k",
         "doc_chunking",
         "bm25_search",
         "bm25_index_search",
