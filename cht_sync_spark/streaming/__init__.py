@@ -1,3 +1,4 @@
+from cht_sync_spark.streaming.cms import CmsConsumer
 from cht_sync_spark.streaming.consumer import ChangelogConsumer
 from cht_sync_spark.streaming.hll import HllDistinctConsumer
 from cht_sync_spark.streaming.ivm import AggregateConsumer, DistinctCountConsumer, Measure
@@ -9,6 +10,7 @@ from cht_sync_spark.streaming.stream import StreamingReplay
 __all__ = [
     "AggregateConsumer",
     "ChangelogConsumer",
+    "CmsConsumer",
     "DistinctCountConsumer",
     "HllDistinctConsumer",
     "JoinConsumer",
