@@ -130,3 +130,20 @@ def test_caught_up_noop_and_validation(spark, tmp_path):
         CmsConsumer(spark, src, [src], "x")
     with pytest.raises(ValueError, match="depth tables supplied"):
         CmsConsumer(spark, src, cons.targets[:1], "cms")
+
+
+def test_global_sketch_no_group_cols(spark, tmp_path):
+    """group_cols=[] — one global sketch over the whole table (the form
+    the drive recipe exercises)."""
+    src = _src(spark, tmp_path / "s")
+    tgts = CmsConsumer.create_targets(
+        spark, src, str(tmp_path / "t"), [], "tool", depth=2, width=64,
+        num_buckets=2,
+    )
+    cons = CmsConsumer(spark, src, tgts, "g")
+    merge_upsert(src, spark.createDataFrame(
+        [_row("a", 0, "x", 1), _row("b", 0, "x", 1), _row("b", 1, "y", 1)],
+        SRC_SCHEMA))
+    cons.run()
+    got = {r.value: r.est for r in cons.estimate(["x", "y"]).collect()}
+    assert got == {"x": 2, "y": 1}
