@@ -343,6 +343,17 @@ def events_to_debezium(
 
     from cht_sync_spark.tables.format import bucket_expr
 
+    # the (version << 40) | md5_40 pack documented below needs
+    # change versions < 2^23 or the shift overflows int64 and synthesized
+    # log positions go negative/non-monotone — enforce it, mirroring the
+    # pos < 2^32 gate binlog_seq applies on the ingest side
+    tip = to_version if to_version is not None else table.current_version()
+    if tip >= 1 << 23:
+        raise ValueError(
+            f"events_to_debezium: change version {tip} >= 2^23 would overflow "
+            "the (version<<40)|md5_40 int64 lsn pack — expire/compact table "
+            "history (snapshot expiry keeps versions bounded) before exporting"
+        )
     ch = table.changes(from_version, to_version, strict=strict)
     db_name = db if db is not None else _os.path.basename(_os.path.normpath(table.path))
     is_del = F.col("_change_type") == "delete"

@@ -73,10 +73,13 @@ def _cell(value_col: str, seed: int, width: int, hash_fn: str = "xxhash64") -> F
 
 class CmsConsumer:
     """``depth`` hashed-cell additive consumers + a min-across-depths
-    probe. All sub-consumers share the source and advance independent
-    cursors (each is individually exactly-once; a probe between their
-    cycles sees a momentarily staler depth — estimates stay one-sided
-    because every cell only ever holds a true partial count)."""
+    probe. All sub-consumers share the source; every :meth:`run_once`
+    cycle pins them to ONE observed source tip, so a clean cycle leaves
+    all depth cursors equal. A crash mid-cycle can still leave them
+    skewed (each depth is individually exactly-once) — :meth:`estimate`
+    REFUSES to probe while cursors diverge, because the
+    "empty cell in any depth proves count 0" claim is false for values
+    in a lagging depth's unapplied range; one :meth:`run` reconverges."""
 
     def __init__(
         self,
@@ -174,12 +177,24 @@ class CmsConsumer:
 
     # ----------------------------------------------------------------- run
     def run_once(self):
-        """One cycle per depth; returns the per-depth results (None where
-        caught up)."""
-        return [s.run_once() for s in self.subs]
+        """One cycle per depth, all pinned to ONE source tip observed up
+        front — sibling cursors cannot skew within a clean cycle. Returns
+        the per-depth results (None where caught up)."""
+        tip = self.subs[0].source.current_version()
+        return [s.run_once(to_version=tip) for s in self.subs]
 
     def run(self, max_cycles: int = 100):
-        return [s.run(max_cycles=max_cycles) for s in self.subs]
+        """Drain every depth to the (shared, re-observed each cycle) tip.
+        Returns one result list per depth, same shape as before."""
+        results: list[list] = [[] for _ in self.subs]
+        for _ in range(max_cycles):
+            rs = self.run_once()
+            for out, r in zip(results, rs):
+                if r is not None:
+                    out.append(r)
+            if all(r is None for r in rs):
+                break
+        return results
 
     def pending_versions(self) -> int:
         return max(s.pending_versions() for s in self.subs)
@@ -191,15 +206,38 @@ class CmsConsumer:
         tables' matching cells. One-sided: ``est >=`` the true live count
         for every (group, value) present; a (group, value) pair absent
         from the output has estimate 0 (some depth's cell is empty —
-        which proves the true count is 0... up to the staler-depth lag
-        noted in the class docstring). Cost: d state-table scans joined
+        which proves the true count is 0; probes REFUSE while depth
+        cursors diverge, so the proof cannot be voided by a lagging
+        depth's unapplied range). Cost: d state-table scans joined
         on precomputed cell ids — sketch-sized, zero corpus I/O."""
         if not values:
             raise ValueError("values must be non-empty")
         if any(v is None for v in values):
             raise ValueError("cannot probe null (nulls are never counted)")
+        positions = {s.position() for s in self.subs}
+        if len(positions) > 1:
+            raise RuntimeError(
+                f"cms depth cursors diverge ({sorted(positions)}): a crash "
+                "mid-cycle left some depths behind, so min-across-depths "
+                "estimates could undercount the unapplied range — run() to "
+                "reconverge, then probe"
+            )
+        # Probe values are rendered ENGINE-side: the probe frame carries
+        # the source column's actual Spark type and _cell's cast('string')
+        # does the rendering — the exact expression maintenance hashed.
+        # (Python str(v) diverges from Spark's rendering for
+        # bool/timestamp/decimal — 'True' vs 'true' — which would probe
+        # the wrong cells and report present values as proven-absent.)
+        from pyspark.sql import types as T
+
+        src_schema = self.subs[0].source.snapshot().schema
+        vfield = next(
+            (f for f in src_schema.fields if f.name == self.value_col), None
+        )
+        vtype = vfield.dataType if vfield is not None else T.StringType()
         probe = self.spark.createDataFrame(
-            [(str(v),) for v in values], f"{self.value_col} string"
+            [(v,) for v in values],
+            T.StructType([T.StructField(self.value_col, vtype, False)]),
         )
         parts = []
         for i, t in enumerate(self.targets):

@@ -331,15 +331,21 @@ class AggregateConsumer(CursorConsumer):
         return rows.groupBy(*self.group_cols).agg(*aggs).where(changed)
 
     # ---------------------------------------------------------------- run
-    def run_once(self) -> IvmResult | None:
+    def run_once(self, to_version: int | None = None) -> IvmResult | None:
         """Apply everything committed since the cursor, or None if caught
         up. The additive merge re-reads the cursor inside the retry loop:
         additive state is not idempotent, so a lost commit race must
-        re-check whether the range already landed before reapplying."""
+        re-check whether the range already landed before reapplying.
+
+        ``to_version`` pins the cycle's tip to a version the caller
+        observed — the multi-table-sketch rule (CmsConsumer): sibling
+        consumers sharing one source must land on ONE tip per cycle or
+        their cursors skew and cross-table reads (min-across-depths)
+        momentarily disagree about which inserts exist."""
         self._check_sole_owner()
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
-            tip = self.source.current_version()
+            tip = to_version if to_version is not None else self.source.current_version()
             from_v = start_version(self.source, self.position())
             if tip <= from_v:
                 return None if attempt == 0 else IvmResult(from_v, tip, 0, 0, 0, attempt)

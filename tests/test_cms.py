@@ -132,6 +132,83 @@ def test_caught_up_noop_and_validation(spark, tmp_path):
         CmsConsumer(spark, src, cons.targets[:1], "cms")
 
 
+def test_non_string_value_column_probe_rendering(spark, tmp_path):
+    """Probes over NON-STRING value columns must hash the same rendering
+    maintenance used (Spark's cast-to-string, not Python str()). Boolean
+    is the sharpest case: str(True)='True' but Spark renders 'true' — a
+    Python-rendered probe would hash to untouched cells and report every
+    present value as proven-absent (est 0, silent undercount). Long and
+    timestamp columns ride the same engine-side path."""
+    import datetime
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("at", T.TimestampType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+            T.StructField("rev_height", T.LongType(), True),
+            T.StructField("_rev", T.StringType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ]
+    )
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "s"), schema, key_cols=["conv_id", "turn_idx"],
+        num_buckets=2, bucket_cols=["conv_id"],
+        properties={"cdc.enabled": "true"},
+    )
+    ts = datetime.datetime(2026, 3, 1, 12, 30, 0)
+    rows = [
+        ("a", 0, True, 7, ts, False, 1, "1-x", 1),
+        ("a", 1, True, 7, ts, False, 1, "1-x", 2),
+        ("a", 2, False, 9, None, False, 1, "1-x", 3),
+    ]
+    merge_upsert(src, spark.createDataFrame(rows, schema))
+
+    for value_col, probes, want in [
+        ("flag", [True, False], {True: 2, False: 1}),
+        ("height", [7, 9], {7: 2, 9: 1}),
+        ("at", [ts], {ts: 2}),
+    ]:
+        tgts = CmsConsumer.create_targets(
+            spark, src, str(tmp_path / f"t_{value_col}"), [], value_col,
+            depth=2, width=128, num_buckets=2,
+        )
+        cons = CmsConsumer(spark, src, tgts, f"cms_{value_col}")
+        cons.run()
+        got = {r.value: r.est for r in cons.estimate(probes).collect()}
+        assert got == want, value_col
+
+
+def test_estimate_refuses_skewed_depth_cursors(spark, tmp_path):
+    """A crash mid-cycle leaves depth cursors diverged; min-across-depths
+    could then undercount the lagging depth's unapplied range, so probes
+    must refuse until run() reconverges."""
+    src = _src(spark, tmp_path / "s")
+    cons = _mk(spark, src, tmp_path / "t", depth=2)
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "x", 1)], SRC_SCHEMA))
+    cons.run()
+    merge_upsert(src, spark.createDataFrame([_row("a", 1, "x", 1)], SRC_SCHEMA))
+    # crash-mid-cycle simulation: only depth 0 applies the new version
+    cons.subs[0].run_once()
+    with pytest.raises(RuntimeError, match="depth cursors diverge"):
+        cons.estimate(["x"])
+    cons.run()  # reconverge
+    assert _est(cons, ["x"]) == {("a", "x"): 2}
+
+
+def test_run_once_pins_one_shared_tip(spark, tmp_path):
+    """A clean run_once cycle leaves every depth cursor at the SAME
+    version even if a concurrent writer lands a commit mid-cycle."""
+    src = _src(spark, tmp_path / "s")
+    cons = _mk(spark, src, tmp_path / "t", depth=3)
+    merge_upsert(src, spark.createDataFrame([_row("a", 0, "x", 1)], SRC_SCHEMA))
+    cons.run_once()
+    assert len({s.position() for s in cons.subs}) == 1
+
+
 def test_global_sketch_no_group_cols(spark, tmp_path):
     """group_cols=[] — one global sketch over the whole table (the form
     the drive recipe exercises)."""

@@ -153,3 +153,14 @@ def test_export_rejects_strict_over_rewrites(spark, tmp_path):
         events_to_debezium(t, 1).collect()
     rows = events_to_debezium(t, 1, strict=False).collect()
     assert any(r["after"] and r["after"]["text"] == "v2" for r in rows)
+
+
+def test_export_refuses_lsn_pack_overflow(spark, tmp_path):
+    """The (version<<40)|md5_40 lsn pack overflows int64 at change version
+    2^23; the export must refuse loudly instead of emitting
+    negative/non-monotone log positions (mirror of the ingest-side
+    pos < 2^32 binlog_seq gate)."""
+    t = _mk_table(spark, str(tmp_path / "t4"))
+    t.append_delta(spark.createDataFrame([_row("k", 0, "v1", 1)], TRANSCRIPT))
+    with pytest.raises(ValueError, match="2\\^23"):
+        events_to_debezium(t, 1, to_version=1 << 23)
