@@ -131,8 +131,10 @@ class ModelSpec:
     # T10 contract enforcement (contacts.yml:7-15): `enforced` strictly
     # validates the transform's output schema against the declared one
     # (raises SchemaContractError on drift — no silent cast/null-fill);
-    # `unique_test` + `not_null` run dbt-style data tests on the touched
-    # slice after every merge (raise ContractViolation).
+    # `unique_test` + `not_null` run dbt-style data tests after every run
+    # (raise ContractViolation): incremental epochs test the recomputed
+    # slice (O(slice), no table re-read), full refresh tests the whole
+    # written state.
     enforced: bool = False
     unique_test: bool = False
     not_null: list[str] = field(default_factory=list)
@@ -271,14 +273,26 @@ class ModelRunner:
         return int(self.table.snapshot().properties.get(EPOCH_PROP, -1))
 
     def _apply_transform(self, scope: DataFrame, upstreams: dict[str, "ModelRunner"] | None,
-                         keys: DataFrame | None) -> DataFrame:
+                         keys: DataFrame | None, scope_cache: dict | None = None) -> DataFrame:
         """Invoke the transform, attaching upstream model states when the
         spec declares dependencies. Upstream reads are the model tables'
         reconciled LIVE state (tombstones never reach model tables — the
         merge drops them), scoped to the touched groups when ``keys`` is
         given: file-level bucket pruning when the upstream layout hashes on
         a subset of the group key, then a broadcast semi-join — the same
-        two-level O(touched groups) discipline as the landing read."""
+        two-level O(touched groups) discipline as the landing read.
+
+        SLICE REUSE: when the upstream ran THIS epoch with the SAME group
+        key, its recomputed slice (cached for the DAG epoch by
+        run_model_levels) holds exactly the touched groups' fresh rows —
+        and both models derive their touched-group set from the same batch
+        with the same group columns, so the sets are identical by
+        construction. The slice's live rows equal the post-commit folded
+        table state for those keys (the recompute is authoritative: the
+        merge prefers it, the MOR fold ranks it last), so the dependent
+        reads the in-memory slice instead of re-folding the upstream table
+        — one MOR reconciliation per epoch per table, not one per
+        dependent."""
         if not self.spec.depends_on:
             return self.spec.transform(scope)
         if upstreams is None:
@@ -287,7 +301,22 @@ class ModelRunner:
 
         deps: dict[str, DataFrame] = {}
         for up in self.spec.depends_on:
-            ut = upstreams[up].table
+            urunner = upstreams[up]
+            sl = (
+                scope_cache[("slice", up)]
+                if (
+                    scope_cache is not None
+                    and keys is not None
+                    and self.spec.group_cols
+                    and urunner.spec.group_cols == self.spec.group_cols
+                    and ("slice", up) in scope_cache
+                )
+                else None
+            )
+            if sl is not None:
+                deps[up] = sl.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                continue
+            ut = urunner.table
             buckets = None
             if keys is not None:
                 usnap = ut.snapshot()
@@ -400,8 +429,9 @@ class ModelRunner:
 
     def _run_data_tests(self, buckets: list[int] | None) -> None:
         """dbt-style unique/not_null tests (contacts.yml:10-15) on the
-        reconciled live state, scoped to the buckets the batch touched
-        (O(touched slice), like the merge itself)."""
+        reconciled live TABLE state — the full-refresh form (incremental
+        epochs test the recomputed slice instead: O(slice), zero table
+        re-read — see run_increment)."""
         if not (self.spec.unique_test or self.spec.not_null):
             return
         from cht_sync_spark.operators.contracts import check_contract
@@ -466,9 +496,6 @@ class ModelRunner:
             # entry per (group_cols, buckets) — landing buckets scanned
             # once per epoch, not once per model per consumer.
             lsnap = landing.snapshot()
-            # touched groups: group identity only — the LWW stamp comes
-            # from the SCOPE below, never from the batch (see there)
-            keys = batch_rows.select(*self.spec.group_cols).distinct()
             # Landing read scoped to touched groups. Two-level pruning:
             # (1) FILE level — when the landing table's hash layout is a
             #     function of the group key (bucket_cols ⊆ group_cols, e.g.
@@ -480,21 +507,32 @@ class ModelRunner:
             #     surviving 10^10 rows or rescanning them every micro-batch;
             # (2) ROW level — broadcast semi-join on the touched-group set
             #     (micro-batch-sized) inside those buckets.
-            buckets = None
-            if set(lsnap.bucket_cols) <= set(self.spec.group_cols):
-                buckets = sorted(
-                    r["__b"]
-                    for r in keys.select(
-                        bucket_expr(lsnap.bucket_cols, lsnap.num_buckets).alias("__b")
-                    )
-                    .distinct()
-                    .collect()
-                )
-            ck = (tuple(self.spec.group_cols), tuple(buckets or ()))
+            # The cache key is (group key, landing layout): the buckets are
+            # a pure function of those plus the batch, so models sharing a
+            # group key share ONE bucket-collect job per epoch, not one
+            # each (the cache is created fresh per DAG epoch).
+            ck = (
+                tuple(self.spec.group_cols),
+                tuple(lsnap.bucket_cols),
+                lsnap.num_buckets,
+            )
             if scope_cache is not None and ck in scope_cache:
-                keys, scope, seqs = scope_cache[ck]
+                keys, scope, seqs, buckets = scope_cache[ck]
             else:
+                # touched groups: group identity only — the LWW stamp comes
+                # from the SCOPE below, never from the batch (see there)
+                keys = batch_rows.select(*self.spec.group_cols).distinct()
                 keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+                buckets = None
+                if set(lsnap.bucket_cols) <= set(self.spec.group_cols):
+                    buckets = sorted(
+                        r["__b"]
+                        for r in keys.select(
+                            bucket_expr(lsnap.bucket_cols, lsnap.num_buckets).alias("__b")
+                        )
+                        .distinct()
+                        .collect()
+                    )
                 scope = landing.read_current(buckets=buckets).join(
                     F.broadcast(keys),
                     on=self.spec.group_cols,
@@ -518,10 +556,10 @@ class ModelRunner:
                 )
                 if scope_cache is not None:
                     # the level runner unpersists the whole epoch's cache
-                    scope_cache[ck] = (keys, scope, seqs)
+                    scope_cache[ck] = (keys, scope, seqs, buckets)
                 else:
                     own_persists += [keys, scope, seqs]
-            out = self._apply_transform(scope, upstreams, keys=keys)
+            out = self._apply_transform(scope, upstreams, keys=keys, scope_cache=scope_cache)
             self._enforce_schema(out)
             out = self._apply_expectations(out)
             if "seq" in out.columns:
@@ -653,23 +691,46 @@ class ModelRunner:
                 )
                 n_written = mstats.rows_in_batch
             if self.spec.unique_test or self.spec.not_null:
-                # scope the data tests to the model-table buckets this
-                # batch's keys hash into (micro-batch-sized collect)
-                msnap = self.table.snapshot()
-                from cht_sync_spark.tables.format import bucket_expr as _be
+                # INCREMENTAL test scope = the recomputed slice itself
+                # (dbt's intent: test the MODEL OUTPUT). Within-slice key
+                # uniqueness + not-null on the new live rows is the whole
+                # incremental obligation: untouched keys were tested by the
+                # epochs that wrote them, and cross-epoch duplicates cannot
+                # exist in the read view (the merge is keyed; the MOR fold
+                # reconciles by key). O(slice) with zero table re-read —
+                # the previous touched-bucket table scan re-folded the
+                # model table once per model per epoch, the single largest
+                # fixed cost in the DAG loop; full_refresh still tests the
+                # whole written state (buckets=None).
+                from cht_sync_spark.operators.contracts import check_contract
 
-                touched = sorted(
-                    r["__b"]
-                    for r in out.select(_be(msnap.bucket_cols, msnap.num_buckets).alias("__b"))
-                    .distinct()
-                    .collect()
+                live = (
+                    out.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                    if "_deleted" in out.columns
+                    else out
                 )
-                self._run_data_tests(buckets=touched)
-        finally:
+                check_contract(
+                    live,
+                    unique_key=self.spec.key_cols if self.spec.unique_test else None,
+                    not_null=self.spec.not_null,
+                )
+        except BaseException:
             if cached is not None:
                 cached.unpersist()
+            raise
+        finally:
             for df in own_persists:
                 df.unpersist()
+        if cached is not None:
+            if scope_cache is not None:
+                # success only: hand the persisted slice to the DAG-epoch
+                # cache so same-group dependents read it instead of
+                # re-folding this model's table (_apply_transform slice
+                # reuse); the level runner unpersists the whole epoch's
+                # cache when the DAG epoch completes
+                scope_cache[("slice", self.spec.name)] = cached
+            else:
+                cached.unpersist()
         return _done("success", n_written)
 
 
@@ -700,6 +761,13 @@ def topo_levels(runners: list[ModelRunner]) -> list[list[ModelRunner]]:
         placed |= {m.spec.name for m in ready}
         remaining = [m for m in remaining if m.spec.name not in placed]
     return levels
+
+
+def _entry_dfs(entry):
+    """The persisted DataFrames inside a scope-cache entry — a
+    (keys, scope, seqs, buckets) tuple or a bare recomputed-slice frame."""
+    items = entry if isinstance(entry, tuple) else (entry,)
+    return [df for df in items if hasattr(df, "unpersist")]
 
 
 def run_model_levels(
@@ -738,9 +806,11 @@ def run_model_levels(
         def __setitem__(self, k, v):
             with lock:
                 # a racing model may have inserted first: keep the winner
-                # and unpersist the loser's duplicate (keys, scope, seqs)
+                # and unpersist the loser's duplicate entry (entries are a
+                # (keys, scope, seqs, buckets) tuple or a bare slice frame;
+                # only the DataFrames hold storage)
                 if dict.__contains__(self, k):
-                    for df in v:
+                    for df in _entry_dfs(v):
                         df.unpersist()
                     return
                 dict.__setitem__(self, k, v)
@@ -770,7 +840,7 @@ def run_model_levels(
                     stats.append(f.result())  # propagate the first failure
     finally:
         for entry in scope_cache.values():
-            for df in entry:
+            for df in _entry_dfs(entry):
                 df.unpersist()
     return stats
 

@@ -224,14 +224,17 @@ class IvfIndexConsumer(DerivedIndexConsumer):
         centroids: list[list[float]] | None = None,
         num_buckets: int = 16,
         cent_hash: str = "xxhash64",
+        source_version: int | None = None,
     ) -> SnapshotTable:
         """Empty cell-bucketed index wired to the source's key and LWW
         spec, centroids committed in table properties (build_ivf_index's
         contract). Default centroids = the deterministic smallest-hash
         sample of the source's CURRENT live vectors (ivf_assign's rule;
-        ``cent_hash='md5'`` for the DuckDB-replayable ordering); pass
-        ``centroids`` to pin an external/k-means set. Bootstrap = run the
-        consumer (history is one range)."""
+        ``cent_hash='md5'`` for the DuckDB-replayable ordering), or of the
+        live state at ``source_version`` when given — pins the sample to a
+        recorded snapshot so index creation is reproducible over a source
+        that keeps moving; pass ``centroids`` to pin an external/k-means
+        set. Bootstrap = run the consumer (history is one range)."""
         snap = source.snapshot()
         if centroids is None:
             key0 = snap.key_cols[0]
@@ -242,7 +245,9 @@ class IvfIndexConsumer(DerivedIndexConsumer):
             )
             centroids = [
                 [float(x) for x in r[0]]
-                for r in source.read_current(drop_tombstones=True)
+                for r in source.read_current(
+                    version=source_version, drop_tombstones=True
+                )
                 .where(F.col(vec_col).isNotNull())
                 .select(F.col(vec_col), cent_order.alias("__o"), F.col(key0))
                 .orderBy("__o", key0)

@@ -178,10 +178,21 @@ class CmsConsumer:
     # ----------------------------------------------------------------- run
     def run_once(self):
         """One cycle per depth, all pinned to ONE source tip observed up
-        front — sibling cursors cannot skew within a clean cycle. Returns
-        the per-depth results (None where caught up)."""
+        front — sibling cursors cannot skew within a clean cycle. Depths
+        run CONCURRENTLY (each writes its own table, so their commits
+        never conflict; each job chain is independent — the T14
+        model-level-parallelism argument applied to sketch planes).
+        Returns the per-depth results (None where caught up)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         tip = self.subs[0].source.current_version()
-        return [s.run_once(to_version=tip) for s in self.subs]
+        if len(self.subs) == 1:
+            return [self.subs[0].run_once(to_version=tip)]
+        with ThreadPoolExecutor(
+            max_workers=len(self.subs), thread_name_prefix="cms"
+        ) as pool:
+            futs = [pool.submit(s.run_once, to_version=tip) for s in self.subs]
+            return [f.result() for f in futs]
 
     def run(self, max_cycles: int = 100):
         """Drain every depth to the (shared, re-observed each cycle) tip.

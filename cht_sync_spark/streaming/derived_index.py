@@ -209,14 +209,19 @@ class DerivedIndexConsumer:
         return batch, [old, new, new_r], self._cycle_extra(old, new)
 
     # ---------------------------------------------------------------- run
-    def run_once(self) -> DerivedIndexResult | None:
+    def run_once(self, to_version: int | None = None) -> DerivedIndexResult | None:
         """Index everything committed since the cursor, or None if caught
         up. Derived-row merge and cursor commit in ONE snapshot; a lost
-        commit race re-reads the cursor before retrying."""
+        commit race re-reads the cursor before retrying.
+
+        ``to_version`` pins the cycle's tip to a version the caller
+        observed — lets a caller replay a recorded commit history
+        cycle-by-cycle (lifecycle fixtures) or keep sibling indexes over
+        one source in lockstep (the CmsConsumer rule)."""
         self._pre_run()
         last_err: CommitConflict | None = None
         for attempt in range(self.max_retries):
-            tip = self.source.current_version()
+            tip = to_version if to_version is not None else self.source.current_version()
             from_v = start_version(self.source, self.position())
             if tip <= from_v:
                 return None if attempt == 0 else self._mk_result(from_v, tip, 0, 0, attempt)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from datetime import datetime
 from decimal import Decimal
 
@@ -58,7 +59,9 @@ def main(names=None):
     oracles = entrymod.oracle_sql()
     names = names or list(qs)
     failures = []
+    timings: dict[str, float] = {}
     for name in names:
+        t0 = time.monotonic()
         try:
             sdf = qs[name](spark, SF)
             srows = sdf.collect()
@@ -67,8 +70,10 @@ def main(names=None):
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             continue
+        spark_s = time.monotonic() - t0
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only)")
+            timings[name] = spark_s
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only) [{spark_s:.1f}s]")
             if len(srows) == 0 and name != "dedup_embedding_cosine":
                 failures.append((name, "0 rows on rows-only check"))
             continue
@@ -80,6 +85,7 @@ def main(names=None):
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
             continue
+        timings[name] = time.monotonic() - t0
         sc, sm = df_to_multiset(scols, [[r[c] for c in scols] for r in srows])
         oc, om = df_to_multiset(ocols, orows)
         if sc != oc:
@@ -94,8 +100,13 @@ def main(names=None):
             failures.append((name, f"values differ; spark-only={only_s} oracle-only={only_o}"))
             print(f"FAIL  {name}: values differ\n  spark-only: {only_s}\n  oracle-only: {only_o}")
         else:
-            print(f"OK    {name}: {len(srows)} rows")
+            print(f"OK    {name}: {len(srows)} rows [{timings[name]:.1f}s]")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if timings:
+        total = sum(timings.values())
+        print(f"total wall {total:.1f}s over {len(timings)} entries; slowest:")
+        for n, s in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"  {s:6.1f}s  {n}")
     return 1 if failures else 0
 
 
