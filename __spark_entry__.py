@@ -2385,6 +2385,66 @@ def q_pq_adc_topk(spark, sf):
     return pq_adc_topk(codes, q, cbs, 10)
 
 
+def q_pq_adc_topk_trained(spark, sf):
+    """TRAINED product quantization (functions/similarity.py
+    refine_pq_codebooks — VERDICT r3 #3): the md5-sampled codebooks are
+    Lloyd-refined for 2 rounds (encode with the exact argmin, replace
+    each (subspace, code) entry with the mean of its assigned normalized
+    slices), then the corpus is encoded against the TRAINED books and
+    ranked by ADC. Deterministic end-to-end — the means are exact
+    fixed-point decimal sums (order-independent), so the oracle replays
+    BOTH training rounds, the final encoding and the ADC arithmetic in
+    SQL; recall improvement over the hash-sampled books is pinned in
+    tests/test_pq.py. ks=32 here (vs the untrained entry's 64): training
+    runs three encode plans, and the entry demonstrates the training
+    machinery, not codebook capacity."""
+    from cht_sync_spark.functions.similarity import (
+        make_pq_codebooks, pq_adc_topk, pq_encode, refine_pq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    corp = emb.where("vec_id <> 0")
+    cbs = refine_pq_codebooks(
+        corp, make_pq_codebooks(corp, ks=32, hash_fn="md5"), rounds=2
+    )
+    codes = pq_encode(corp, cbs)
+    return pq_adc_topk(codes, q, cbs, 10)
+
+
+def q_similarity_ivf_trained(spark, sf):
+    """TRAINED IVF (functions/similarity.py refine_ivf_centroids —
+    VERDICT r3 #3): the md5-sampled centroid init is Lloyd-refined for 2
+    rounds (argmax-cosine assignment, exact fixed-point per-dimension
+    means; empty cells keep their center), the corpus is assigned against
+    the TRAINED centroids, and the query probes the top-4 cells with an
+    exact cosine re-rank. Fully oracle-checked: sampling, both training
+    rounds, the final assignment, the probe ranking and the re-rank all
+    replay in DuckDB SQL; recall >= the unrefined build is pinned in
+    tests/test_pq.py."""
+    from cht_sync_spark.functions.similarity import (
+        _pynorm, assign_cells, cosine_topk, ivf_assign, refine_ivf_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    corp = emb.where("vec_id <> 0")
+    _, cents0 = ivf_assign(corp, 8, cent_hash="md5")
+    cents = refine_ivf_centroids(corp, cents0, rounds=2)
+    assigned = assign_cells(corp, cents)
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            -sum(float(a) * float(b) for a, b in zip(q, cents[i]))
+            / (_pynorm(cents[i]) * _pynorm(q)),
+            i,
+        ),
+    )
+    probe = ranked[:4]
+    top = cosine_topk(assigned.where(F.col("__cell").isin(probe)), q, k=10)
+    return top.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
 def q_multimodal_meta(spark, sf):
     from cht_sync_spark.functions.multimodal import decode_media, documents_as_media
 
@@ -2876,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_ivf_trained": q_similarity_ivf_trained,
         "ann_index_cdc": q_ann_index_cdc,
         "ivf_index_cdc": q_ivf_index_cdc,
         "text_stats": q_text_stats,
@@ -2918,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_prune_scan": q_stats_prune_scan,
         "bloom_prune_scan": q_bloom_prune_scan,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_adc_topk_trained": q_pq_adc_topk_trained,
         "bpe_pair_counts": q_bpe_pair_counts,
         "sql_view": q_sql_view,
         "time_travel_tag": q_time_travel_tag,
@@ -2964,6 +3026,110 @@ _SHINGLES2 = (
     "i -> concat_ws(' ', w[i], w[i+1]))) "
     "ELSE [array_to_string(w, ' ')] END"
 )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _ivf_trained_oracle(rounds: int, n_cells: int = 8, dim: int = 64, n_probe: int = 4) -> str:
+    """SQL replay of the TRAINED-IVF entry: md5 centroid sample, then
+    ``rounds`` Lloyd rounds (argmax-cosine assignment with smallest-cell
+    ties; per-dimension means as EXACT decimal(18,9) sums cast to double —
+    the same order-independent arithmetic the engine uses, so every round
+    matches bit-for-bit; empty cells keep their center via COALESCE),
+    final assignment, query probe ranking, exact re-rank."""
+    sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "cents0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS cv "
+        "  FROM e WHERE vec_id <> 0 "
+        f"  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_cells}), "
+    )
+    for r in range(rounds):
+        sql += (
+            f"asg{r} AS (SELECT e.vec_id, e.v, c.cell, {_sql_cos('e.v', 'c.cv')} AS ac "
+            f"  FROM e, cents{r} c WHERE e.vec_id <> 0), "
+            f"cellof{r} AS (SELECT vec_id, v, cell FROM asg{r} "
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cell) = 1), "
+            f"mean{r} AS (SELECT cell, p.p AS p, "
+            "  CAST(sum(CAST(v[p.p] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mv "
+            f"  FROM cellof{r}, range(1, {dim + 1}) p(p) GROUP BY 1, 2), "
+            f"newc{r} AS (SELECT cell, list(mv ORDER BY p) AS cv FROM mean{r} GROUP BY cell), "
+            f"cents{r + 1} AS (SELECT c.cell, COALESCE(n.cv, c.cv) AS cv "
+            f"  FROM cents{r} c LEFT JOIN newc{r} n USING (cell)), "
+        )
+    sql += (
+        f"asgF AS (SELECT e.vec_id, e.v, c.cell, {_sql_cos('e.v', 'c.cv')} AS ac "
+        f"  FROM e, cents{rounds} c WHERE e.vec_id <> 0), "
+        "cellofF AS (SELECT vec_id, v, cell FROM asgF "
+        "  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cell) = 1), "
+        f"pr AS (SELECT cell FROM (SELECT c.cell, {_sql_cos('qv', 'c.cv')} AS pc "
+        f"    FROM cents{rounds} c, q) "
+        f"  QUALIFY row_number() OVER (ORDER BY pc DESC, cell) <= {n_probe}) "
+        f"SELECT vec_id, round({_sql_cos('v', 'qv')}, 4) AS cos "
+        "FROM cellofF, q WHERE cell IN (SELECT cell FROM pr) "
+        f"ORDER BY {_sql_cos('v', 'qv')} DESC, vec_id LIMIT 10"
+    )
+    return sql
+
+
+def _pq_trained_oracle(rounds: int, m_sub: int = 8, dsub: int = 8, ks: int = 64) -> str:
+    """SQL replay of the TRAINED-PQ entry: md5-sampled codebooks, then
+    ``rounds`` Lloyd rounds (per-subspace L2 argmin encode with
+    first-index ties; per-(subspace, code, dim) means as exact decimal
+    sums — the engine's arithmetic verbatim; unassigned entries keep
+    their value), final encode against the trained books, ADC top-10."""
+    sql = (
+        "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "qh AS (SELECT list_transform(v, x -> x / greatest("
+        "  sqrt(list_dot_product(v, v)), 1e-30)) AS qv FROM e0 WHERE vec_id = 0), "
+        "corp AS (SELECT vec_id, list_transform(v, x -> x / greatest("
+        "  sqrt(list_dot_product(v, v)), 1e-30)) AS vh FROM e0 WHERE vec_id <> 0), "
+        "samp AS (SELECT list_transform(v, x -> x / greatest("
+        "    sqrt(list_dot_product(v, v)), 1e-30)) AS sh, "
+        "    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j "
+        "  FROM e0 WHERE vec_id <> 0 "
+        "  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+        f"    vec_id) <= {ks}), "
+        f"cb0 AS (SELECT j, m, sh[m * {dsub} + 1 : m * {dsub} + {dsub}] AS csub "
+        f"  FROM samp, range(0, {m_sub}) t(m)), "
+    )
+    for r in range(rounds):
+        sql += (
+            f"dist{r} AS (SELECT c.vec_id, b.m, b.j, "
+            "    list_dot_product(b.csub, b.csub) - 2 * list_dot_product("
+            f"      c.vh[b.m * {dsub} + 1 : b.m * {dsub} + {dsub}], b.csub) AS d "
+            f"  FROM corp c, cb{r} b), "
+            f"chosen{r} AS (SELECT vec_id, m, j FROM dist{r} "
+            "  QUALIFY row_number() OVER (PARTITION BY vec_id, m "
+            "    ORDER BY d ASC, j ASC) = 1), "
+            f"mean{r} AS (SELECT ch.m, ch.j, p.p AS p, "
+            f"  CAST(sum(CAST(c.vh[ch.m * {dsub} + p.p] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mv "
+            f"  FROM chosen{r} ch JOIN corp c USING (vec_id), range(1, {dsub + 1}) p(p) "
+            "  GROUP BY 1, 2, 3), "
+            f"newe{r} AS (SELECT m, j, list(mv ORDER BY p) AS csub FROM mean{r} GROUP BY m, j), "
+            f"cb{r + 1} AS (SELECT b.m, b.j, COALESCE(n.csub, b.csub) AS csub "
+            f"  FROM cb{r} b LEFT JOIN newe{r} n USING (m, j)), "
+        )
+    sql += (
+        f"distF AS (SELECT c.vec_id, b.m, b.j, "
+        "    list_dot_product(b.csub, b.csub) - 2 * list_dot_product("
+        f"      c.vh[b.m * {dsub} + 1 : b.m * {dsub} + {dsub}], b.csub) AS d "
+        f"  FROM corp c, cb{rounds} b), "
+        "chosenF AS (SELECT vec_id, m, j FROM distF "
+        "  QUALIFY row_number() OVER (PARTITION BY vec_id, m "
+        "    ORDER BY d ASC, j ASC) = 1), "
+        "adc AS (SELECT ch.vec_id, sum(list_dot_product("
+        f"    q.qv[b.m * {dsub} + 1 : b.m * {dsub} + {dsub}], b.csub)) AS adc "
+        f"  FROM chosenF ch JOIN cb{rounds} b ON ch.m = b.m AND ch.j = b.j, qh q "
+        "  GROUP BY ch.vec_id) "
+        "SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"
+    )
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3340,6 +3506,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM cellof, q WHERE cell IN (SELECT cell FROM pr) "
             "ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10"
         ),
+        "similarity_ivf_trained": _ivf_trained_oracle(rounds=2),
+        "pq_adc_topk_trained": _pq_trained_oracle(rounds=2, ks=32),
         "text_stats": (
             f"WITH t AS (SELECT doc_id, text, str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS raww, "
             f"  str_split({_NORM}, ' ') AS w FROM documents) "

@@ -272,17 +272,26 @@ def build_ivf_index(
     id_col: str = "vec_id",
     num_buckets: int = 16,
     cent_hash: str = "xxhash64",
+    refine_rounds: int = 0,
 ):
     """Materialize the IVF coarse index: centroid assignment happens ONCE at
     build; the table is bucketed by ``__cell`` so probes read only their
-    cells' files. Centroids are committed in the table properties."""
+    cells' files. Centroids are committed in the table properties.
+    ``refine_rounds > 0`` runs that many Lloyd rounds
+    (:func:`refine_ivf_centroids`) on the hash-sampled init before
+    assigning — trained IVF, still fully deterministic."""
     import json
 
     from pyspark.sql import types as T
 
     from cht_sync_spark.tables.format import SnapshotTable
 
-    assigned, cents = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=cent_hash)
+    if refine_rounds > 0:
+        _, cents0 = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=cent_hash)
+        cents = refine_ivf_centroids(df, cents0, refine_rounds, vec_col, id_col)
+        assigned = assign_cells(spread(df), cents, vec_col, id_col)
+    else:
+        assigned, cents = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=cent_hash)
     schema = T.StructType(
         [
             df.schema[id_col],
@@ -434,6 +443,113 @@ def ivf_assign_join(df: DataFrame, cents: list, vec_col: str = "embedding", id_c
     return df.select(id_col, vec_col).join(cells, on=id_col, how="inner").select(
         id_col, vec_col, "__cell"
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd refinement — trained centroids/codebooks (VERDICT r3 #3). k-means
+# expressed as the engine's own assignment + a grouped mean: per round one
+# assignment map stage, ONE shuffle of per-dimension contributions into
+# (cells x dim) groups, and a bounded collect (cells x dim floats). The
+# hash-sampled init stays (deterministic, corpus-backed, re-shard-stable);
+# refinement only moves the centers toward their assigned mass — standard
+# IVF/PQ training, recall >= the unrefined sample (pinned in test_pq.py).
+#
+# DETERMINISM RULE: the per-group mean is an EXACT fixed-point sum
+# (decimal(18,9) — commutative, order-independent) cast to double and
+# divided by the count, NOT a floating avg(): double summation is
+# order-dependent, so a plain avg would drift across partitionings and the
+# next round's argmin/argmax could flip on near-ties — unreplayable in an
+# oracle and unstable across re-shards. With the exact sum, every round
+# replays bit-for-bit in ANSI SQL.
+# ---------------------------------------------------------------------------
+def _grouped_mean_vec(pairs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., p, x) -> (group_cols..., p, v): order-independent
+    per-dimension mean (exact decimal sum / count, cast to double)."""
+    # cast through double FIRST: a float32 input must take the same
+    # float->double->decimal path the SQL oracle's CAST(v AS DOUBLE[])
+    # pipeline does, or the two sides round to decimal from different
+    # precisions
+    return pairs.groupBy(*group_cols, "p").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+
+
+def refine_ivf_centroids(
+    df: DataFrame,
+    cents: list,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Lloyd-refined IVF centroids: per round, assign every vector to its
+    argmax-cosine cell against the CURRENT centroids (assign_cells — the
+    exact build/maintenance assignment, smallest-cell ties) and replace
+    each centroid with the mean of its assigned vectors; cells that
+    attract nothing keep their current center (the hash-sampled init
+    guarantees every center starts corpus-backed). Returns plain float
+    lists, same shape as the input."""
+    dim = len(cents[0])
+    out = [list(map(float, c)) for c in cents]
+    for _ in range(rounds):
+        assigned = assign_cells(df, out, vec_col, id_col)
+        pairs = assigned.select(
+            F.col("__cell"), F.posexplode(F.col(vec_col)).alias("p", "x")
+        )
+        means = _grouped_mean_vec(pairs, ["__cell"]).collect()
+        nxt = [list(c) for c in out]
+        for r in means:
+            nxt[r["__cell"]][r["p"]] = float(r["v"])
+        out = nxt
+        if len(out[0]) != dim:  # pragma: no cover - shape guard
+            raise AssertionError("refined centroid dimension drifted")
+    return out
+
+
+def refine_pq_codebooks(
+    df: DataFrame,
+    codebooks: list,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Lloyd-refined PQ codebooks: per round, encode the L2-normalized
+    corpus against the CURRENT codebooks (pq_encode's exact argmin,
+    first-index ties) and replace each (subspace, code) entry with the
+    mean of its assigned slices; entries that attract nothing keep their
+    current value. One explode+shuffle per round into m*ks*dsub groups, a
+    bounded collect, zero extra corpus scans."""
+    m_sub = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cbs = [[list(map(float, e)) for e in cb] for cb in codebooks]
+    for _ in range(rounds):
+        enc = pq_encode(df, cbs, vec_col, id_col, keep=(vec_col,))
+        sub = enc.withColumn("__vh", _vhat(vec_col)).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.element_at("codes", m + 1).alias("j"),
+                            F.slice("__vh", m * dsub + 1, dsub).alias("s"),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("e")
+        )
+        pairs = sub.select(
+            F.col("e.m").alias("m"), F.col("e.j").alias("j"),
+            F.posexplode(F.col("e.s")).alias("p", "x"),
+        )
+        means = _grouped_mean_vec(pairs, ["m", "j"]).collect()
+        nxt = [[list(e) for e in cb] for cb in cbs]
+        for r in means:
+            nxt[r["m"]][r["j"]][r["p"]] = float(r["v"])
+        cbs = nxt
+    return cbs
 
 
 def ivf_topk(df: DataFrame, query_vec, k: int = 10, n_cells: int = 16, n_probe: int = 4,
@@ -645,21 +761,34 @@ def build_pq_index(
     num_buckets: int = 8,
     hash_fn: str = "xxhash64",
     keep_vectors: bool = True,
+    refine_rounds: int = 0,
 ):
     """IVF-PQ composite index: coarse cells for pruning (bucketed by
     ``__cell`` — probes open only their cells' files) + PQ codes for
     cheap in-cell ranking + (optionally) the raw vectors for exact
     refinement. Centroids AND codebooks are committed in table
     properties, so queries and future maintenance can never disagree
-    with the build (the ann/ivf/dedup config-pinning rule)."""
+    with the build (the ann/ivf/dedup config-pinning rule).
+    ``refine_rounds > 0`` Lloyd-refines BOTH the coarse centroids and the
+    PQ codebooks from their hash-sampled inits (still deterministic)."""
     import json as _json
 
     from pyspark.sql import types as T
 
     from cht_sync_spark.tables.format import SnapshotTable
 
-    assigned, cents = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=hash_fn)
-    cbs = make_pq_codebooks(df, m_subspaces, ks, vec_col, id_col, hash_fn=hash_fn)
+    if refine_rounds > 0:
+        _, cents0 = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=hash_fn)
+        cents = refine_ivf_centroids(df, cents0, refine_rounds, vec_col, id_col)
+        assigned = assign_cells(spread(df), cents, vec_col, id_col)
+        cbs = refine_pq_codebooks(
+            df,
+            make_pq_codebooks(df, m_subspaces, ks, vec_col, id_col, hash_fn=hash_fn),
+            refine_rounds, vec_col, id_col,
+        )
+    else:
+        assigned, cents = ivf_assign(df, n_cells, vec_col, id_col, cent_hash=hash_fn)
+        cbs = make_pq_codebooks(df, m_subspaces, ks, vec_col, id_col, hash_fn=hash_fn)
     enc = pq_encode(
         assigned, cbs, vec_col, id_col,
         keep=("__cell", vec_col) if keep_vectors else ("__cell",),

@@ -225,6 +225,7 @@ class IvfIndexConsumer(DerivedIndexConsumer):
         num_buckets: int = 16,
         cent_hash: str = "xxhash64",
         source_version: int | None = None,
+        refine_rounds: int = 0,
     ) -> SnapshotTable:
         """Empty cell-bucketed index wired to the source's key and LWW
         spec, centroids committed in table properties (build_ivf_index's
@@ -234,7 +235,10 @@ class IvfIndexConsumer(DerivedIndexConsumer):
         live state at ``source_version`` when given — pins the sample to a
         recorded snapshot so index creation is reproducible over a source
         that keeps moving; pass ``centroids`` to pin an external/k-means
-        set. Bootstrap = run the consumer (history is one range)."""
+        set, or ``refine_rounds > 0`` to Lloyd-refine the sampled init
+        against the same pinned state (functions/similarity.py
+        refine_ivf_centroids — deterministic training). Bootstrap = run
+        the consumer (history is one range)."""
         snap = source.snapshot()
         if centroids is None:
             key0 = snap.key_cols[0]
@@ -243,17 +247,24 @@ class IvfIndexConsumer(DerivedIndexConsumer):
                 if cent_hash == "md5"
                 else F.xxhash64(F.col(key0).cast("string"))
             )
+            live = source.read_current(
+                version=source_version, drop_tombstones=True
+            ).where(F.col(vec_col).isNotNull())
             centroids = [
                 [float(x) for x in r[0]]
-                for r in source.read_current(
-                    version=source_version, drop_tombstones=True
+                for r in live.select(
+                    F.col(vec_col), cent_order.alias("__o"), F.col(key0)
                 )
-                .where(F.col(vec_col).isNotNull())
-                .select(F.col(vec_col), cent_order.alias("__o"), F.col(key0))
                 .orderBy("__o", key0)
                 .limit(n_cells)
                 .collect()
             ]
+            if refine_rounds > 0 and centroids:
+                from cht_sync_spark.functions.similarity import refine_ivf_centroids
+
+                centroids = refine_ivf_centroids(
+                    live, centroids, refine_rounds, vec_col, key0
+                )
         if not centroids:
             raise ValueError("no centroids: source has no live vectors and none were passed")
         fields = [T.StructField("__cell", T.IntegerType(), True)]
