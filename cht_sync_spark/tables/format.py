@@ -2802,7 +2802,26 @@ class SnapshotTable:
         data_root = os.path.join(self.path, _DATADIR)
         cutoff = _time.time() - grace_seconds
         removed = 0
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            # NEVER descend into Hadoop commit staging: a concurrent
+            # writer creates data/<uuid>/_temporary/... and renames task
+            # files out on commit — deleting (or rmdir'ing, below) any of
+            # it mid-write fails the writer's job with a phantom
+            # chmod/rename error (found by tests/test_vacuum_torture.py).
+            # Aged-out staging left by CRASHED writers is removed whole
+            # once its root is older than the grace window.
+            if "_temporary" in dirpath.split(os.sep):
+                continue
+            for dn in list(dirnames):
+                if dn == "_temporary":
+                    full = os.path.join(dirpath, dn)
+                    try:
+                        if os.path.getmtime(full) <= cutoff:
+                            import shutil as _shutil
+
+                            _shutil.rmtree(full, ignore_errors=True)
+                    except OSError:
+                        pass
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.normpath(os.path.relpath(full, self.path))
@@ -2815,7 +2834,15 @@ class SnapshotTable:
                     os.remove(full)
                     removed += 1
             if not os.listdir(dirpath) and dirpath != data_root:
-                os.rmdir(dirpath)
+                # the directory-level grace twin of the file rule: an empty
+                # dir touched inside the window may be a writer's
+                # just-created bucket/staging parent — removing it races
+                # the writer's own mkdir/rename
+                try:
+                    if os.path.getmtime(dirpath) <= cutoff:
+                        os.rmdir(dirpath)
+                except OSError:
+                    pass  # concurrent writer repopulated it: leave it
         # manifest files referenced by no retained snapshot (expired history,
         # losing commit races) — same grace window as data files
         man_root = os.path.join(self.path, _MANDIR)
