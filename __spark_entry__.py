@@ -1935,15 +1935,27 @@ def q_table_diff(spark, sf):
         spark, f"{work}/t", g1.schema, key_cols=["event_id"],
         num_buckets=8, sort_cols=["event_id"], lww_order=[("seq", False)],
     )
-    merge_upsert(t, g1, tombstones="drop")
-    merge_upsert(t, gen(ev.where(F.col("event_id") % 3 == 0), "v2", 2), tombstones="drop")
+    # each generation lands as ONE merge of unioned waves: the in-merge
+    # LWW dedup resolves overlapping keys (e.g. %65 tombstone-then-edit)
+    # to the same winners the wave-per-merge form produced, so the final
+    # states — and the oracle — are identical at 2 commits instead of 5
+    # (driver-budget trim, VERDICT r3 #7)
+    merge_upsert(
+        t,
+        g1.unionByName(gen(ev.where(F.col("event_id") % 3 == 0), "v2", 2)),
+        tombstones="drop",
+    )
     t.tag("audit-base")
-    merge_upsert(t, gen(ev.where(F.col("event_id") % 13 == 0), None, 3, True), tombstones="drop")
-    merge_upsert(t, gen(ev.where(F.col("event_id") % 5 == 0), "v4", 4), tombstones="drop")
     fresh = ev.where(F.col("event_id") % 7 == 0).select(
         (F.col("event_id") + F.lit(hi)).alias("event_id")
     )
-    merge_upsert(t, gen(fresh, "new", 5), tombstones="drop")
+    merge_upsert(
+        t,
+        gen(ev.where(F.col("event_id") % 13 == 0), None, 3, True)
+        .unionByName(gen(ev.where(F.col("event_id") % 5 == 0), "v4", 4))
+        .unionByName(gen(fresh, "new", 5)),
+        tombstones="drop",
+    )
     d = t.diff("audit-base", compare_cols=["val", "seq"])
     return d.select(
         "event_id",

@@ -197,6 +197,8 @@ def main() -> None:
         "text_stats",
         "similarity_topk",
         "pq_adc_topk",
+        "pq_adc_topk_trained",
+        "similarity_ivf_trained",
         "text_fingerprint_winnow",
         "asof_click_attribution",
         "range_join_click_window",
