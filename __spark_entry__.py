@@ -2899,7 +2899,79 @@ def q_expectations_quarantine(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is deliberate (VERDICT r4 #1): the driver samples the
+    first 50 entries for CORRECTNESS rows, so the 56 entries that had
+    never received a driver-side row in rounds 1–4 come first — cheapest
+    first (per `scripts/check_contract.py` timings), with the heavy
+    round-4-new lifecycle entries (`dedup_index_pairs`,
+    `pq_adc_topk_trained`, `bm25_index_search`) kept inside the sample.
+    Positions 51–56 hold the six never-checked entries whose machinery is
+    already driver-covered by a sibling (`pq_adc_topk` ⊂
+    `pq_adc_topk_trained`, `datasource_stream_drain` / `changelog_consume`
+    / `model_latency` / `model_run_stats` / `metadata_count` twins);
+    previously-green entries follow. `COVERAGE.md` (generated by
+    `check_contract.py --coverage`) tracks the per-entry history."""
     return {
+        # -- never driver-checked in r1–r4: cheap block --------------------
+        "hash_split": q_hash_split,
+        "sample_stratified": q_sample_stratified,
+        "mixture_sample": q_mixture_sample,
+        "pseudonymize_ids": q_pseudonymize,
+        "topk_docs_per_group": q_topk_docs_per_group,
+        "expectations_report": q_expectations_report,
+        "pack_sequences": q_pack_sequences,
+        "composition_rollup": q_composition_rollup,
+        "doc_chunking": q_doc_chunking,
+        "pii_scrub": q_pii_scrub,
+        "expectations_quarantine": q_expectations_quarantine,
+        "length_quantiles": q_length_quantiles,
+        "sft_examples": q_sft_examples,
+        "scd2_history": q_scd2_history,
+        "scd2_check_collapse": q_scd2_check_collapse,
+        "quantize_int8": q_quantize_int8,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "conversation_assembly": q_conversation_assembly,
+        "transcript_integrity": q_transcript_integrity,
+        "bm25_search": q_bm25_search,
+        "export_shards": q_export_shards,
+        "cdc_wal_normalize": q_cdc_wal_normalize,
+        "repetition_stats": q_repetition_stats,
+        "range_join_click_window": q_range_join_click_window,
+        "vocabulary_topk": q_vocabulary_topk,
+        "asof_click_attribution": q_asof_click_attribution,
+        "dlq_classify": q_dlq_classify,
+        "time_travel_tag": q_time_travel_tag,
+        "sample_exact_k": q_sample_exact_k,
+        "stats_prune_scan": q_stats_prune_scan,
+        "bloom_prune_scan": q_bloom_prune_scan,
+        "ngram_lm_perplexity": q_ngram_lm_perplexity,
+        "curation_funnel": q_curation_funnel,
+        "changelog_read": q_changelog_read,
+        "sql_view": q_sql_view,
+        "branch_wap_publish": q_branch_wap_publish,
+        "zorder_cluster": q_zorder_cluster,
+        "cdc_wal_replay": q_cdc_wal_replay,
+        "rebucket_evolution": q_rebucket_evolution,
+        "cdc_wal_export": q_cdc_wal_export,
+        "retention_expiry": q_retention_expiry,
+        "gdpr_purge": q_gdpr_purge,
+        "table_diff": q_table_diff,
+        "table_clone": q_table_clone,
+        # -- never driver-checked: heavy round-4 lifecycle block -----------
+        "contamination_check": q_contamination,
+        "datasource_changes_pull": q_datasource_changes_pull,
+        "sessionize_events": q_sessionize_events,
+        "bm25_index_search": q_bm25_index_search,
+        "dedup_index_pairs": q_dedup_index_pairs,
+        "pq_adc_topk_trained": q_pq_adc_topk_trained,
+        # -- never driver-checked, sibling-covered (slots 51–56) -----------
+        "datasource_stream_drain": q_datasource_stream_drain,
+        "changelog_consume": q_changelog_consume,
+        "metadata_count": q_metadata_count,
+        "model_latency": q_model_latency,
+        "pq_adc_topk": q_pq_adc_topk,
+        "model_run_stats": q_model_run_stats,
+        # -- driver-checked green in r1–r4 ---------------------------------
         "s1_changes_batch_pull": q_s1_changes_batch_pull,
         "s2_pending_probe": q_s2_pending_probe,
         "p1_deleted_live_split": q_p1_deleted_live_split,
@@ -2954,62 +3026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprint_winnow": q_text_fingerprint_winnow,
         "multimodal_meta": q_multimodal_meta,
-        "sessionize_events": q_sessionize_events,
-        "asof_click_attribution": q_asof_click_attribution,
-        "range_join_click_window": q_range_join_click_window,
-        "dlq_classify": q_dlq_classify,
-        "vocabulary_topk": q_vocabulary_topk,
-        "pii_scrub": q_pii_scrub,
-        "quantize_int8": q_quantize_int8,
-        "contamination_check": q_contamination,
-        "hash_split": q_hash_split,
-        "sample_stratified": q_sample_stratified,
-        "sample_exact_k": q_sample_exact_k,
-        "ngram_lm_perplexity": q_ngram_lm_perplexity,
-        "mixture_sample": q_mixture_sample,
-        "pseudonymize_ids": q_pseudonymize,
-        "expectations_report": q_expectations_report,
-        "expectations_quarantine": q_expectations_quarantine,
-        "repetition_stats": q_repetition_stats,
-        "pack_sequences": q_pack_sequences,
-        "length_quantiles": q_length_quantiles,
-        "composition_rollup": q_composition_rollup,
-        "topk_docs_per_group": q_topk_docs_per_group,
-        "curation_funnel": q_curation_funnel,
-        "doc_chunking": q_doc_chunking,
-        "bm25_search": q_bm25_search,
-        "bm25_index_search": q_bm25_index_search,
-        "dedup_index_pairs": q_dedup_index_pairs,
-        "export_shards": q_export_shards,
-        "changelog_read": q_changelog_read,
-        "changelog_consume": q_changelog_consume,
-        "datasource_changes_pull": q_datasource_changes_pull,
-        "datasource_stream_drain": q_datasource_stream_drain,
-        "cdc_wal_normalize": q_cdc_wal_normalize,
-        "cdc_wal_replay": q_cdc_wal_replay,
-        "cdc_wal_export": q_cdc_wal_export,
-        "stats_prune_scan": q_stats_prune_scan,
-        "bloom_prune_scan": q_bloom_prune_scan,
-        "pq_adc_topk": q_pq_adc_topk,
-        "pq_adc_topk_trained": q_pq_adc_topk_trained,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "sql_view": q_sql_view,
-        "time_travel_tag": q_time_travel_tag,
-        "table_clone": q_table_clone,
-        "rebucket_evolution": q_rebucket_evolution,
-        "gdpr_purge": q_gdpr_purge,
-        "retention_expiry": q_retention_expiry,
-        "table_diff": q_table_diff,
-        "metadata_count": q_metadata_count,
-        "zorder_cluster": q_zorder_cluster,
-        "model_run_stats": q_model_run_stats,
-        "model_latency": q_model_latency,
-        "branch_wap_publish": q_branch_wap_publish,
-        "conversation_assembly": q_conversation_assembly,
-        "sft_examples": q_sft_examples,
-        "transcript_integrity": q_transcript_integrity,
-        "scd2_history": q_scd2_history,
-        "scd2_check_collapse": q_scd2_check_collapse,
     }
 
 

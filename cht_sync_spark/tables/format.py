@@ -2802,6 +2802,11 @@ class SnapshotTable:
         data_root = os.path.join(self.path, _DATADIR)
         cutoff = _time.time() - grace_seconds
         removed = 0
+        # dirs fully emptied by THIS pass, where every entry removed was
+        # itself past the grace window (aged orphan file / aged staging /
+        # aged-empty child dir): safe to rmdir even though our own
+        # os.remove calls just refreshed the dir's mtime
+        aged_emptied: set = set()
         for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
             # NEVER descend into Hadoop commit staging: a concurrent
             # writer creates data/<uuid>/_temporary/... and renames task
@@ -2809,19 +2814,42 @@ class SnapshotTable:
             # it mid-write fails the writer's job with a phantom
             # chmod/rename error (found by tests/test_vacuum_torture.py).
             # Aged-out staging left by CRASHED writers is removed whole
-            # once its root is older than the grace window.
+            # once NOTHING in its tree is younger than the grace window.
             if "_temporary" in dirpath.split(os.sep):
                 continue
+            try:
+                dir_mtime_before = os.path.getmtime(dirpath)
+            except OSError:
+                dir_mtime_before = None
+            # names present at walk time that this pass removed as aged
+            gone_aged: set = set()
             for dn in list(dirnames):
+                full = os.path.join(dirpath, dn)
                 if dn == "_temporary":
-                    full = os.path.join(dirpath, dn)
+                    # liveness = the NEWEST entry anywhere in the staging
+                    # tree, not the root's mtime (set at job start): a
+                    # legitimate job running longer than the grace window
+                    # keeps writing fresh task files deep in the tree
                     try:
-                        if os.path.getmtime(full) <= cutoff:
+                        newest = os.path.getmtime(full)
+                        for dp2, dns2, fns2 in os.walk(full):
+                            for entry in dns2 + fns2:
+                                try:
+                                    newest = max(
+                                        newest,
+                                        os.path.getmtime(os.path.join(dp2, entry)),
+                                    )
+                                except OSError:
+                                    pass
+                        if newest <= cutoff:
                             import shutil as _shutil
 
                             _shutil.rmtree(full, ignore_errors=True)
+                            gone_aged.add(dn)
                     except OSError:
                         pass
+                elif full in aged_emptied:
+                    gone_aged.add(dn)
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.normpath(os.path.relpath(full, self.path))
@@ -2832,15 +2860,25 @@ class SnapshotTable:
                     except OSError:
                         continue
                     os.remove(full)
+                    gone_aged.add(fn)
                     removed += 1
             if not os.listdir(dirpath) and dirpath != data_root:
                 # the directory-level grace twin of the file rule: an empty
                 # dir touched inside the window may be a writer's
                 # just-created bucket/staging parent — removing it races
-                # the writer's own mkdir/rename
+                # the writer's own mkdir/rename. Two safe cases: the dir
+                # was last modified before the cutoff (mtime captured
+                # BEFORE our own deletions refreshed it), or everything it
+                # held at walk time was removed by this pass as past-grace
+                # (so the fresh mtime is our own doing, not a writer's).
+                walked = set(filenames) | set(dirnames)
+                aged_ok = bool(walked) and walked == gone_aged
                 try:
-                    if os.path.getmtime(dirpath) <= cutoff:
+                    if aged_ok or (
+                        dir_mtime_before is not None and dir_mtime_before <= cutoff
+                    ):
                         os.rmdir(dirpath)
+                        aged_emptied.add(dirpath)
                 except OSError:
                     pass  # concurrent writer repopulated it: leave it
         # manifest files referenced by no retained snapshot (expired history,

@@ -95,6 +95,63 @@ def test_vacuum_removes_losing_race_orphans(spark, tmp_path):
     assert len(got) == 100 and got[5] == "a"  # orphan rows never visible
 
 
+def test_vacuum_rmdirs_dirs_it_emptied_same_pass(spark, tmp_path):
+    """ADVICE r4: vacuum's own os.remove calls refresh the parent dir's
+    mtime, so the old mtime-only guard could never rmdir a dir emptied by
+    the same pass — empty bucket dirs lingered a full extra grace window.
+    A dir whose every walk-time entry was removed by this pass as
+    past-grace must be rmdir'd in the SAME pass (nested dirs included)."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, KV, ["k"], num_buckets=2)
+    t.append_delta(_kv(spark, 0, 20, "a", 1))
+
+    old = 1_000_000_000  # well before any grace cutoff
+    stale = os.path.join(path, "data", "stale_dir")
+    sub = os.path.join(stale, "sub")
+    os.makedirs(sub)
+    for d in (stale, sub):
+        with open(os.path.join(d, "orphan.parquet"), "wb") as f:
+            f.write(b"x")
+        os.utime(os.path.join(d, "orphan.parquet"), (old, old))
+    os.utime(sub, (old, old))
+    # parent mtime FRESH (just created) — only the emptied-by-us rule
+    # can legalize the rmdir within this pass
+    removed = t.vacuum(grace_seconds=3600)
+    assert removed == 2
+    assert not os.path.exists(stale)  # gone in ONE pass, not two
+    assert t.read_current().count() == 20
+
+
+def test_vacuum_staging_liveness_is_deepest_mtime(spark, tmp_path):
+    """ADVICE r4: aged-staging removal keyed off the _temporary ROOT's
+    mtime, set at job start — a legitimate job running longer than the
+    grace window had its live staging rmtree'd while its newest task
+    files were seconds old. Liveness must be the newest entry anywhere
+    in the staging tree."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, path, KV, ["k"], num_buckets=2)
+    t.append_delta(_kv(spark, 0, 20, "a", 1))
+
+    old = 1_000_000_000
+    staging = os.path.join(path, "data", "job1", "_temporary", "0", "task0")
+    os.makedirs(staging)
+    part = os.path.join(staging, "part-00000")
+    with open(part, "wb") as f:
+        f.write(b"inflight")
+    # root mtime OLD (job started hours ago), deep task file FRESH
+    tmp_root = os.path.join(path, "data", "job1", "_temporary")
+    for d in (tmp_root, os.path.dirname(staging)):
+        os.utime(d, (old, old))
+    t.vacuum(grace_seconds=3600)
+    assert os.path.exists(part)  # long-running writer's staging survives
+
+    # once NOTHING in the tree is fresh, the crashed-job staging goes
+    os.utime(part, (old, old))
+    os.utime(staging, (old, old))
+    t.vacuum(grace_seconds=3600)
+    assert not os.path.exists(tmp_root)
+
+
 def test_in_loop_maintenance_bounds_state(spark, feed_path, feed_df, tmp_path):
     """maintenance_every: the sustained-ingest loop folds deltas, expires
     manifests and vacuums on a cadence — final state identical to the
