@@ -138,6 +138,16 @@ class ModelSpec:
     enforced: bool = False
     unique_test: bool = False
     not_null: list[str] = field(default_factory=list)
+    # Periodic DEEP data test (ADVICE r4): every Nth epoch, re-run the
+    # unique/not_null tests against the reconciled post-merge READ VIEW
+    # (the full_refresh form, table re-read included), not just the
+    # recomputed slice. The slice test's structural argument — keyed
+    # merge + keyed fold ⇒ no cross-epoch duplicates — holds only while
+    # merge/fold are themselves bug-free; this cadence keeps a detector
+    # for fold-level regressions (e.g. a _fold_rank tie surfacing two
+    # versions of a key) at 1/N of the old per-epoch table-scan cost.
+    # 0 = off (slice tests only, plus full_refresh's full test).
+    deep_test_every: int = 0
     # Row-level expectations on the TRANSFORM OUTPUT (functions/quality.py
     # — dbt's accepted_values/custom tests, DLT's expectations), as a
     # zero-arg factory returning the rules (Column objects are not
@@ -714,6 +724,15 @@ class ModelRunner:
                     unique_key=self.spec.key_cols if self.spec.unique_test else None,
                     not_null=self.spec.not_null,
                 )
+                if (
+                    self.spec.deep_test_every > 0
+                    and epoch is not None
+                    and epoch % self.spec.deep_test_every == 0
+                ):
+                    # periodic deep check over the reconciled read view —
+                    # catches fold/merge regressions the slice test's
+                    # structural argument assumes away (see ModelSpec)
+                    self._run_data_tests(buckets=None)
         except BaseException:
             if cached is not None:
                 cached.unpersist()

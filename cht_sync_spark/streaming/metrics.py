@@ -12,13 +12,17 @@ table scans, safe to wire to a scrape endpoint at any cadence. (The
 reference needs a sidecar Postgres poller because its progress lives in
 tables; ours lives in snapshot metadata.)
 
-Reference metric names are kept verbatim where the semantic matches
-(``couch2pg_progress_sequence``, ``couch2pg_progress_pending``,
-``couch2pg_up``, ``dbt_latency``, ``dbt_execution_time``); engine-native
-gauges use the ``cht_sync_`` prefix. ``dbt_latency`` here is in
-feed-sequence units (the engine's native freshness domain — the
-reference's is seconds because Postgres timestamps are its only
-watermark); ``dbt_execution_time`` requires the run-stats table and is
+Reference metric names are kept verbatim ONLY where both the semantic
+and the unit match (``couch2pg_progress_sequence``,
+``couch2pg_progress_pending``, ``couch2pg_up``); everything else uses an
+engine-native ``cht_sync_`` name with the unit in the name, so a
+dashboard or alert rule ported from the reference's sql-exporter config
+can never silently misread a gauge whose unit changed (ADVICE r4: the
+reference's ``dbt_latency`` is SECONDS — Postgres timestamps are its
+only watermark — while this engine's freshness domain is ingest epochs,
+hence ``cht_sync_model_epoch_lag``; its ``dbt_execution_time`` is dbt's
+seconds-float, ours is ``cht_sync_model_exec_time_ms``).
+``cht_sync_model_exec_time_ms`` requires the run-stats table and is
 therefore OPT-IN (``include_model_runs=True`` — the one call that runs
 a, tiny, Spark read).
 """
@@ -143,8 +147,9 @@ def metrics_text(
             up_s,
         ),
         (
-            "dbt_latency", "gauge",
-            "epochs the model lags behind the landing ingest (0 = current)",
+            "cht_sync_model_epoch_lag", "gauge",
+            "ingest epochs the model lags behind the landing table "
+            "(0 = current; the reference's dbt_latency, which is seconds)",
             lag_s,
         ),
         (
@@ -155,8 +160,9 @@ def metrics_text(
     ]
 
     if include_model_runs:
-        # dbt_execution_time parity needs the run-stats records — one tiny
-        # Spark read of the 1-bucket runs table, opt-in by contract
+        # execution-time parity (the reference's dbt_execution_time) needs
+        # the run-stats records — one tiny Spark read of the 1-bucket runs
+        # table, opt-in by contract
         exec_s: list[tuple[dict, float]] = []
         runs = pipe.model_runs()
         from pyspark.sql import functions as F
@@ -171,8 +177,9 @@ def metrics_text(
             exec_s.append(({"model": r["model"]}, int(r["exec_ms"])))
         fams.append(
             (
-                "dbt_execution_time", "gauge",
-                "last completed model run execution time (ms)",
+                "cht_sync_model_exec_time_ms", "gauge",
+                "last completed model run execution time in milliseconds "
+                "(the reference's dbt_execution_time, which is seconds)",
                 exec_s,
             )
         )

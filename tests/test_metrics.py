@@ -5,10 +5,14 @@ the reference sql-exporter parity surface
 Pinned: the render is a pure driver-side property read (ZERO Spark jobs
 by default — asserted via the scheduler's job counter); names/labels/
 values match the reference's metric set (progress sequence, pending,
-liveness window, model latency) exactly for a known pipeline state; the
+liveness window, model latency) for a known pipeline state; the
 liveness gauge flips with the injected clock; the opt-in
-dbt_execution_time family appears only with include_model_runs and
-carries the completed runs' exec_ms.
+cht_sync_model_exec_time_ms family appears only with include_model_runs
+and carries the completed runs' exec_ms. Reference names whose UNIT
+differs here carry engine-native unit-bearing names (ADVICE r4):
+dbt_latency (seconds) -> cht_sync_model_epoch_lag (epochs),
+dbt_execution_time (seconds) -> cht_sync_model_exec_time_ms — the
+verbatim reference names must NOT appear in the exposition.
 """
 
 from __future__ import annotations
@@ -77,9 +81,12 @@ def test_metrics_text_golden(spark, feed_path, tmp_path):
     assert sum(
         v for k, v in got.items() if k.startswith("couch2pg_progress_pending")
     ) == 0  # fully drained feed
-    # models finished the same epochs as the landing -> zero latency
-    assert got['dbt_latency{model="conversations"}'] == 0
-    assert got['dbt_latency{model="conv_profiles"}'] == 0
+    # models finished the same epochs as the landing -> zero latency;
+    # the reference's seconds-unit name must not leak into our
+    # epochs-unit gauge (a ported alert rule would misread it)
+    assert not any(k.startswith("dbt_latency") for k in got)
+    assert got['cht_sync_model_epoch_lag{model="conversations"}'] == 0
+    assert got['cht_sync_model_epoch_lag{model="conv_profiles"}'] == 0
     # attached consumer has not applied anything yet -> real lag surfaces
     assert got['cht_sync_consumer_pending_versions{consumer="mirror"}'] > 0
     cons.run()
@@ -92,11 +99,13 @@ def test_metrics_text_golden(spark, feed_path, tmp_path):
         assert stale[f"couch2pg_up{lab(src, part)}"] == 0
 
     # no execution-time family unless opted in (it reads the runs table)
-    assert "dbt_execution_time" not in text
+    assert "cht_sync_model_exec_time_ms" not in text
     with_runs = metrics_text(pipe, now_ms=upd_ms + 1_000, include_model_runs=True)
     runs = _parse(with_runs)
-    assert runs['dbt_execution_time{model="conversations"}'] >= 0
-    assert runs['dbt_execution_time{model="conv_profiles"}'] >= 0
+    # seconds-unit reference name must not be an emitted metric
+    assert not any(k.startswith("dbt_execution_time") for k in runs)
+    assert runs['cht_sync_model_exec_time_ms{model="conversations"}'] >= 0
+    assert runs['cht_sync_model_exec_time_ms{model="conv_profiles"}'] >= 0
 
 
 def test_metrics_instance_split_and_escaping(spark, tmp_path):

@@ -142,3 +142,55 @@ def test_transform_hash_triggers_full_refresh(spark, feed_path, tmp_path):
     got = pipe.models[0].table.read_current().select("has_tool_calls").distinct().collect()
     assert [r["has_tool_calls"] for r in got] == [True]
     assert not runner.needs_full_refresh()
+
+
+def test_periodic_deep_test_cadence_and_detector(spark, feed_path, tmp_path, monkeypatch):
+    """ADVICE r4: incremental epochs test only the recomputed slice, whose
+    sufficiency rests on merge/fold being bug-free. `deep_test_every=N`
+    keeps a detector: every Nth epoch re-runs unique/not_null against the
+    reconciled post-merge READ VIEW (the full_refresh form). Pins (a) the
+    cadence — `_run_data_tests(buckets=None)` fires exactly on the
+    configured epochs, never between, and (b) the detector — a read view
+    with a duplicated key raises ContractViolation through that path."""
+    import pytest as _pytest
+
+    from cht_sync_spark.operators import models as M
+    from cht_sync_spark.operators.contracts import ContractViolation
+
+    pipe = _pipe(spark, feed_path, tmp_path / "deep")
+    pipe.run()
+    runner = pipe.models[0]
+    runner.spec.deep_test_every = 2  # not part of transform_hash: no rebuild
+    assert not runner.needs_full_refresh()
+
+    calls: list = []
+    orig = M.ModelRunner._run_data_tests
+
+    def spy(self, buckets):
+        calls.append(buckets)
+        return orig(self, buckets)
+
+    monkeypatch.setattr(M.ModelRunner, "_run_data_tests", spy)
+    last = runner.last_epoch()
+    odd = last + 1 if (last + 1) % 2 == 1 else last + 2
+    even = odd + 1
+    empty = pipe.table.read_current().limit(0)
+
+    # off-cadence epoch: slice test only — _run_data_tests never called
+    runner.run_increment(pipe.table, empty, epoch=odd)
+    assert calls == []
+    # on-cadence epoch: exactly one deep call over the FULL read view
+    runner.run_increment(pipe.table, empty, epoch=even)
+    assert calls == [None]
+
+    # detector: a fold regression surfacing two versions of a key in the
+    # read view must fail the deep test (drop_tombstones read wiring)
+    orig_read = runner.table.read_current
+
+    def corrupted(*a, **kw):
+        df = orig_read(*a, **kw)
+        return df.unionAll(df.limit(1))
+
+    monkeypatch.setattr(runner.table, "read_current", corrupted)
+    with _pytest.raises(ContractViolation):
+        orig(runner, None)
