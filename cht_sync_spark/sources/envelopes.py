@@ -78,6 +78,16 @@ WAL_SOURCE = T.StructType(
     ]
 )
 
+# Epoched egress variant (additive field — legacy envelopes simply lack
+# it): once a table's change versions approach the 2^23 ceiling of the
+# (version<<40)|md5_40 int64 pack, `advance_lsn_epoch` stores a new epoch
+# base and exports stamp `source.lsn_epoch` with the lsn packed RELATIVE
+# to that base. Consumers order by (lsn_epoch, lsn); this engine's own
+# re-ingest folds the pair into one per-key-monotone int64 (wal_seq_epoched).
+WAL_SOURCE_EPOCHED = T.StructType(
+    WAL_SOURCE.fields + [T.StructField("lsn_epoch", T.LongType(), True)]
+)
+
 WAL_ENVELOPE = T.StructType(
     [
         T.StructField("op", T.StringType(), False),  # c|u|d|r
@@ -91,6 +101,10 @@ WAL_ENVELOPE = T.StructType(
 # Debezium op → engine op. Snapshot reads (r) are inserts: replay through
 # the idempotent LWW merge makes snapshot/tail overlap harmless.
 _OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
+
+# Table property holding the JSON list of lsn-epoch base versions
+# (strictly increasing; epoch i >= 1 starts at bases[i-1], epoch 0 at 0).
+LSN_EPOCH_PROP = "cdc.lsn_epoch.bases"
 
 
 def binlog_seq(file: Column, pos: Column) -> Column:
@@ -112,6 +126,41 @@ def wal_seq(source: Column) -> Column:
     """Log position → engine seq: LSN when present (pg), else packed
     binlog (file, pos) (mysql)."""
     return F.coalesce(source["lsn"], binlog_seq(source["file"], source["pos"]))
+
+
+def wal_seq_epoched(source: Column) -> Column:
+    """(lsn_epoch, epoch-relative lsn) → one per-key-monotone int64.
+
+    The epoched pack is ``lsn = (rel_version << 40) | md5_40`` with
+    ``rel_version < 2^23`` per epoch (enforced at export). The fold keeps
+    the 46-bit global version ``(epoch << 23) | rel`` in the high bits and
+    the top 17 bits of the key hash below it::
+
+        seq = (((epoch << 23) | rel) << 17) | (md5_40 >> 23)
+
+    Ordering: per key, (epoch, rel) strictly increases with change
+    version (epochs only advance; rel restarts at each advance but the
+    epoch term dominates), so the fold is strictly increasing per key —
+    the only property LWW needs. The truncated 17-bit hash exists to keep
+    positions mostly distinct ACROSS keys within a version; a cross-key
+    tie is harmless (LWW compares within a key; seq-range batch cuts keep
+    tie groups intact because cuts are inclusive/exclusive on the same
+    value). Capacity: 2^23 epochs × 2^23 versions ≈ 7×10^13 change
+    versions. Rows with a null ``lsn_epoch`` fold as epoch 0, so a stream
+    that stamped epochs from its first export is self-consistent; mixing
+    epoched exports with LEGACY (un-epoched, verbatim-lsn) exports of the
+    same table is not ordered — re-export from a version boundary instead
+    (documented in :func:`events_to_debezium`)."""
+    epoch = F.coalesce(source["lsn_epoch"], F.lit(0)).cast("long")
+    rel = F.shiftrightunsigned(source["lsn"], 40)
+    md17 = F.shiftrightunsigned(
+        source["lsn"].bitwiseAND(F.lit((1 << 40) - 1)), 23
+    )
+    pg = F.shiftleft(F.shiftleft(epoch, 23) + rel, 17) + md17
+    return F.coalesce(
+        F.when(source["lsn"].isNotNull(), pg),
+        binlog_seq(source["file"], source["pos"]),
+    )
 
 
 def _op_col(op: Column) -> Column:
@@ -144,10 +193,19 @@ def debezium_to_events(
 
     Pure Catalyst; the output plan keeps ``seq`` a plain column so the
     feed-side range predicates still push into the tap's parquet scan.
+
+    Epoched streams: when the envelope's ``source`` struct carries the
+    additive ``lsn_epoch`` field (egress past the 2^23 version ceiling —
+    see :func:`advance_lsn_epoch`), seq is the :func:`wal_seq_epoched`
+    fold of (epoch, relative lsn), which stays strictly increasing per
+    key across epoch bumps. Detection is schema-driven, so legacy and
+    epoched envelopes both flow through this one adapter.
     """
     src = F.col("source")
     name = source_name if source_name is not None else src["db"]
-    seq = wal_seq(src)
+    src_type = env.schema["source"].dataType
+    epoched = isinstance(src_type, T.StructType) and "lsn_epoch" in src_type.names
+    seq = wal_seq_epoched(src) if epoched else wal_seq(src)
     op = _op_col(F.col("op"))
 
     img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
@@ -324,8 +382,17 @@ def events_to_debezium(
       the export through :func:`debezium_to_events` + the idempotent LWW
       merge converges to the exported table's live state (the round-trip
       pinned in tests). 40 bits of md5 keep positions distinct across
-      keys within a version; versions stay below 2^23 under snapshot
-      expiry, so the pack cannot overflow int64.
+      keys within a version. The pack holds (epoch-relative) versions up
+      to 2^23; a longer-lived table records epoch bases via
+      :func:`advance_lsn_epoch` BEFORE crossing, after which envelopes
+      carry ``source.lsn_epoch`` and the lsn packs ``version - base`` —
+      consumers order by (lsn_epoch, lsn), and this engine's own
+      re-ingest folds the pair per :func:`wal_seq_epoched`. Enabling
+      epochs mid-stream re-bases only versions AFTER the recorded base,
+      so previously exported envelopes keep their positions; do not mix
+      un-epoched exports of post-base ranges with epoched ones (the
+      verbatim and relative packs are not mutually ordered — re-export
+      from the base instead).
     - ``before``: for deletes, the key columns (null payload — the
       content-free tombstone stub, importer.js:86-95); with
       ``with_before=True``, the full image at ``from_version`` (the
@@ -339,20 +406,42 @@ def events_to_debezium(
     broadcast key semi-join (the derived-index consumers' discipline).
     Pure Catalyst throughout.
     """
+    import json as _json
     import os as _os
 
     from cht_sync_spark.tables.format import bucket_expr
 
-    # the (version << 40) | md5_40 pack documented below needs
-    # change versions < 2^23 or the shift overflows int64 and synthesized
-    # log positions go negative/non-monotone — enforce it, mirroring the
-    # pos < 2^32 gate binlog_seq applies on the ingest side
+    # The (version << 40) | md5_40 pack needs (epoch-relative) change
+    # versions < 2^23 or the shift overflows int64 and synthesized log
+    # positions go negative/non-monotone — mirroring the pos < 2^32 gate
+    # binlog_seq applies on the ingest side. A long-lived table escapes
+    # the ceiling by recording lsn-epoch bases (:func:`advance_lsn_epoch`)
+    # BEFORE crossing: versions then pack relative to their epoch's base
+    # and envelopes carry the additive ``source.lsn_epoch`` field.
     tip = to_version if to_version is not None else table.current_version()
-    if tip >= 1 << 23:
+    bases = _json.loads(
+        table.snapshot().properties.get(LSN_EPOCH_PROP, "[]")
+    )
+    if bases:
+        starts = [0] + [int(b) for b in bases]
+        for i, b in enumerate(starts):
+            end = (starts[i + 1] - 1) if i + 1 < len(starts) else tip
+            if end < from_version + 1 or b > tip:
+                continue  # segment outside the export range
+            if end - b >= 1 << 23:
+                raise ValueError(
+                    f"events_to_debezium: lsn epoch {i} spans change versions "
+                    f"{b}..{end} (>= 2^23 apart) — advance_lsn_epoch was "
+                    "called too late for this range; re-export from a "
+                    "bounded range or record an intermediate base"
+                )
+    elif tip >= 1 << 23:
         raise ValueError(
             f"events_to_debezium: change version {tip} >= 2^23 would overflow "
-            "the (version<<40)|md5_40 int64 lsn pack — expire/compact table "
-            "history (snapshot expiry keeps versions bounded) before exporting"
+            "the (version<<40)|md5_40 int64 lsn pack — call "
+            "advance_lsn_epoch(table) to start an epoched export "
+            "(consumers order by (source.lsn_epoch, source.lsn)), or "
+            "expire/compact table history before exporting"
         )
     ch = table.changes(from_version, to_version, strict=strict)
     db_name = db if db is not None else _os.path.basename(_os.path.normpath(table.path))
@@ -421,15 +510,35 @@ def events_to_debezium(
         op = F.when(is_del, F.lit("d")).otherwise(F.lit("u"))
 
     md40 = F.conv(F.substring(F.md5(F.col("_id")), 1, 10), 16, 10).cast("long")
-    lsn = F.shiftleft(F.col("_change_version").cast("long"), 40) + md40
-    src = F.struct(
+    v = F.col("_change_version").cast("long")
+    src_fields = [
         F.lit(db_name).alias("db"),
         F.lit("transcripts").alias("table"),
-        lsn.alias("lsn"),
-        F.lit(None).cast("string").alias("file"),
-        F.lit(None).cast("long").alias("pos"),
-        F.col("_change_version").cast("long").alias("tx_id"),
-    )
+    ]
+    if bases:
+        # epoch(v) = number of recorded bases <= v; base(v) via the
+        # driver-side starts list (bases are few — one per ~8.4M commits)
+        epoch_c = F.lit(0)
+        for b in bases:
+            epoch_c = epoch_c + F.when(v >= F.lit(int(b)), 1).otherwise(0)
+        epoch_c = epoch_c.cast("long")
+        starts_arr = F.array(*[F.lit(int(b)) for b in ([0] + list(bases))])
+        base_c = F.element_at(starts_arr, (epoch_c + 1).cast("int")).cast("long")
+        src_fields += [
+            (F.shiftleft(v - base_c, 40) + md40).alias("lsn"),
+            F.lit(None).cast("string").alias("file"),
+            F.lit(None).cast("long").alias("pos"),
+            v.alias("tx_id"),  # full version: epoch-free diagnostics
+            epoch_c.alias("lsn_epoch"),
+        ]
+    else:
+        src_fields += [
+            (F.shiftleft(v, 40) + md40).alias("lsn"),
+            F.lit(None).cast("string").alias("file"),
+            F.lit(None).cast("long").alias("pos"),
+            v.alias("tx_id"),
+        ]
+    src = F.struct(*src_fields)
     return ch.select(
         op.alias("op"),
         F.unix_millis(F.col("saved_timestamp")).alias("ts_ms"),
@@ -439,13 +548,59 @@ def events_to_debezium(
     )
 
 
+def advance_lsn_epoch(table, *, max_retries: int = 8) -> int:
+    """Start a new lsn epoch for :func:`events_to_debezium` egress.
+
+    Records the NEXT commit's version (this metadata-only commit itself,
+    which carries no changelog rows, so no exported row sits on the
+    boundary) as a base in the ``cdc.lsn_epoch.bases`` table property.
+    All strictly later change versions export with
+    ``source.lsn_epoch = <new epoch>`` and lsn packed relative to the
+    base; previously exported versions keep their epoch and positions.
+    Call BEFORE the epoch-relative version span reaches 2^23 (the export
+    refuses otherwise). Optimistic-concurrency safe (expected-version
+    pin + retry, the S4 discipline). Returns the new epoch number."""
+    import json as _json
+
+    from cht_sync_spark.tables.format import CommitConflict
+
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        cur = table.current_version()
+        bases = _json.loads(
+            table.snapshot().properties.get(LSN_EPOCH_PROP, "[]")
+        )
+        base = cur + 1
+        if bases and base <= int(bases[-1]):
+            raise ValueError(
+                f"advance_lsn_epoch: recorded base {bases[-1]} is not below "
+                f"the next commit version {base} — bases must strictly increase"
+            )
+        try:
+            table.commit(
+                add_files=[],
+                properties_update={
+                    LSN_EPOCH_PROP: _json.dumps([int(b) for b in bases] + [base])
+                },
+                expected_version=cur,
+            )
+            return len(bases) + 1
+        except CommitConflict as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]
+
+
 def expected_wal_state(envelopes: DataFrame) -> DataFrame:
     """Oracle for tests: the final table state a WAL apply must converge to —
     per (source.db, key) the image at the highest log position; keys whose
     last entry is a delete are absent. Independent implementation (max-seq
-    semi-join, no engine code) for cross-checking replay results."""
+    semi-join, no engine code) for cross-checking replay results. Orders
+    by the epoch-aware fold when the envelopes carry ``lsn_epoch``."""
+    src_type = envelopes.schema["source"].dataType
+    epoched = isinstance(src_type, T.StructType) and "lsn_epoch" in src_type.names
+    seq_fn = wal_seq_epoched if epoched else wal_seq
     ev = envelopes.select(
-        wal_seq(F.col("source")).alias("seq"),
+        seq_fn(F.col("source")).alias("seq"),
         F.col("source.db").alias("source"),
         F.col("op"),
         F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after")).alias("img"),

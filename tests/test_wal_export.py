@@ -164,3 +164,94 @@ def test_export_refuses_lsn_pack_overflow(spark, tmp_path):
     t.append_delta(spark.createDataFrame([_row("k", 0, "v1", 1)], TRANSCRIPT))
     with pytest.raises(ValueError, match="2\\^23"):
         events_to_debezium(t, 1, to_version=1 << 23)
+
+
+def test_epoched_export_crosses_ceiling(spark, tmp_path):
+    """VERDICT r4 #5: the 2^23 version ceiling gets an escape hatch.
+    advance_lsn_epoch records a base; later versions export with
+    source.lsn_epoch set and lsn packed RELATIVE to the base. Pins:
+    epoch stamping per version range, per-key (epoch, lsn) AND folded-seq
+    strict monotonicity across the bump, and round-trip convergence of an
+    epoch-crossing export through the unchanged ingest adapter."""
+    from cht_sync_spark.sources.envelopes import (
+        LSN_EPOCH_PROP, advance_lsn_epoch, expected_wal_state,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "ep"))
+    # epoch 0: two versions of k plus a second key
+    t.append_delta(spark.createDataFrame([_row("k", 0, "v1", 1)], TRANSCRIPT))
+    t.append_delta(
+        spark.createDataFrame([_row("k", 0, "v2", 2), _row("j", 1, "w1", 2)], TRANSCRIPT)
+    )
+    epoch = advance_lsn_epoch(t)
+    assert epoch == 1
+    base = t.current_version()  # the props-only commit's own version
+    # epoch 1: k edited again, j deleted
+    t.append_delta(spark.createDataFrame([_row("k", 0, "v3", 3)], TRANSCRIPT))
+    t.append_delta(
+        spark.createDataFrame([_row("j", 1, None, 4, deleted=True)], TRANSCRIPT)
+    )
+
+    env = events_to_debezium(t, from_version=1, db="ep").collect()
+    by_ver = sorted((r["source"]["tx_id"], r) for r in env)
+    for ver, r in by_ver:
+        want_epoch = 1 if ver >= base else 0
+        assert r["source"]["lsn_epoch"] == want_epoch, (ver, r["source"])
+        rel = r["source"]["lsn"] >> 40
+        want_rel = ver - (base if ver >= base else 0)
+        assert rel == want_rel, (ver, rel, want_rel)
+
+    # per-key monotonicity across the epoch bump: (epoch, lsn) tuples and
+    # the ingest-side folded seq must both strictly increase in version order
+    evts = debezium_to_events(events_to_debezium(t, from_version=1, db="ep"))
+    k_rows = sorted(
+        (r["source"]["tx_id"], (r["source"]["lsn_epoch"] or 0, r["source"]["lsn"]))
+        for r in env
+        if r["source"] and (
+            (r["after"] and r["after"]["conv_id"] == "k")
+            or (r["before"] and r["before"]["conv_id"] == "k")
+        )
+    )
+    pairs = [p for _, p in k_rows]
+    assert pairs == sorted(pairs) and len(set(pairs)) == len(pairs)
+    k_seqs = [
+        r["seq"] for r in evts.where(F.col("id") == "k:0").orderBy("seq").collect()
+    ]
+    assert len(k_seqs) == 3 and k_seqs == sorted(set(k_seqs))
+
+    # the LAST version's image wins through the epoch-aware fold
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in expected_wal_state(events_to_debezium(t, from_version=1, db="ep")).collect()
+    }
+    assert want == {("k", 0): "v3"}  # j deleted, k at v3
+
+    # property survives and a second advance strictly increases
+    assert LSN_EPOCH_PROP in t.snapshot().properties
+    assert advance_lsn_epoch(t) == 2
+
+
+def test_epoched_fold_orders_at_the_boundary(spark):
+    """The wal_seq_epoched fold at the exact overflow-adjacent boundary:
+    rel = 2^23 - 1 in epoch e orders strictly BELOW rel = 0 in epoch e+1
+    for the same key, and the fold never exceeds int64 at the documented
+    capacity (epoch 2^23 - 1, rel 2^23 - 1)."""
+    from pyspark.sql import types as T
+
+    from cht_sync_spark.sources.envelopes import WAL_SOURCE_EPOCHED, wal_seq_epoched
+
+    md40 = (1 << 40) - 1  # worst-case hash bits
+    rows = [
+        (0, ((1 << 23) - 1) << 40 | md40),
+        (1, 0 << 40 | 0),
+        (1, 1 << 40 | md40),
+        ((1 << 23) - 1, (((1 << 23) - 1) << 40) | md40),  # capacity edge
+    ]
+    df = spark.createDataFrame(
+        [Row(source=Row(db="d", table="t", lsn=lsn, file=None, pos=None,
+                        tx_id=None, lsn_epoch=e)) for e, lsn in rows],
+        T.StructType([T.StructField("source", WAL_SOURCE_EPOCHED, False)]),
+    )
+    seqs = [r["s"] for r in df.select(wal_seq_epoched(F.col("source")).alias("s")).collect()]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    assert all(0 < s < (1 << 63) for s in seqs)
