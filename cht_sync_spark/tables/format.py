@@ -53,7 +53,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -61,6 +60,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from cht_sync_spark.tables.fileio import LOCAL_IO, FileIO, _fsync_dir  # noqa: E402
 
 _SNAPDIR = "_snapshots"
 _MANDIR = "_manifests"
@@ -112,15 +113,6 @@ class Snapshot:
     # (fast_forward's fork-point check) must not depend on when — or from
     # which copied file's mtime — a snapshot was stamped.
     committed_at: float | None = field(default=None, compare=False)
-
-
-def _fsync_dir(d: str) -> None:
-    """fsync a directory so a just-renamed entry survives power loss."""
-    fd = os.open(d, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
 
 
 def maintain_tables(
@@ -311,9 +303,15 @@ def _entry_matches(entry: dict[str, Any], filters: list[tuple[str, str, Any]]) -
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, io: "FileIO | None" = None):
         self.spark = spark
         self.path = path
+        # Storage seam for the METADATA plane (tables/fileio.py): commit
+        # claims, snapshot/manifest/sidecar IO, clone linking, vacuum
+        # listing all route through it. The default is the POSIX impl;
+        # an object-store deployment passes its own (the data plane is
+        # Spark's and flows through the Hadoop FS connectors instead).
+        self._io = io if io is not None else LOCAL_IO
         # branch handles point at a sibling snapshot dir; data files and
         # manifest files are SHARED across branches (immutable, content-
         # addressed), so a branch is metadata-only until it commits
@@ -346,8 +344,9 @@ class SnapshotTable:
         properties: dict[str, str] | None = None,
         if_not_exists: bool = True,
         bucket_cols: list[str] | None = None,
+        io: "FileIO | None" = None,
     ) -> "SnapshotTable":
-        t = cls(spark, path)
+        t = cls(spark, path, io=io)
         if t.exists():
             if if_not_exists:
                 return t
@@ -361,8 +360,8 @@ class SnapshotTable:
 
             names = {f.name for f in schema.fields}
             lww_order = [(c, asc) for c, asc in LWW_ORDER if c in names]
-        os.makedirs(os.path.join(path, t._snapdir), exist_ok=True)
-        os.makedirs(os.path.join(path, _DATADIR), exist_ok=True)
+        t._io.mkdirs(os.path.join(path, t._snapdir))
+        t._io.mkdirs(os.path.join(path, _DATADIR))
         try:
             t._write_manifest(
             Snapshot(
@@ -389,7 +388,7 @@ class SnapshotTable:
 
     def exists(self) -> bool:
         d = os.path.join(self.path, self._snapdir)
-        return os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d))
+        return any(f.endswith(".json") for f in self._io.list_dir(d))
 
     # ------------------------------------------------------------- snapshots
     def _versions(self) -> list[int]:
@@ -399,18 +398,16 @@ class SnapshotTable:
         JSONDecodeError before this guard)."""
         d = os.path.join(self.path, self._snapdir)
         out = []
-        for f in os.listdir(d):
+        for f in self._io.list_dir(d):
             if not (f.startswith("v") and f.endswith(".json")):
                 continue
             v = int(f[1:-5])
             if v in self._snap_cache:
                 out.append(v)
                 continue
-            try:
-                if os.path.getsize(os.path.join(d, f)) > 0:
-                    out.append(v)
-            except OSError:
-                continue  # expired/removed concurrently
+            sz = self._io.size(os.path.join(d, f))
+            if sz:  # None = expired/removed concurrently; 0 = in-flight claim
+                out.append(v)
         return sorted(out)
 
     def current_version(self) -> int:
@@ -441,20 +438,15 @@ class SnapshotTable:
         m = None
         for _ in range(100):
             try:
-                with open(fp) as fh:
-                    m = json.load(fh)
+                m = json.loads(self._io.read_text(fp))
                 break
             except json.JSONDecodeError:
                 _time.sleep(0.02)
         if m is None:
-            with open(fp) as fh:
-                m = json.load(fh)
+            m = json.loads(self._io.read_text(fp))
         snap = self._from_manifest(m)
         if snap.committed_at is None:  # legacy snapshot: file mtime
-            try:
-                snap.committed_at = os.path.getmtime(fp)
-            except OSError:
-                pass
+            snap.committed_at = self._io.mtime(fp)
         self._snap_cache[v] = snap
         return snap
 
@@ -491,8 +483,7 @@ class SnapshotTable:
         cached = self._manifest_cache.get(rel)
         if cached is not None:
             return cached
-        with open(os.path.join(self.path, rel)) as fh:
-            entries = json.load(fh)["entries"]
+        entries = json.loads(self._io.read_text(os.path.join(self.path, rel)))["entries"]
         self._manifest_cache[rel] = entries
         return entries
 
@@ -505,15 +496,13 @@ class SnapshotTable:
         visible snapshot referencing a missing manifest (permanent
         corruption, vs the clean rollback a lost snapshot file is)."""
         d = os.path.join(self.path, _MANDIR)
-        os.makedirs(d, exist_ok=True)
+        self._io.mkdirs(d)
         rel = os.path.join(_MANDIR, f"m-{uuid.uuid4().hex}.json")
-        tmp = os.path.join(self.path, rel + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"entries": entries}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, os.path.join(self.path, rel))
-        _fsync_dir(d)
+        # write_text_atomic is content-fsync'd AND dir-fsync'd locally
+        # (see fileio.py); a PUT's 200 is the same acknowledgment on S3
+        self._io.write_text_atomic(
+            os.path.join(self.path, rel), json.dumps({"entries": entries})
+        )
         self._manifest_cache[rel] = entries
         return rel
 
@@ -563,7 +552,7 @@ class SnapshotTable:
             rows = [("tag", n, v) for n, v in sorted(self.tags().items())]
             for n in self.branches():
                 try:
-                    head = SnapshotTable(self.spark, self.path).branch(n).current_version()
+                    head = SnapshotTable(self.spark, self.path, io=self._io).branch(n).current_version()
                 except FileNotFoundError:
                     # a crashed create_branch left an empty claim dir —
                     # surface it (null head) so the ops view FLAGS the state
@@ -588,13 +577,6 @@ class SnapshotTable:
             snap.committed_at = _time.time()
         d = os.path.join(self.path, self._snapdir)
         final = os.path.join(d, f"v{snap.version:08d}.json")
-        # O_EXCL claim: a concurrent writer racing to the same version loses
-        # here and must retry on top of the new snapshot.
-        try:
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {snap.version} already committed at {self.path}") from e
-        tmp = final + f".tmp.{uuid.uuid4().hex}"
         body: dict[str, Any] = {
             "version": snap.version,
             "schema": snap.schema.jsonValue(),
@@ -612,16 +594,18 @@ class SnapshotTable:
             body["manifests"] = snap.manifests  # split form: O(#manifests)
         else:
             body["files"] = snap.files  # legacy inline fallback
+        # THE atomic publication (fileio.py publish_atomic): create-iff-
+        # absent of the snapshot JSON — O_EXCL claim + fsync'd rename
+        # locally, a single conditional PUT on an object store. A
+        # concurrent writer racing to the same version loses here and
+        # must retry on top of the new snapshot.
         try:
-            with open(tmp, "w") as fh:
-                json.dump(body, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.rename(tmp, final)  # atomic replace of the claimed (empty) file
-            _fsync_dir(d)  # make the commit itself crash-durable
-            self._snap_cache[snap.version] = snap  # committed -> immutable
-        finally:
-            os.close(fd)
+            self._io.publish_atomic(final, json.dumps(body))
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {snap.version} already committed at {self.path}"
+            ) from e
+        self._snap_cache[snap.version] = snap  # committed -> immutable
 
     # ----------------------------------------------------------------- read
     def read(
@@ -886,11 +870,11 @@ class SnapshotTable:
             writer = writer.option("maxRecordsPerFile", max_rows_per_file)
         writer.parquet(out)
         entries: list[dict[str, Any]] = []
-        for bdir in sorted(os.listdir(out)):
+        for bdir in sorted(self._io.list_dir(out)):
             if not bdir.startswith("__bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out, bdir))):
+            for fn in sorted(self._io.list_dir(os.path.join(out, bdir))):
                 if fn.endswith(".parquet"):
                     entries.append(
                         {
@@ -956,8 +940,7 @@ class SnapshotTable:
         from . import blooms as _bl
 
         try:
-            with open(os.path.join(self.path, sidecar_rel)) as fh:
-                body = json.load(fh)
+            body = json.loads(self._io.read_text(os.path.join(self.path, sidecar_rel)))
             # "" = computed-all-null sentinel: the file provably holds no
             # non-null values of the column, so an equality probe (which
             # never matches null) can SOUNDLY prune it — an all-zero
@@ -1076,8 +1059,9 @@ class SnapshotTable:
         old_b64: dict[str, dict[str, str]] = {}
         if same_conf:
             try:
-                with open(os.path.join(self.path, prev["sidecar"])) as fh:
-                    old_b64 = json.load(fh)["files"]
+                old_b64 = json.loads(
+                    self._io.read_text(os.path.join(self.path, prev["sidecar"]))
+                )["files"]
             except FileNotFoundError:
                 old_b64 = {}
 
@@ -1158,15 +1142,12 @@ class SnapshotTable:
             if entry:
                 out_files[f["path"]] = entry
         d = os.path.join(self.path, _MANDIR)
-        os.makedirs(d, exist_ok=True)
+        self._io.mkdirs(d)
         rel = os.path.join(_MANDIR, f"bloom-{uuid.uuid4().hex}.json")
-        tmp = os.path.join(self.path, rel + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"bits": bits, "k": k, "cols": cols, "files": out_files}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, os.path.join(self.path, rel))
-        _fsync_dir(d)
+        self._io.write_text_atomic(
+            os.path.join(self.path, rel),
+            json.dumps({"bits": bits, "k": k, "cols": cols, "files": out_files}),
+        )
         self.commit(
             add_files=[],
             properties_update={
@@ -1368,7 +1349,7 @@ class SnapshotTable:
         )
         commit_id = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(_DATADIR, commit_id)
-        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        self._io.mkdirs(os.path.join(self.path, rel_dir))
         rel = os.path.join(rel_dir, "part-00000.parquet")
         pq.write_table(table, os.path.join(self.path, rel))
         entry = {"path": rel, "bucket": 0, "level": "delta", "commit": commit_id}
@@ -1754,7 +1735,7 @@ class SnapshotTable:
         return out
 
     def drop(self) -> None:
-        shutil.rmtree(self.path, ignore_errors=True)
+        self._io.remove_tree(self.path)
         self._snap_cache.clear()
         self._manifest_cache.clear()
 
@@ -2137,26 +2118,26 @@ class SnapshotTable:
         v = version if version is not None else self.current_version()
         src = os.path.join(self.path, self._snapdir, f"v{v:08d}.json")
         d = os.path.join(self.path, self._branch_snapdir(name))
+        # atomic claim — no TOCTOU window. Was an os.mkdir; a marker
+        # object published create-iff-absent is the seam form (identical
+        # locally, a conditional PUT on object stores, where mkdir does
+        # not exist). A crashed create leaves marker-without-snapshot:
+        # branch() raises FileNotFoundError and meta('refs') flags a null
+        # head, exactly as the empty claim dir did.
+        self._io.mkdirs(d)
         try:
-            os.mkdir(d)  # atomic claim — no TOCTOU window
+            self._io.publish_atomic(os.path.join(d, ".branch"), "")
         except FileExistsError as e:
             raise FileExistsError(f"branch {name!r} already exists at {self.path}") from e
-        with open(src) as fh:
-            body = fh.read()  # copy RAW bytes: the fork is byte-identical
-        tmp = os.path.join(d, f"v{v:08d}.json.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(body)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, os.path.join(d, f"v{v:08d}.json"))
-        _fsync_dir(d)
+        body = self._io.read_text(src)  # copy RAW bytes: byte-identical fork
+        self._io.publish_atomic(os.path.join(d, f"v{v:08d}.json"), body)
         return self.branch(name)
 
     def branch(self, name: str) -> "SnapshotTable":
         """Handle for an existing branch (same table path, sibling snapshot
         chain). Shares this handle's parsed-manifest cache — manifest files
         are immutable and uuid-named, so entries are chain-agnostic."""
-        t = SnapshotTable(self.spark, self.path)
+        t = SnapshotTable(self.spark, self.path, io=self._io)
         t._snapdir = self._branch_snapdir(name)
         t._manifest_cache = self._manifest_cache
         if not t.exists():
@@ -2165,21 +2146,18 @@ class SnapshotTable:
 
     def branches(self) -> list[str]:
         pre = f"{_SNAPDIR}.br-"
-        try:
-            return sorted(
-                d[len(pre):] for d in os.listdir(self.path) if d.startswith(pre)
-            )
-        except OSError:
-            return []
+        return sorted(
+            d[len(pre):] for d in self._io.list_dir(self.path) if d.startswith(pre)
+        )
 
     def drop_branch(self, name: str) -> None:
         """Delete a branch's snapshot chain (abandoning a failed audit).
         Branch-ONLY data/manifest files become unreferenced and are
         reclaimed by the next grace-aged :meth:`vacuum`."""
         d = os.path.join(self.path, self._branch_snapdir(name))
-        if not os.path.isdir(d):
+        if not self._io.is_dir(d) and not self._io.list_dir(d):
             raise FileNotFoundError(f"no branch {name!r} at {self.path}")
-        shutil.rmtree(d)
+        self._io.remove_tree(d)
 
     def fast_forward(self, name: str) -> int:
         """Publish a branch: advance main to the branch head's STATE in one
@@ -2317,44 +2295,38 @@ class SnapshotTable:
         for moving a snapshot to another filesystem/disk, where link-based
         sharing is impossible or unwanted.
         """
-        import shutil as _shutil
-
         if ref is not None:
             if version is not None:
                 raise ValueError("pass either version or ref, not both")
             version = self.resolve_ref(ref)
         src = self.snapshot(version)  # raises if expired/unknown
-        dest = SnapshotTable(self.spark, dest_path)
+        dest = SnapshotTable(self.spark, dest_path, io=self._io)
         if dest.exists():
             raise FileExistsError(dest_path)
-        os.makedirs(os.path.join(dest_path, dest._snapdir), exist_ok=True)
-        os.makedirs(os.path.join(dest_path, _DATADIR), exist_ok=True)
-        import errno
-
+        self._io.mkdirs(os.path.join(dest_path, dest._snapdir))
+        self._io.mkdirs(os.path.join(dest_path, _DATADIR))
         linked_dirs = set()
         for f in src.files:
             s = os.path.join(self.path, f["path"])
             d = os.path.join(dest_path, f["path"])
             dd = os.path.dirname(d)
             if dd not in linked_dirs:
-                os.makedirs(dd, exist_ok=True)
+                self._io.mkdirs(dd)
                 linked_dirs.add(dd)
             # a clone interrupted before its v1 manifest landed leaves
             # dest.exists() False, so a retry re-enters here with some
-            # files already linked — clear them (unlink drops only this
-            # table's name) instead of letting link raise EEXIST or copy2
+            # files already linked — clear them (remove drops only this
+            # table's name) instead of letting link raise EEXIST or copy
             # raise SameFileError on the shared inode
-            if os.path.exists(d):
-                os.unlink(d)
+            if self._io.exists(d):
+                self._io.remove(d)
+            # seam op: hard link locally, server-side COPY on object
+            # stores — both O(metadata). deep=True forces the byte copy
+            # (migration across filesystems) by never offering the link.
             if deep:
-                _shutil.copy2(s, d)
+                self._io.copy(s, d)
             else:
-                try:
-                    os.link(s, d)
-                except OSError as e:
-                    if e.errno != errno.EXDEV:
-                        raise
-                    _shutil.copy2(s, d)  # cross-filesystem fallback only
+                self._io.link_or_copy(s, d)
         for dd in linked_dirs:
             _fsync_dir(dd)
         props = {k: v for k, v in src.properties.items() if not k.startswith("tag.")}
@@ -2364,10 +2336,10 @@ class SnapshotTable:
         side = props.get("bloom.sidecar")
         if side is not None:
             s = os.path.join(self.path, side)
-            if os.path.exists(s):
+            if self._io.exists(s):
                 dd = os.path.join(dest_path, os.path.dirname(side))
-                os.makedirs(dd, exist_ok=True)
-                _shutil.copy2(s, os.path.join(dest_path, side))
+                self._io.mkdirs(dd)
+                self._io.copy(s, os.path.join(dest_path, side))
             else:
                 props.pop("bloom.sidecar", None)
         # one fresh manifest holding the full entry list (the compacted-
@@ -2749,7 +2721,7 @@ class SnapshotTable:
         ]
         d = os.path.join(self.path, self._snapdir)
         for v in expired:
-            os.remove(os.path.join(d, f"v{v:08d}.json"))
+            self._io.remove(os.path.join(d, f"v{v:08d}.json"))
             self._snap_cache.pop(v, None)
         return len(expired)
 
@@ -2776,7 +2748,7 @@ class SnapshotTable:
         # branch is dropped or expires it)
         chains: list[SnapshotTable] = [self]
         for name in self.branches():
-            h = SnapshotTable(self.spark, self.path)
+            h = SnapshotTable(self.spark, self.path, io=self._io)
             h._snapdir = self._branch_snapdir(name)
             # immutable uuid-named manifests: share the parsed cache so a
             # maintenance-cadence vacuum doesn't re-read every branch's
@@ -2785,7 +2757,7 @@ class SnapshotTable:
             if h._snapdir != self._snapdir:
                 chains.append(h)
         if self._snapdir != _SNAPDIR:
-            main = SnapshotTable(self.spark, self.path)
+            main = SnapshotTable(self.spark, self.path, io=self._io)
             main._manifest_cache = self._manifest_cache
             if main.exists():
                 chains.append(main)
@@ -2805,9 +2777,9 @@ class SnapshotTable:
         # dirs fully emptied by THIS pass, where every entry removed was
         # itself past the grace window (aged orphan file / aged staging /
         # aged-empty child dir): safe to rmdir even though our own
-        # os.remove calls just refreshed the dir's mtime
+        # own remove calls just refreshed the dir's mtime
         aged_emptied: set = set()
-        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+        for dirpath, dirnames, filenames in self._io.walk_files(data_root):
             # NEVER descend into Hadoop commit staging: a concurrent
             # writer creates data/<uuid>/_temporary/... and renames task
             # files out on commit — deleting (or rmdir'ing, below) any of
@@ -2817,10 +2789,7 @@ class SnapshotTable:
             # once NOTHING in its tree is younger than the grace window.
             if "_temporary" in dirpath.split(os.sep):
                 continue
-            try:
-                dir_mtime_before = os.path.getmtime(dirpath)
-            except OSError:
-                dir_mtime_before = None
+            dir_mtime_before = self._io.mtime(dirpath)
             # names present at walk time that this pass removed as aged
             gone_aged: set = set()
             for dn in list(dirnames):
@@ -2830,39 +2799,29 @@ class SnapshotTable:
                     # tree, not the root's mtime (set at job start): a
                     # legitimate job running longer than the grace window
                     # keeps writing fresh task files deep in the tree
-                    try:
-                        newest = os.path.getmtime(full)
-                        for dp2, dns2, fns2 in os.walk(full):
+                    newest = self._io.mtime(full)
+                    if newest is not None:
+                        for dp2, dns2, fns2 in self._io.walk_files(full):
                             for entry in dns2 + fns2:
-                                try:
-                                    newest = max(
-                                        newest,
-                                        os.path.getmtime(os.path.join(dp2, entry)),
-                                    )
-                                except OSError:
-                                    pass
+                                m2 = self._io.mtime(os.path.join(dp2, entry))
+                                if m2 is not None:
+                                    newest = max(newest, m2)
                         if newest <= cutoff:
-                            import shutil as _shutil
-
-                            _shutil.rmtree(full, ignore_errors=True)
+                            self._io.remove_tree(full)
                             gone_aged.add(dn)
-                    except OSError:
-                        pass
                 elif full in aged_emptied:
                     gone_aged.add(dn)
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.normpath(os.path.relpath(full, self.path))
                 if fn.endswith(".parquet") and rel not in live:
-                    try:
-                        if os.path.getmtime(full) > cutoff:
-                            continue  # possibly an in-flight commit's file
-                    except OSError:
-                        continue
-                    os.remove(full)
+                    m = self._io.mtime(full)
+                    if m is None or m > cutoff:
+                        continue  # gone, or possibly an in-flight commit's file
+                    self._io.remove(full)
                     gone_aged.add(fn)
                     removed += 1
-            if not os.listdir(dirpath) and dirpath != data_root:
+            if not self._io.list_dir(dirpath) and dirpath != data_root:
                 # the directory-level grace twin of the file rule: an empty
                 # dir touched inside the window may be a writer's
                 # just-created bucket/staging parent — removing it races
@@ -2877,28 +2836,28 @@ class SnapshotTable:
                     if aged_ok or (
                         dir_mtime_before is not None and dir_mtime_before <= cutoff
                     ):
-                        os.rmdir(dirpath)
+                        self._io.remove_dir(dirpath)
                         aged_emptied.add(dirpath)
                 except OSError:
                     pass  # concurrent writer repopulated it: leave it
         # manifest files referenced by no retained snapshot (expired history,
         # losing commit races) — same grace window as data files
         man_root = os.path.join(self.path, _MANDIR)
-        if os.path.isdir(man_root):
-            for fn in os.listdir(man_root):
-                full = os.path.join(man_root, fn)
-                rel = os.path.normpath(os.path.relpath(full, self.path))
-                if (
-                    fn.endswith(".json") and rel not in live_manifests
-                ) or fn.endswith(".tmp"):  # .tmp = crashed mid-manifest-write
-                    try:
-                        if os.path.getmtime(full) > cutoff:
-                            continue
-                    except OSError:
-                        continue
-                    os.remove(full)
-                    self._manifest_cache.pop(rel, None)
-                    removed += 1
+        for fn in self._io.list_dir(man_root):
+            full = os.path.join(man_root, fn)
+            rel = os.path.normpath(os.path.relpath(full, self.path))
+            # ".tmp" infix (not suffix): write_text_atomic stages as
+            # <name>.tmp.<uuid>, so a crashed mid-manifest-write leaves
+            # m-<uuid>.json.tmp.<uuid>
+            if (
+                fn.endswith(".json") and rel not in live_manifests
+            ) or ".tmp" in fn:
+                m = self._io.mtime(full)
+                if m is None or m > cutoff:
+                    continue
+                self._io.remove(full)
+                self._manifest_cache.pop(rel, None)
+                removed += 1
         return removed
 
     # ------------------------------------------------------------ evolution

@@ -54,11 +54,16 @@ class TestBranchIsolation:
             t.branch("b").create_branch("nested")
 
     def test_crashed_create_claim_is_refused_and_droppable(self, spark, tmp_path):
-        # the branch dir is the atomic creation claim; a create that crashed
-        # after mkdir leaves an empty dir — unusable, re-create refused,
+        # the .branch marker (published create-iff-absent through the
+        # FileIO seam — locally an O_EXCL file, a conditional PUT on
+        # object stores) is the atomic creation claim; a create that
+        # crashed after the marker but before the fork snapshot leaves an
+        # unusable claim — re-create refused, branch() not found,
         # drop_branch cleans it up
         t = _mk(spark, str(tmp_path / "t"), [(1, "a")])
-        os.mkdir(str(tmp_path / "t" / t._branch_snapdir("ghost")))
+        d = str(tmp_path / "t" / t._branch_snapdir("ghost"))
+        os.mkdir(d)
+        open(os.path.join(d, ".branch"), "w").close()
         with pytest.raises(FileExistsError):
             t.create_branch("ghost")
         with pytest.raises(FileNotFoundError):
@@ -66,6 +71,12 @@ class TestBranchIsolation:
         t.drop_branch("ghost")
         t.create_branch("ghost")  # now succeeds
         assert t.branches() == ["ghost"]
+        # a crash BEFORE the marker landed claims nothing: the bare dir
+        # does not block a re-create (strictly better than the old
+        # mkdir-as-claim, which wedged until a manual drop)
+        os.mkdir(str(tmp_path / "t" / t._branch_snapdir("gh2")))
+        t.create_branch("gh2")
+        assert sorted(t.branches()) == ["gh2", "ghost"]
 
 
 class TestFastForward:
