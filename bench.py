@@ -213,6 +213,7 @@ def main() -> None:
         "doc_chunking",
         "bm25_search",
         "bm25_index_search",
+        "dedup_index_probe",
         "dedup_index_pairs",
         "ann_index_cdc",
         "ivf_index_cdc",

@@ -444,6 +444,80 @@ def events_to_debezium(
             "expire/compact table history before exporting"
         )
     ch = table.changes(from_version, to_version, strict=strict)
+
+    # ---- conflict-winner repair (CouchDB changes-feed semantics) --------
+    # A COW merge's CDF records the LWW-deduped BATCH, so a batch row that
+    # LOST the tiebreak against the stored row (an equal-rev-height
+    # conflicting revision — CouchDB's conflict pair) still appears as a
+    # change. Harmless for consumers that keep the true rev vectors (the
+    # idempotent LWW re-resolves), but THIS export replaces rev vectors
+    # with strictly-increasing synthesized log positions, which would
+    # promote the later-exported loser on replay. CouchDB's own _changes
+    # row always reflects the WINNING revision, so: each key's LAST change
+    # in the range is overridden with the reconciled winner at
+    # ``to_version`` (one window over changed rows + one bucket-pruned,
+    # key-semi-joined reconciled read — O(changed keys)); a key absent
+    # from the reconciled state (purged) exports as a content-free delete.
+    # Replaying the export then converges to the exported live state even
+    # across cross-batch conflicts.
+    from pyspark.sql import Window as _W
+
+    snap_tip = table.snapshot(tip)
+    kcols = list(snap_tip.key_cols)
+    ch_cols = ch.columns
+    rn = F.row_number().over(
+        _W.partitionBy(*kcols).orderBy(F.col("_change_version").desc())
+    )
+    ch = ch.withColumn("__rn", rn)
+    lastch = ch.where(F.col("__rn") == 1)
+    win_touched = sorted(
+        r["__b"]
+        for r in lastch.select(
+            bucket_expr(snap_tip.bucket_cols, snap_tip.num_buckets).alias("__b")
+        )
+        .distinct()
+        .collect()
+    )
+    payload = ("role", "text", "tool", "ts", "_deleted", "saved_timestamp")
+    if not win_touched:  # empty export range: nothing to repair or emit
+        return ch.limit(0).select(
+            F.lit(None).cast("string").alias("op"),
+            F.lit(None).cast("long").alias("ts_ms"),
+            F.lit(None).cast(_ROW_IMAGE).alias("before"),
+            F.lit(None).cast(_ROW_IMAGE).alias("after"),
+            F.lit(None)
+            .cast(WAL_SOURCE_EPOCHED if bases else WAL_SOURCE)
+            .alias("source"),
+        )
+    cur = (
+        table.read_current(version=tip, buckets=win_touched, drop_tombstones=False)
+        .join(F.broadcast(lastch.select(*kcols).distinct()), on=kcols, how="left_semi")
+        .select(
+            *kcols,
+            *[F.col(c).alias(f"__w{c}") for c in payload],
+            F.lit(True).alias("__wexists"),
+        )
+    )
+    lastch = lastch.join(cur, on=kcols, how="left")
+    win_del = F.coalesce(F.col("__w_deleted"), F.lit(True))
+    lastch = lastch.withColumn(
+        "_change_type",
+        F.when(win_del, F.lit("delete")).otherwise(
+            F.when(F.col("_change_type") == "delete", F.lit("update")).otherwise(
+                F.col("_change_type")
+            )
+        ),
+    )
+    for c in ("role", "text", "tool", "ts"):
+        lastch = lastch.withColumn(c, F.when(~win_del, F.col(f"__w{c}")))
+    lastch = lastch.withColumn(
+        "saved_timestamp",
+        F.coalesce(F.col("__wsaved_timestamp"), F.col("saved_timestamp")),
+    )
+    ch = ch.where(F.col("__rn") > 1).select(*ch_cols).unionByName(
+        lastch.select(*ch_cols)
+    )
+
     db_name = db if db is not None else _os.path.basename(_os.path.normpath(table.path))
     is_del = F.col("_change_type") == "delete"
 

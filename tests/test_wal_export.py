@@ -255,3 +255,52 @@ def test_epoched_fold_orders_at_the_boundary(spark):
     seqs = [r["s"] for r in df.select(wal_seq_epoched(F.col("source")).alias("s")).collect()]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
     assert all(0 < s < (1 << 63) for s in seqs)
+
+
+def test_export_repairs_cross_batch_conflict_losers(spark, tmp_path):
+    """An equal-rev-height CONFLICTING revision that arrives in a LATER
+    commit loses the stored-row LWW tiebreak (_rev desc) — but the CDF
+    changelog still records it as a change. Because the export replaces
+    rev vectors with strictly-increasing synthesized lsns, a naive replay
+    would promote that loser (the order-dependent full-suite failure this
+    pins). CouchDB's _changes row always carries the WINNING revision:
+    the export overrides each key's final in-range change with the
+    reconciled winner at to_version, so export→reimport converges."""
+    from cht_sync_spark.sources.envelopes import expected_wal_state
+
+    t = _mk_table(spark, str(tmp_path / "cf"))
+    r_win = Row(
+        conv_id="k", turn_idx=0, role="user", text="winner", tool=None,
+        ts=dt.datetime(2024, 1, 1), _id="k:0", _rev="5-bbbb", _deleted=False,
+        saved_timestamp=dt.datetime(2024, 1, 1), source="s", seq=10, rev_height=5,
+    )
+    r_lose = Row(
+        conv_id="k", turn_idx=0, role="user", text="loser", tool=None,
+        ts=dt.datetime(2024, 1, 1), _id="k:0", _rev="5-aaaa", _deleted=False,
+        saved_timestamp=dt.datetime(2024, 1, 1), source="s", seq=11, rev_height=5,
+    )
+    t.append_delta(spark.createDataFrame([r_win], TRANSCRIPT))
+    t.append_delta(spark.createDataFrame([r_lose], TRANSCRIPT))
+    # the table's own LWW: equal height -> _rev desc -> "5-bbbb" wins
+    assert [r["text"] for r in t.read_current(drop_tombstones=True).collect()] == ["winner"]
+
+    env = events_to_debezium(t, from_version=1, db="cf")
+    want = {r["conv_id"]: r["text"] for r in expected_wal_state(env).collect()}
+    assert want == {"k": "winner"}  # the loser's final envelope was repaired
+
+    # a delete that loses to a stored live row must also repair to 'u'
+    t2 = _mk_table(spark, str(tmp_path / "cf2"))
+    t2.append_delta(spark.createDataFrame([r_win], TRANSCRIPT))
+    r_del = Row(
+        conv_id="k", turn_idx=0, role=None, text=None, tool=None,
+        ts=None, _id="k:0", _rev="5-0000", _deleted=True,
+        saved_timestamp=dt.datetime(2024, 1, 2), source="s", seq=12, rev_height=5,
+    )
+    t2.append_delta(spark.createDataFrame([r_del], TRANSCRIPT))
+    assert t2.read_current(drop_tombstones=True).count() == 1  # live row won
+    env2 = events_to_debezium(t2, from_version=1, db="cf")
+    rows2 = env2.collect()
+    last2 = max(rows2, key=lambda r: r["source"]["lsn"])
+    assert last2["op"] != "d" and last2["after"]["text"] == "winner"
+    want2 = {r["conv_id"]: r["text"] for r in expected_wal_state(env2).collect()}
+    assert want2 == {"k": "winner"}
