@@ -2723,6 +2723,89 @@ def q_cdc_wal_export(spark, sf):
     )
 
 
+def q_cdc_wal_export_epoched(spark, sf):
+    """CDC egress ACROSS AN LSN-EPOCH BUMP (sources/envelopes.py
+    advance_lsn_epoch — the round-5 escape past the 2^23 version
+    ceiling): two append batches (versions 2/3, epoch 0), then
+    `advance_lsn_epoch` (the props-only commit = version 4 = the base),
+    then a rewrite wave (version 5, epoch 1: every event_id%5 key
+    re-emitted at rev height event_id+hi). The export stamps
+    `source.lsn_epoch` and packs lsn RELATIVE to the epoch base. The
+    oracle recomputes batch membership, per-(key, batch) winners, op
+    typing, AND the epoch arithmetic (epoch = version >= 4; rel =
+    version - 4 for epoch 1) from the raw events — a wrong epoch stamp,
+    an absolute-packed lsn, or a lost rewrite hash-mismatches."""
+    import tempfile
+
+    from cht_sync_spark.sources.envelopes import (
+        advance_lsn_epoch, events_to_debezium,
+    )
+    from cht_sync_spark.tables.format import SnapshotTable
+
+    work = tempfile.mkdtemp(prefix="walxe_q_")
+    ev = _t(spark, sf, "events")
+    hi = int(ev.agg(F.max("event_id")).first()[0])
+    cut = hi // 2
+    conv = F.concat(F.lit("c"), F.col("user_id").cast("string"))
+    turn = (F.col("event_id") % 16).cast("int")
+
+    def shape(df, seq_col, text_col, deleted_col):
+        return df.select(
+            conv.alias("conv_id"),
+            turn.alias("turn_idx"),
+            F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+            text_col.alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.concat(conv, F.lit(":"), turn.cast("string")).alias("_id"),
+            F.concat(seq_col.cast("string"), F.lit("-x")).alias("_rev"),
+            deleted_col.alias("_deleted"),
+            F.col("ts").cast("timestamp").alias("saved_timestamp"),
+            F.lit("bench").alias("source"),
+            seq_col.cast("long").alias("seq"),
+            seq_col.cast("long").alias("rev_height"),
+        )
+
+    base_text = F.when(F.col("event_type") != "error", F.col("props"))
+    b1 = shape(ev.where(F.col("event_id") <= cut), F.col("event_id"),
+               base_text, F.col("event_type") == "error")
+    b2 = shape(ev.where(F.col("event_id") > cut), F.col("event_id"),
+               base_text, F.col("event_type") == "error")
+    b3 = shape(
+        ev.where((F.col("event_id") % 5 == 0) & (F.col("event_type") != "error")),
+        F.col("event_id") + F.lit(hi),
+        F.concat(F.col("props"), F.lit(" r2")),
+        F.lit(False),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("conv_id", "turn_idx").orderBy(F.desc("seq"))
+    )
+    t = SnapshotTable.create(
+        spark, f"{work}/t", b1.schema, key_cols=["conv_id", "turn_idx"],
+        num_buckets=8, sort_cols=["conv_id", "turn_idx"],
+        lww_order=[("rev_height", False), ("seq", False)],
+    )
+    t.append_delta(b1.withColumn("__rn", rn).where("__rn = 1").drop("__rn"))
+    t.append_delta(b2.withColumn("__rn", rn).where("__rn = 1").drop("__rn"))
+    assert advance_lsn_epoch(t) == 1  # base = the props commit, version 4
+    t.append_delta(b3.withColumn("__rn", rn).where("__rn = 1").drop("__rn"))
+
+    env = events_to_debezium(t, 1, db="bench")
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return env.select(
+        "op",
+        "ts_ms",
+        F.col("source.lsn").alias("lsn"),
+        F.col("source.lsn_epoch").alias("lsn_epoch"),
+        F.col("source.tx_id").alias("tx_id"),
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        F.col("after.text").alias("text"),
+    )
+
+
 def q_datasource_stream_drain(spark, sf):
     """Admission-capped streaming drain through `cht_changes` readStream:
     offsets are per-feed-partition seq cursors in Spark's OWN offset log
@@ -3015,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_latency": q_model_latency,
         "pq_adc_topk": q_pq_adc_topk,
         "model_run_stats": q_model_run_stats,
+        "cdc_wal_export_epoched": q_cdc_wal_export_epoched,
         # -- driver-checked green in r1–r4 ---------------------------------
         "s1_changes_batch_pull": q_s1_changes_batch_pull,
         "s2_pending_probe": q_s2_pending_probe,
@@ -4392,6 +4476,35 @@ def oracle_sql() -> dict[str, str]:
             "  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text, "
             "  CASE WHEN event_type = 'error' THEN NULL "
             "    ELSE epoch_ms(ts) END AS ts_millis "
+            "FROM ch"
+        ),
+        # Epoched CDC egress: versions 2/3 = epoch 0 (absolute pack),
+        # version 5 (the rewrite wave, landed after the advance commit at
+        # version 4 = the base) = epoch 1 with lsn packed RELATIVE to the
+        # base — membership, winners, op typing and the epoch arithmetic
+        # all recomputed from the raw events
+        "cdc_wal_export_epoched": (
+            "WITH e AS (SELECT 'c' || CAST(user_id AS VARCHAR) AS conv, "
+            "    CAST(event_id % 16 AS INTEGER) AS turn, event_id, "
+            "    event_type, props, ts FROM events), "
+            "m AS (SELECT max(event_id) AS hi FROM events), "
+            "b12 AS (SELECT conv, turn, event_type, props, ts, "
+            "    event_id AS h, CASE WHEN event_id <= hi // 2 THEN 2 ELSE 3 END AS v "
+            "  FROM e, m), "
+            "b3 AS (SELECT conv, turn, event_type, props || ' r2' AS props, ts, "
+            "    event_id + hi AS h, 5 AS v "
+            "  FROM e, m WHERE event_id % 5 = 0 AND event_type <> 'error'), "
+            "allb AS (SELECT * FROM b12 UNION ALL SELECT * FROM b3), "
+            "w AS (SELECT conv, turn, v, max(h) AS mh FROM allb GROUP BY 1, 2, 3), "
+            "ch AS (SELECT a.* FROM allb a JOIN w ON a.conv = w.conv "
+            "  AND a.turn = w.turn AND a.v = w.v AND a.h = w.mh) "
+            "SELECT CASE WHEN v < 5 AND event_type = 'error' THEN 'd' ELSE 'u' END AS op, "
+            "  epoch_ms(ts) AS ts_ms, "
+            "  (CAST(v - CASE WHEN v >= 4 THEN 4 ELSE 0 END AS BIGINT) << 40) "
+            "    + CAST('0x' || substr(md5(conv || ':' || CAST(turn AS VARCHAR)), 1, 10) AS BIGINT) AS lsn, "
+            "  CAST(CASE WHEN v >= 4 THEN 1 ELSE 0 END AS BIGINT) AS lsn_epoch, "
+            "  CAST(v AS BIGINT) AS tx_id, conv AS conv_id, turn AS turn_idx, "
+            "  CASE WHEN v < 5 AND event_type = 'error' THEN NULL ELSE props END AS text "
             "FROM ch"
         ),
         # capped streaming drain + re-drain: per-source totals over the
